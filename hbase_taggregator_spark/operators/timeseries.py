@@ -1,0 +1,290 @@
+"""Interval-bucketed time-series aggregation — the reference-parity core.
+
+Computes ``{bucket_start → max|min|sum|avg|count}`` over a time range in a
+single declarative pass, preserving the semantics of the reference's
+coprocessor pipeline (/root/reference):
+
+- t_min-aligned half-open buckets ``[t_min + k·interval, t_min + (k+1)·interval)``
+  — NOT epoch-aligned (``TimeseriesAggregateImplementation.java:78-99``;
+  golden ``testMaxWithValidRangeBeginningAtOddTime``).
+- two cutoff modes: ``strict`` (scanner-time-range mode, hard stop at t_max —
+  ``TimeseriesAggregateImplementation.java:82-83,119``) and ``taggregator``
+  (key-mode compat: the reference's do-while emits one trailing bucket past
+  t_max and key-mode scans leak later data into it —
+  ``TimeseriesAggregateImplementation.java:107-111``, ``README.md:29``).
+- empty buckets absent from the result (``Max.java:29-34`` — maps only gain
+  entries when a cell lands in the bucket).
+- ``avg`` is Double regardless of input type
+  (``TimeseriesAggregationClient.java:547-557`` ``divideForAvg``); ``count``
+  counts non-null values/cells (``Count.java:26-35``).
+- sorted ``{bucket_start_ms → value}`` result at the API edge, mirroring the
+  client's ``ConcurrentSkipListMap`` (``TimeseriesAggregationClient.java:130``).
+
+Physical shape (why this scales): bucket assignment is integer arithmetic on
+epoch-micros — a codegen'd projection, O(1) per row (the reference probes a
+bucket list linearly per cell, ``Max.java:26-28``). The groupBy compiles to
+partial HashAggregate on each partition → shuffle of ≤ one row per (bucket ×
+partition) → final HashAggregate: exactly the reference's region-partial +
+client-merge topology (``TimeseriesAggregationClient.java:167-195``) but
+executed by Tungsten with map-side combine, so shuffled bytes are bounded by
+bucket-count × partitions, independent of input rows. At 100 TB the plan is
+scan → codegen'd project/filter (pushed to parquet row groups where the raw
+column allows) → partial agg → tiny shuffle → final agg.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, replace
+from typing import Any, Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+US_PER_SECOND = 1_000_000
+
+#: cutoff modes
+STRICT = "strict"
+TAGGREGATOR = "taggregator"
+
+_VERB_EXPRS = {
+    "max": lambda v: F.max(v),
+    "min": lambda v: F.min(v),
+    "sum": lambda v: F.sum(v),
+    "avg": lambda v: F.avg(v),
+    "count": lambda v: F.count(v),
+}
+
+
+def to_epoch_us(t: Any) -> int:
+    """Normalize int/float epoch-seconds, datetime, or ISO string → epoch µs.
+
+    Naive datetimes/strings are interpreted as UTC (the reference works in
+    TZ-naive epoch seconds; we pin UTC — SURVEY.md §7 'hard parts').
+    """
+    if isinstance(t, bool):
+        raise ValueError(f"invalid time bound: {t!r}")
+    if isinstance(t, int):
+        return t * US_PER_SECOND
+    if isinstance(t, float):
+        return round(t * US_PER_SECOND)
+    if isinstance(t, str):
+        t = dt.datetime.fromisoformat(t)
+    if isinstance(t, dt.datetime):
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=dt.timezone.utc)
+        return round(t.timestamp() * US_PER_SECOND)
+    raise ValueError(f"invalid time bound: {t!r}")
+
+
+@dataclass(frozen=True)
+class TimeseriesQuery:
+    """Immutable builder for one bucketed-aggregation query.
+
+    Mirrors the reference client's constructor parameters
+    ``(interval, t_min, t_max, key_pattern)``
+    (``TimeseriesAggregationClient.java:72-99``) plus generalizations the
+    scan model could not express (extra group-by dimensions, multi-verb
+    single-pass aggregation).
+    """
+
+    df: DataFrame
+    ts_col: str = "ts"
+    value_col: str = "value"
+    t_min_us: int | None = None
+    t_max_us: int | None = None
+    interval_us: int | None = None
+    cutoff: str = STRICT
+    dims: tuple[str, ...] = ()
+
+    # -- builder steps -------------------------------------------------
+    def range(self, t_min: Any, t_max: Any) -> "TimeseriesQuery":
+        """Half-open time range [t_min, t_max). Validated like the
+        reference: start must precede stop
+        (``TimeseriesAggregationClient.java:575-581`` → IOException; here
+        ValueError)."""
+        lo, hi = to_epoch_us(t_min), to_epoch_us(t_max)
+        if lo >= hi:
+            raise ValueError(f"invalid time range: start {lo} >= stop {hi}")
+        return replace(self, t_min_us=lo, t_max_us=hi)
+
+    def interval(self, seconds: int | float) -> "TimeseriesQuery":
+        us = round(seconds * US_PER_SECOND)
+        if us <= 0:
+            raise ValueError(f"interval must be positive, got {seconds}")
+        return replace(self, interval_us=us)
+
+    def mode(self, cutoff: str) -> "TimeseriesQuery":
+        """'strict' (scanner-range semantics, default) or 'taggregator'
+        (reference key-mode trailing-bucket compat — SURVEY.md §2.3.2)."""
+        if cutoff not in (STRICT, TAGGREGATOR):
+            raise ValueError(f"cutoff must be 'strict' or 'taggregator', got {cutoff!r}")
+        return replace(self, cutoff=cutoff)
+
+    def group_by(self, *dims: str) -> "TimeseriesQuery":
+        """Extra grouping dimensions (series key, event type, …) — a
+        generalization: the reference collapses everything in scan range."""
+        return replace(self, dims=tuple(dims))
+
+    # -- internals -----------------------------------------------------
+    def _check(self) -> None:
+        if self.interval_us is None:
+            raise ValueError("interval() must be set before aggregating")
+        if self.t_min_us is None or self.t_max_us is None:
+            raise ValueError("range() must be set before aggregating")
+        cols = set(self.df.columns)
+        for c in (self.ts_col, self.value_col, *self.dims):
+            if c not in cols:
+                raise ValueError(f"column {c!r} not in input ({sorted(cols)})")
+
+    def upper_bound_us(self) -> int:
+        """Effective exclusive upper bound of the bucketed region.
+
+        strict: t_max. taggregator: end of the trailing bucket the
+        reference's do-while always emits — with n = ⌊(t_max−t_min)/ival⌋,
+        bound = t_min + (n+1)·ival (one bucket past t_max; for an exactly
+        aligned range that is one whole extra bucket, reproducing the 9-vs-8
+        golden discrepancy in ``TestTimeseriesAggregateProtocol.java:149-158``
+        vs ``:294-302``)."""
+        assert self.t_min_us is not None and self.t_max_us is not None
+        assert self.interval_us is not None
+        if self.cutoff == STRICT:
+            return self.t_max_us
+        n_full = (self.t_max_us - self.t_min_us) // self.interval_us
+        return self.t_min_us + (n_full + 1) * self.interval_us
+
+    def bucket_start_us(self) -> Column:
+        """Bucket assignment as pure int64 arithmetic (codegen'd, O(1)/row).
+
+        Equivalent to ``window(ts, ival, startTime=t_min % ival)`` but
+        avoids the struct build; integer ``div`` keeps exactness for any
+        epoch range."""
+        us = F.unix_micros(F.col(self.ts_col))
+        idx = F.expr(
+            f"(unix_micros(`{self.ts_col}`) - {self.t_min_us}) div {self.interval_us}"
+        )
+        del us
+        return (F.lit(self.t_min_us) + idx * F.lit(self.interval_us)).alias(
+            "bucket_start_us"
+        )
+
+    def _bucketed(self, aggs: Iterable[tuple[str, str]]) -> DataFrame:
+        """filter → project bucket → groupBy → agg → orderBy."""
+        self._check()
+        us = F.unix_micros(F.col(self.ts_col))
+        lo, hi = self.t_min_us, self.upper_bound_us()
+        agg_exprs = [_VERB_EXPRS[verb](self.value_col).alias(alias) for verb, alias in aggs]
+        out = (
+            self.df.filter((us >= F.lit(lo)) & (us < F.lit(hi)))
+            .withColumn("bucket_start_us", self.bucket_start_us())
+            .groupBy("bucket_start_us", *self.dims)
+            .agg(*agg_exprs)
+            .withColumn("bucket_start", F.timestamp_micros(F.col("bucket_start_us")))
+            .select("bucket_start", "bucket_start_us", *self.dims,
+                    *[alias for _, alias in aggs])
+            .orderBy("bucket_start_us", *self.dims)
+        )
+        return out
+
+    # -- verbs (reference parity: the five RPC endpoints) --------------
+    def max(self, alias: str = "max") -> DataFrame:
+        """Per-bucket max (``Max.java:19-38``; RPC ``getMax``)."""
+        return self._bucketed([("max", alias)])
+
+    def min(self, alias: str = "min") -> DataFrame:
+        """Per-bucket min (``Min.java:19-38``; RPC ``getMin``)."""
+        return self._bucketed([("min", alias)])
+
+    def sum(self, alias: str = "sum") -> DataFrame:
+        """Per-bucket sum with Spark's native type widening
+        (``Sum.java:21-40`` ``castToReturnType``+``add``)."""
+        return self._bucketed([("sum", alias)])
+
+    def avg(self, alias: str = "avg") -> DataFrame:
+        """Per-bucket average → Double; Catalyst decomposes to partial
+        (sum, count) + final divide — the exact algebra of the reference's
+        two-phase avg (``Avg.java:21-64`` +
+        ``TimeseriesAggregationClient.java:436-509,547-557``)."""
+        return self._bucketed([("avg", alias)])
+
+    def count(self, alias: str = "count") -> DataFrame:
+        """Per-bucket count of non-null values (cells). Server-only in the
+        reference (``Count.java``; no client method) — first-class here."""
+        return self._bucketed([("count", alias)])
+
+    def agg(self, **aliases: str) -> DataFrame:
+        """Several verbs in one single-scan pass, e.g.
+        ``q.agg(max='mx', avg='av')`` — the '96 queries → 1 scan' pitch of
+        the reference (``README.md:5``), generalized to multi-verb."""
+        bad = set(aliases) - set(_VERB_EXPRS)
+        if bad:
+            raise ValueError(f"unknown verbs: {sorted(bad)}")
+        if not aliases:
+            raise ValueError("agg() needs at least one verb")
+        return self._bucketed(list(aliases.items()))
+
+    # -- result edge ---------------------------------------------------
+    def to_map(self, df: DataFrame | None = None) -> dict[int, Any]:
+        """Collect to the reference's result shape: a sorted
+        ``{bucket_start_millis → value}`` dict
+        (``ConcurrentSkipListMap`` — ``TimeseriesAggregationClient.java:130``).
+        Only valid for single-verb, no-dims queries."""
+        if df is None:
+            raise ValueError("pass the aggregated DataFrame to to_map()")
+        rows = df.collect()
+        out: dict[int, Any] = {}
+        for r in rows:
+            d = r.asDict()
+            val_cols = [c for c in df.columns
+                        if c not in ("bucket_start", "bucket_start_us")]
+            if len(val_cols) != 1:
+                raise ValueError("to_map() needs exactly one value column")
+            out[d["bucket_start_us"] // 1000] = d[val_cols[0]]
+        return dict(sorted(out.items()))
+
+
+class TimeseriesAggregator:
+    """Facade mirroring the reference client's public API
+    (``TimeseriesAggregationClient.java:129-141`` — ``max/min/sum/avg`` plus
+    the server-only count), built on DataFrames.
+
+    >>> tsa = TimeseriesAggregator(spark)
+    >>> q = (tsa.table(events_df).range('2024-01-01', '2024-01-02')
+    ...        .interval(900))
+    >>> q.max().show()            # DataFrame of {bucket_start, max}
+    >>> q.to_map(q.max())         # {bucket_start_ms: value} sorted dict
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def table(
+        self,
+        df: DataFrame | str,
+        ts_col: str = "ts",
+        value_col: str = "value",
+    ) -> TimeseriesQuery:
+        """Start a query from a DataFrame or a registered view name."""
+        if isinstance(df, str):
+            df = self.spark.table(df)
+        return TimeseriesQuery(df=df, ts_col=ts_col, value_col=value_col)
+
+    def table_from_rowkey(
+        self,
+        df: DataFrame | str,
+        mask: str,
+        rowkey_col: str = "rowkey",
+        qualifier_col: str | None = None,
+        value_col: str = "value",
+    ) -> TimeseriesQuery:
+        """Start a query from HBase-shaped input: binary rowkey with an
+        embedded int32 epoch-seconds timestamp selected by ``mask``, plus an
+        optional int32 seconds-offset qualifier column — the reference's
+        key-embedded-timestamp mode (``AggregationBuilder.java:84-120``)."""
+        from hbase_taggregator_spark.sources.rowkey import rowkey_timestamp
+
+        if isinstance(df, str):
+            df = self.spark.table(df)
+        df = df.withColumn(
+            "__event_ts", rowkey_timestamp(rowkey_col, mask, qualifier_col)
+        )
+        return TimeseriesQuery(df=df, ts_col="__event_ts", value_col=value_col)
