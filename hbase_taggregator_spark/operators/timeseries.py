@@ -126,15 +126,22 @@ class TimeseriesQuery:
         return replace(self, dims=tuple(dims))
 
     # -- internals -----------------------------------------------------
-    def _check(self) -> None:
+    def _check_range_only(self) -> None:
         if self.interval_us is None:
             raise ValueError("interval() must be set before aggregating")
         if self.t_min_us is None or self.t_max_us is None:
             raise ValueError("range() must be set before aggregating")
         cols = set(self.df.columns)
-        for c in (self.ts_col, self.value_col, *self.dims):
+        for c in (self.ts_col, *self.dims):
             if c not in cols:
                 raise ValueError(f"column {c!r} not in input ({sorted(cols)})")
+
+    def _check(self) -> None:
+        self._check_range_only()
+        if self.value_col not in self.df.columns:
+            raise ValueError(
+                f"column {self.value_col!r} not in input ({sorted(self.df.columns)})"
+            )
 
     def upper_bound_us(self) -> int:
         """Effective exclusive upper bound of the bucketed region.
@@ -210,6 +217,23 @@ class TimeseriesQuery:
         """Per-bucket count of non-null values (cells). Server-only in the
         reference (``Count.java``; no client method) — first-class here."""
         return self._bucketed([("count", alias)])
+
+    def aggregate(self, *agg_cols: Column) -> DataFrame:
+        """Bucket + group with caller-supplied aggregate Columns — the
+        extension point for aggregates beyond the reference's five verbs
+        (decimal-exact sums, percentiles, sketches…). Same single-pass
+        partial/final physical shape."""
+        self._check_range_only()
+        us = F.unix_micros(F.col(self.ts_col))
+        lo, hi = self.t_min_us, self.upper_bound_us()
+        return (
+            self.df.filter((us >= F.lit(lo)) & (us < F.lit(hi)))
+            .withColumn("bucket_start_us", self.bucket_start_us())
+            .groupBy("bucket_start_us", *self.dims)
+            .agg(*agg_cols)
+            .withColumn("bucket_start", F.timestamp_micros(F.col("bucket_start_us")))
+            .orderBy("bucket_start_us", *self.dims)
+        )
 
     def agg(self, **aliases: str) -> DataFrame:
         """Several verbs in one single-scan pass, e.g.

@@ -1,0 +1,415 @@
+"""The engine's query catalog: every implemented operator as a named query
+over the driver test tables, with a DuckDB-equivalent ANSI-SQL oracle.
+
+Conventions that make the Spark result hash-identical to the oracle:
+
+- **Epoch ints, not timestamps, in outputs.** Spark collects LTZ timestamps
+  through the session TZ and reads `orders`/`lineitem` as TIMESTAMP_NTZ;
+  DuckDB timestamps are naive. Epoch-µs/ms bigints are representation-free
+  on both sides.
+- **Decimal-exact floating aggregates.** A double `SUM`'s rounding depends
+  on accumulation order (partition order in Spark, vector order in DuckDB).
+  Casting each addend to ``DECIMAL(28,6)`` makes the sum exact and
+  order-free; the final cast back to double is then deterministic. Decimal
+  midpoints at scale ≥ 1 are non-dyadic, so double→decimal rounding agrees
+  between engines. Averages divide the exact sum (as double) by the count.
+- **Deterministic top-k.** Every ORDER BY under a LIMIT carries a unique
+  tiebreak column.
+
+Bucketed time-series queries go through :class:`TimeseriesAggregator` — the
+reference-parity engine core — and their oracles re-state the bucket algebra
+(t_min-aligned integer floor) in portable SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hbase_taggregator_spark.operators.timeseries import TimeseriesAggregator
+from hbase_taggregator_spark.sources.parquet import load_table
+from hbase_taggregator_spark.sources.rowkey import encode_rowkey
+
+US = 1_000_000
+
+# events table epoch bounds (2024-01-01 .. 2024-01-31 UTC)
+T0 = 1_704_067_200  # 2024-01-01 00:00:00 UTC, seconds
+T_WEEK = T0 + 7 * 86400
+T_MONTH = T0 + 30 * 86400
+T_ODD = T0 + 86400 + 2 * 3600 + 15 * 60  # 2024-01-02 02:15:00
+
+DEC = "decimal(28,6)"
+
+
+def _dsum(col: F.Column | str, alias: str) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def _davg(col: F.Column | str, alias: str) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
+
+
+def _sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def _sql_davg(expr: str) -> str:
+    return f"{_sql_dsum(expr)} / COUNT({expr})"
+
+
+def _bucket_sql(t_min_s: int, interval_s: int) -> str:
+    """Portable SQL for the engine's t_min-aligned bucket start (ms)."""
+    lo_us, ival_us = t_min_s * US, interval_s * US
+    return (
+        f"({lo_us} + ((epoch_us(ts) - {lo_us}) // {ival_us}) * {ival_us}) // 1000"
+    )
+
+
+def _ts_query(verb: str, t_min: int, t_max: int, interval: int, cutoff: str = "strict"):
+    """Build one bucketed-aggregation query through the engine core."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = load_table(spark, sf_dir, "events")
+        q = (
+            TimeseriesAggregator(spark)
+            .table(events)
+            .range(t_min, t_max)
+            .interval(interval)
+            .mode(cutoff)
+        )
+        if verb == "max":
+            df = q.max("max_value")
+        elif verb == "min":
+            df = q.min("min_value")
+        elif verb == "count":
+            df = q.count("count_value")
+        elif verb == "sum":
+            # decimal-exact double sum via the custom-aggregate hook
+            df = q.aggregate(_dsum("value", "sum_value"))
+        elif verb == "avg":
+            df = q.aggregate(_davg("value", "avg_value"))
+        else:
+            raise ValueError(verb)
+        return df.select(
+            F.expr("bucket_start_us div 1000").alias("bucket_ms"),
+            f"{verb}_value",
+        )
+
+    return run
+
+
+def _ts_oracle(verb: str, t_min: int, t_max: int, interval: int, cutoff: str = "strict") -> str:
+    lo_us = t_min * US
+    if cutoff == "strict":
+        hi_us = t_max * US
+    else:  # taggregator trailing-bucket compat (SURVEY.md §2.3.2)
+        n_full = (t_max - t_min) // interval
+        hi_us = (t_min + (n_full + 1) * interval) * US
+    agg = {
+        "max": "MAX(value) AS max_value",
+        "min": "MIN(value) AS min_value",
+        "sum": f"{_sql_dsum('value')} AS sum_value",
+        "avg": f"{_sql_davg('value')} AS avg_value",
+        "count": "COUNT(value) AS count_value",
+    }[verb]
+    return f"""
+        SELECT {_bucket_sql(t_min, interval)} AS bucket_ms, {agg}
+        FROM events
+        WHERE epoch_us(ts) >= {lo_us} AND epoch_us(ts) < {hi_us}
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# query + oracle registries (extended by the wave-N sections below)
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+# -- reference-parity time-series queries (SURVEY.md §2.1 rows 7-15) --------
+for _verb in ("max", "min", "sum", "avg", "count"):
+    _register(
+        f"ts_{_verb}_900",
+        _ts_query(_verb, T0, T_WEEK, 900),
+        _ts_oracle(_verb, T0, T_WEEK, 900),
+    )
+_register(
+    "ts_max_28800_compat",
+    _ts_query("max", T0, T_MONTH - 3601, 28800, "taggregator"),
+    _ts_oracle("max", T0, T_MONTH - 3601, 28800, "taggregator"),
+)
+_register(
+    "ts_avg_900_odd_start",
+    _ts_query("avg", T_ODD, T_ODD + 4 * 86400, 900),
+    _ts_oracle("avg", T_ODD, T_ODD + 4 * 86400, 900),
+)
+
+
+def _ts_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five verbs in one single-scan pass (the reference's '96 queries →
+    1 scan' claim, generalized to multi-verb — README.md:5)."""
+    events = load_table(spark, sf_dir, "events")
+    q = (
+        TimeseriesAggregator(spark)
+        .table(events)
+        .range(T0, T_MONTH)
+        .interval(28800)
+    )
+    df = q.agg(max="max_value", min="min_value", count="count_value")
+    return df.select(
+        F.expr("bucket_start_us div 1000").alias("bucket_ms"),
+        "max_value",
+        "min_value",
+        "count_value",
+    )
+
+
+_register(
+    "ts_multi_verb_28800",
+    _ts_multi,
+    f"""
+    SELECT {_bucket_sql(T0, 28800)} AS bucket_ms,
+           MAX(value) AS max_value, MIN(value) AS min_value,
+           COUNT(value) AS count_value
+    FROM events
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_MONTH * US}
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+def _ts_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket × series dimension — a generalization the reference's scan
+    model cannot express (it collapses everything in range)."""
+    events = load_table(spark, sf_dir, "events")
+    q = (
+        TimeseriesAggregator(spark)
+        .table(events)
+        .range(T0, T_MONTH)
+        .interval(86400)
+        .group_by("event_type")
+    )
+    df = q.agg(count="count_value", max="max_value")
+    return df.select(
+        F.expr("bucket_start_us div 1000").alias("bucket_ms"),
+        "event_type",
+        "count_value",
+        "max_value",
+    )
+
+
+_register(
+    "ts_grouped_by_type_86400",
+    _ts_grouped,
+    f"""
+    SELECT {_bucket_sql(T0, 86400)} AS bucket_ms, event_type,
+           COUNT(value) AS count_value, MAX(value) AS max_value
+    FROM events
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_MONTH * US}
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+
+
+def _ts_rowkey_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase-shaped path: synthesize the reference's physical layout (binary
+    rowkey, embedded int32 epoch-seconds, mask '00000001111'), then decode
+    through the engine's mask expressions and aggregate. The oracle computes
+    from the original timestamp — any decode error breaks the hash match."""
+    events = load_table(spark, sf_dir, "events")
+    shaped = events.select(
+        encode_rowkey(b"evntkey", F.expr("unix_micros(ts) div 1000000")).alias("rowkey"),
+        "value",
+    )
+    tsa = TimeseriesAggregator(spark)
+    q = (
+        tsa.table_from_rowkey(shaped, "00000001111")
+        .range(T0, T_WEEK)
+        .interval(3600)
+    )
+    df = q.count("count_value")
+    return df.select(
+        F.expr("bucket_start_us div 1000").alias("bucket_ms"),
+        "count_value",
+    )
+
+
+_register(
+    "ts_rowkey_mode_3600",
+    _ts_rowkey_mode,
+    f"""
+    SELECT ({T0 * US} + (((epoch_us(ts) // 1000000) * 1000000 - {T0 * US}) // {3600 * US}) * {3600 * US}) // 1000
+             AS bucket_ms,
+           COUNT(value) AS count_value
+    FROM events
+    WHERE (epoch_us(ts) // 1000000) * 1000000 >= {T0 * US}
+      AND (epoch_us(ts) // 1000000) * 1000000 < {T_WEEK * US}
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+# -- TPC-H-ish relational surface (SURVEY.md §2.2 'free generalization') ----
+
+
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: multi-aggregate groupBy (partial agg before shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.expr("l_shipdate <= TIMESTAMP_NTZ'1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            _davg("l_quantity", "avg_qty"),
+            _davg("l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_register(
+    "q1_pricing_summary",
+    _q1,
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_dsum('l_quantity')} AS sum_qty,
+           {_sql_dsum('l_extendedprice')} AS sum_base_price,
+           {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_sql_davg('l_quantity')} AS avg_qty,
+           {_sql_davg('l_extendedprice')} AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: 3-way join + grouped revenue + deterministic top-10.
+    customer is small → broadcast side; orders⋈lineitem shuffles on the join
+    key only after filters cut both sides."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate > TIMESTAMP_NTZ'1998-01-01 00:00:00'")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_register(
+    "q3_shipping_priority",
+    _q3,
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+
+
+def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: big fact tables shuffle-join on keys; all four
+    dimension tables broadcast (collectively < a few MB even at 100 TB fact
+    scale)."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & F.expr("o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00'")
+            & F.expr("o_orderdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'")
+        )
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+_register(
+    "q5_local_supplier",
+    _q5,
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+
+
+def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar filter-aggregate: predicate reaches the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.expr("l_shipdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00'")
+            & F.expr("l_shipdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'")
+            & F.col("l_discount").between(0.02, 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+_register(
+    "q6_forecast_revenue",
+    _q6,
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 24
+    """,
+)
