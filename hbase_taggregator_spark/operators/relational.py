@@ -1,0 +1,88 @@
+"""Generalized relational operators (SURVEY.md §2.2).
+
+The reference is a single-table scan engine; every operator here is a
+capability it lacks, expressed as a thin, scale-aware composition of Spark
+built-ins so Catalyst keeps full optimization freedom (predicate pushdown,
+join reordering, partial aggregation). Nothing in this module leaves the JVM.
+
+Scale notes are per-function; the common themes at 100 TB:
+
+- joins: broadcast the dimension side explicitly (`F.broadcast`) when it is
+  bounded; let AQE convert to broadcast at runtime otherwise; skew-join
+  handled by AQE (`spark.sql.adaptive.skewJoin`).
+- top-k per group: `row_number` over a window = one shuffle by the partition
+  key with in-partition sort — no global sort, no driver state.
+- multi-version reads: the reference's `max_versions` scan knob
+  (Client.proto:248) generalizes to rank-over-version and keeps the newest
+  N per key in one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: Column | str,
+    k: int,
+    descending: bool = True,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Top-k rows per group via `row_number` (deterministic with tiebreak).
+
+    One hash shuffle on the group key; per-partition sort; no global sort.
+    The rank column is dropped from the output.
+    """
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    keys = [order.desc() if descending else order.asc()]
+    keys += [F.col(c) for c in (tiebreak or [])]
+    w = W.partitionBy(*group_cols).orderBy(*keys)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def latest_versions(
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    n: int = 1,
+) -> DataFrame:
+    """Newest ``n`` versions per key — the relational form of the reference's
+    pass-through ``max_versions`` scan attribute (Client.proto:248 in
+    /root/reference; untested there, first-class here). Ties broken by the
+    version column only, matching HBase's newest-timestamp-first ordering."""
+    return top_k_per_group(df, key_cols, version_col, n, descending=True)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS: rows of ``left`` with ≥1 match. Spark plans a left-semi hash
+    join — right side reduced to distinct keys before the probe."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """NOT EXISTS: rows of ``left`` with no match (null-safe per SQL NOT IN
+    caveats avoided — this is the anti-join, not NOT IN)."""
+    return left.join(right, on, "left_anti")
+
+
+def grouping_rollup(df: DataFrame, cols: list[str], *aggs: Column) -> DataFrame:
+    """ROLLUP with deterministic '(all)' labels instead of NULL group keys,
+    so subtotal rows are unambiguous (and hash-stable across engines)."""
+    out = df.rollup(*cols).agg(*aggs)
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit("(all)")))
+    return out
+
+
+def grouping_cube(df: DataFrame, cols: list[str], *aggs: Column) -> DataFrame:
+    """CUBE with deterministic '(all)' labels (see :func:`grouping_rollup`)."""
+    out = df.cube(*cols).agg(*aggs)
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit("(all)")))
+    return out

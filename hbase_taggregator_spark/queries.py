@@ -413,3 +413,358 @@ _register(
       AND l_quantity < 24
     """,
 )
+
+
+# -- wave 2: analytic windows, top-k, set ops, grouping sets, semi/anti,
+#    multi-version, as-of (SURVEY.md §2.2) --------------------------------
+
+from hbase_taggregator_spark.operators.asof import asof_join  # noqa: E402
+from hbase_taggregator_spark.operators.relational import (  # noqa: E402
+    anti_join,
+    grouping_cube,
+    grouping_rollup,
+    latest_versions,
+    semi_join,
+    top_k_per_group,
+)
+
+
+def _q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue per customer: join + grouped agg + top-20."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_register(
+    "q10_returned_items",
+    _q10_returned,
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+
+
+def _topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window operator: top-3 parts by revenue within each brand
+    (row_number over partitioned window; single shuffle on p_brand)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    return top_k_per_group(
+        rev, ["p_brand"], "revenue", 3, descending=True, tiebreak=["p_partkey"]
+    )
+
+
+_register(
+    "window_topk_parts_per_brand",
+    _topk_parts,
+    """
+    WITH rev AS (
+      SELECT p_brand, p_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_partkey)
+    SELECT p_brand, p_partkey, revenue FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+                                   ORDER BY revenue DESC, p_partkey) AS rk
+      FROM rev) WHERE rk <= 3
+    """,
+)
+
+
+def _running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame: per-customer running order total (decimal-exact so
+    the cumulative double is order-independent across engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+_register(
+    "window_running_order_total",
+    _running_totals,
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+    FROM orders
+    """,
+)
+
+
+def _user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: mean inter-event gap per user (integer µs arithmetic —
+    deterministic division at the end only)."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("avg_gap_us"),
+    )
+
+
+_register(
+    "window_lag_user_gaps",
+    _user_gaps,
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT user_id, COUNT(gap_us) AS n_gaps,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS avg_gap_us
+    FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
+)
+
+
+def _rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with deterministic '(all)' subtotal labels."""
+    orders = load_table(spark, sf_dir, "orders")
+    return grouping_rollup(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice", "total_price"),
+    )
+
+
+_register(
+    "rollup_order_status_priority",
+    _rollup_orders,
+    """
+    SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+           COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+
+
+def _cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouping_cube(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum("l_quantity", "sum_qty"),
+    )
+
+
+_register(
+    "cube_returnflag_linestatus",
+    _cube_lineitem,
+    """
+    SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+           COALESCE(l_linestatus, '(all)') AS l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+
+
+def _setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: purchasers ∩ error-reporters ∖ signups."""
+    events = load_table(spark, sf_dir, "events")
+
+    def users(t: str) -> DataFrame:
+        return events.filter(F.col("event_type") == t).select("user_id")
+
+    return (
+        users("purchase").intersect(users("error")).exceptAll(users("signup").distinct())
+    )
+
+
+_register(
+    "setops_purchase_error_users",
+    _setops_users,
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+
+
+def _semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti joins: per nation, customers with ≥1 order filed in 2001
+    and customers with none at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.filter(F.expr("o_orderdate >= TIMESTAMP_NTZ'2001-01-01 00:00:00'"))
+    with_recent = semi_join(
+        cust, recent, cust.c_custkey == recent.o_custkey
+    ).groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_with_recent"))
+    without_any = anti_join(
+        cust, orders, cust.c_custkey == orders.o_custkey
+    ).groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_without_orders"))
+    return (
+        with_recent.join(without_any, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            F.coalesce("n_with_recent", F.lit(0)).alias("n_with_recent"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+_register(
+    "semi_anti_customer_orders",
+    _semi_anti,
+    """
+    WITH wr AS (
+      SELECT c_nationkey, COUNT(*) AS n_with_recent FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+      GROUP BY c_nationkey),
+    wo AS (
+      SELECT c_nationkey, COUNT(*) AS n_without_orders FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_nationkey)
+    SELECT COALESCE(wr.c_nationkey, wo.c_nationkey) AS c_nationkey,
+           COALESCE(n_with_recent, 0) AS n_with_recent,
+           COALESCE(n_without_orders, 0) AS n_without_orders
+    FROM wr FULL OUTER JOIN wo ON wr.c_nationkey = wo.c_nationkey
+    """,
+)
+
+
+def _distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (approx_count_distinct is exercised in the
+    rows-only query below — HLL sketches are engine-specific)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+_register(
+    "distinct_counts_lineitem",
+    _distinct_counts,
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+
+
+def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — sketch values are engine-specific, so
+    this is a rows-only check (shape: one row, three bigints)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("n_parts"),
+        F.approx_count_distinct("l_suppkey").alias("n_supps"),
+        F.approx_count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+_register("approx_distinct_lineitem", _approx_distinct, None)
+
+
+def _latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-version reads: newest 2 events per user — the generalized form
+    of the reference's max_versions scan knob (Client.proto:248)."""
+    events = load_table(spark, sf_dir, "events")
+    newest = latest_versions(
+        events.withColumn("ts_us", F.unix_micros("ts")), ["user_id"], "ts_us", n=2
+    )
+    return newest.select("user_id", "ts_us", "event_id", "event_type")
+
+
+_register(
+    "multiversion_latest_2_per_user",
+    _latest_events,
+    """
+    SELECT user_id, ts_us, event_id, event_type FROM (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC) AS rk
+      FROM events) WHERE rk <= 2
+    """,
+)
+
+
+def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's latest prior-or-equal click
+    (backward as-of, union+window single-shuffle implementation)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", right_cols=["click_id"]
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        "event_id",
+        "click_id_right",
+        F.unix_micros("ts_right").alias("click_ts_us"),
+    )
+
+
+_register(
+    "asof_purchase_to_click",
+    _asof_purchase_click,
+    """
+    SELECT p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           p.event_id,
+           c.click_id AS click_id_right,
+           epoch_us(c.ts) AS click_ts_us
+    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type='purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type='click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
