@@ -1,0 +1,235 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Designed as a funnel, the way a 100 TB pipeline actually runs them:
+
+1. **exact** — one hash-groupBy on a content fingerprint. Cost: one shuffle
+   of (fingerprint, id); at scale the fingerprint is 16 bytes/row.
+2. **MinHash-LSH** — shingle → k min-hashes → b bands; only documents
+   sharing a band bucket become candidate pairs. The band join shuffles
+   (band_key) pairs, never the cross product. Candidates are then verified
+   with true Jaccard. Collision probability ≈ 1-(1-s^r)^b for similarity s.
+3. **SimHash** — 64-bit weighted-bit signature; near-dups differ in few
+   bits. Banded the same way (4×16-bit chunks ⇒ Hamming ≤ 3 guaranteed
+   candidate recall within chunk-equality).
+4. **exact Jaccard / cosine verify** — only on the candidate set.
+
+All hashing is md5-based (`conv(substr(md5(x),1,15),16,10)` — 60-bit ints)
+so results are engine-portable (the query-catalog oracles re-state the same
+algebra in DuckDB SQL); `xxhash64`/`hash` would be faster but Spark-private.
+Everything is built-in expressions — higher-order functions, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hbase_taggregator_spark.operators.text import fingerprint, tokens
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact near-identity dedup on the normalized-content fingerprint:
+    keeps the lowest-id representative per group, annotated with the
+    duplicate count. One shuffle on the 16-byte fingerprint."""
+    return (
+        fingerprint(df, text_col, "fp")
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_duplicates"),
+        )
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>). Built-ins only:
+    split → transform over an index sequence → concat; empty when the
+    document has fewer than n tokens."""
+    toks = tokens(text)
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so short
+    # documents must short-circuit to an empty shingle set explicitly
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def _hash60(c: Column) -> Column:
+    """md5-based 60-bit integer hash — engine-portable (DuckDB:
+    CAST('0x' || substr(md5(x),1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    k: int = 16,
+) -> DataFrame:
+    """k-column MinHash signature table: m_i = min over shingles of
+    hash60(i || '#' || shingle). Documents with no shingle are dropped.
+
+    Relational formulation on purpose: explode shingles once → k flat hash
+    columns per row → groupBy-min. A nested higher-order-function
+    formulation (array_min over transform, ×k, re-inlined per consumer)
+    explodes Catalyst's expression tree and takes codegen minutes even on
+    tiny inputs; the explode keeps every expression small, vectorized, and
+    partially aggregated before the shuffle on ``id_col``."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s")
+    )
+    hashed = sh.select(
+        id_col,
+        *[_hash60(F.concat(F.lit(f"{i}#"), F.col("s"))).alias(f"h{i}") for i in range(k)],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash.
+
+    rows/band-bucket pairs only — the self-join is on (band_idx, band_key),
+    so the shuffle carries one row per (doc, band), and only same-bucket
+    docs meet. Output: (id_a, id_b, n_shared_bands), id_a < id_b.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, text_col, id_col, n_shingle, k)
+    with_bands = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",", *[F.col(f"m{b * rows_per_band + r}")
+                               for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = with_bands.alias("a"), with_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    explode distinct shingles → self-join on shingle → |A∩B| per pair →
+    |A∪B| = |A|+|B|−|A∩B|. The shuffle is on the shingle, so a hot shingle
+    fans out — at 100 TB run this only on an LSH candidate set (compose with
+    :func:`minhash_lsh_candidates`) or drop top-frequency shingles.
+    Jaccard is an exact rational cast to double — engine-portable."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n_shingle)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 2,
+) -> DataFrame:
+    """64-bit SimHash per document: for each bit position, +1 if the
+    shingle's hash bit is set else -1, summed over shingles; the sign
+    becomes the signature bit. Two 32-bit md5 halves keep all shifts in
+    exact integer space (top bit left 0 — no signed-overflow ambiguity).
+
+    Relational formulation (explode shingles → 64 flat vote aggregates →
+    weighted bit sum) for the same codegen reason as
+    :func:`minhash_signatures`: one shuffle on ``id_col`` with map-side
+    partial sums; votes never materialize per (doc, bit) rows.
+
+    Output: (id, simhash, 4×16-bit chunk keys) — chunk equality is the LSH
+    for Hamming distance (signatures within Hamming ≤ 3 share ≥1 chunk).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s")
+    )
+    hashed = sh.select(
+        id_col,
+        F.conv(F.substring(F.md5(F.concat(F.lit("s0#"), F.col("s"))), 1, 8), 16, 10)
+        .cast("long").alias("h0"),
+        F.conv(F.substring(F.md5(F.concat(F.lit("s1#"), F.col("s"))), 1, 8), 16, 10)
+        .cast("long").alias("h1"),
+    )
+
+    def vote(h: str, bit: int) -> Column:
+        return F.sum(
+            F.when(F.col(h).bitwiseAND(F.lit(1 << bit)) != 0, 1).otherwise(-1)
+        )
+
+    votes = hashed.groupBy(id_col).agg(
+        *[vote("h0", b).alias(f"v0_{b}") for b in range(32)],
+        *[vote("h1", b).alias(f"v1_{b}") for b in range(31)],
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(32):
+        sig = sig + F.when(F.col(f"v0_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    for b in range(31):
+        sig = sig + F.when(
+            F.col(f"v1_{b}") > 0, F.lit(1 << (32 + b)).cast("long")
+        ).otherwise(0)
+    out = votes.select(F.col(id_col), sig.alias("simhash"))
+    for c in range(4):
+        out = out.withColumn(
+            f"chunk{c}",
+            F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)),
+        )
+    return out

@@ -1,0 +1,199 @@
+"""Embedding similarity search: brute-force cosine top-k and LSH-bucketed
+approximate variants over an `array<float>` column.
+
+Physical design for 100 TB of embeddings:
+
+- **brute-force top-k** (the exactness baseline): broadcast the Q query
+  vectors (Q is small), compute Q·x per corpus row as a JVM higher-order
+  expression (`zip_with` + `aggregate` — no Python, no shuffle of the
+  corpus), then `row_number` per query over (similarity, id) to keep k.
+  The only shuffle carries Q×k candidate rows… per partition, coalesced by
+  the window — still corpus-size-independent.
+- **random-hyperplane LSH** (the scale path): 16 fixed md5-derived
+  hyperplanes → 16-bit bucket; queries probe only their bucket (and
+  optionally neighboring buckets). Bucketing is a map-side projection; the
+  probe is an equi-join on the bucket key.
+
+Dot products accumulate per-element products cast to DECIMAL(18,12) so the
+result is accumulation-order-free — bit-identical across engines (used by
+the oracle). Precision 18 keeps Spark's Decimal in its compact-long fast
+path (no BigDecimal allocation per element); |elements| < 1 bounds every
+sum far below the 10^6 capacity. Norms are precomputed once per vector —
+never per pair. Final sqrt/divide in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hbase_taggregator_spark.operators.relational import top_k_per_group
+
+DEC = "decimal(18,12)"
+
+
+def _dec_sum(arr: Column) -> Column:
+    """Exact sum of an array<double> via decimal accumulation.
+
+    The merge lambda must return the accumulator's exact type — Spark
+    decimal addition grows precision, so cast back each step; scale-12
+    addition is lossless within the precision-18 capacity."""
+    return F.aggregate(
+        arr, F.lit(0).cast(DEC), lambda acc, x: (acc + x.cast(DEC)).cast(DEC)
+    ).cast("double")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact-accumulation dot product of two float/double arrays."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return _dec_sum(prods)
+
+
+def norm(a: Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(_dec_sum(sq))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Pairwise cosine. Recomputes both norms — fine for single pairs; the
+    set operators below precompute norms once per vector instead."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out_col: str = "nrm") -> DataFrame:
+    """Attach the L2 norm once per vector (map-side projection) so pair
+    scoring pays one dot product, not one dot + two norms."""
+    return df.withColumn(out_col, norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (excluding itself when ids collide). Broadcast×corpus product
+    stays map-side; the per-query top-k is one window shuffle."""
+    q = with_norm(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        ),
+        "__qvec",
+        "__qnrm",
+    )
+    scored = (
+        with_norm(corpus, vec_col)
+        .join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+        .withColumn(
+            "cosine",
+            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnrm") * F.col("nrm")),
+        )
+        .select(query_id_col, id_col, "cosine")
+    )
+    return top_k_per_group(
+        scored, [query_id_col], "cosine", k, descending=True, tiebreak=[id_col]
+    )
+
+
+def neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold. O(n²) scoring — correct baseline;
+    compose with :func:`lsh_bucket` at scale so only same-bucket pairs are
+    scored."""
+    nd = with_norm(df, vec_col)
+    a = nd.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("nrm").alias("__na"),
+    )
+    b = nd.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("nrm").alias("__nb"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 bytes —
+    reproducible across runs/engines without any RNG state."""
+    import hashlib
+
+    vals: list[float] = []
+    counter = 0
+    while len(vals) < dim:
+        h = hashlib.md5(f"plane{seed}#{counter}".encode()).digest()
+        for i in range(0, 16, 2):
+            if len(vals) >= dim:
+                break
+            # signed 16-bit int → [-1, 1)
+            v = int.from_bytes(h[i : i + 2], "big", signed=True) / 32768.0
+            vals.append(v)
+        counter += 1
+    return vals
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int = 64,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket id: bit_i = 1 iff x·p_i > 0.
+    Map-side only; the bucket key is an int in [0, 2^n_planes)."""
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(i, dim)])
+        bit = F.when(dot(F.col(vec_col), plane) > 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + bit.cast("long") * F.lit(1 << i).cast("long")
+    return df.withColumn(out_col, bucket)
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket. Recall < 1 by construction (rows-only check in the catalog);
+    cost drops by ~2^n_planes vs brute force."""
+    cb = lsh_bucket(corpus, vec_col, n_planes, dim)
+    qb = lsh_bucket(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        ),
+        "__qvec",
+        n_planes,
+        dim,
+    )
+    scored = (
+        with_norm(cb, vec_col)
+        .join(F.broadcast(with_norm(qb, "__qvec", "__qnrm")), "bucket")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn(
+            "cosine",
+            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnrm") * F.col("nrm")),
+        )
+        .select(query_id_col, id_col, "cosine")
+    )
+    return top_k_per_group(
+        scored, [query_id_col], "cosine", k, descending=True, tiebreak=[id_col]
+    )

@@ -1,0 +1,90 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in column functions (JVM-side, codegen) —
+no Python UDFs: tokenization is `split`, ratios are `regexp_count`/`size`,
+fingerprints are `md5`. Every operator is also expressible in portable SQL,
+which the query catalog uses for its DuckDB oracles.
+
+At 100 TB these run as pure map-side projections over the document scan —
+no shuffle at all until a downstream aggregation asks for one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: marker stopwords per language for the n-gram/stopword language heuristic.
+#: Deterministic preference order breaks score ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to", "in"),
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "es": ("el", "la", "que", "los", "por", "una"),
+    "fr": ("le", "les", "des", "est", "dans", "une"),
+    "zh": ("的", "是", "了", "在", "和", "不"),
+}
+
+STOPWORDS = LANG_MARKERS["en"] + ("a", "an", "it", "for", "on", "with")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (lowercased). `split` on \\s+ after trim —
+    identical semantics in Spark and DuckDB's regexp splitters."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: length, token stats, punctuation and
+    stopword ratios — the standard cheap filters of a pretraining pipeline.
+    Pure projection; ratios are exact rationals cast to double at the end."""
+    toks = tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_toks = F.size(toks)
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    n_stop = _count_in(toks, STOPWORDS)
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_toks.alias("q_n_tokens"),
+        (n_chars.cast("double") / n_toks).alias("q_chars_per_token"),
+        (n_punct.cast("double") / n_chars).alias("q_punct_ratio"),
+        (n_stop.cast("double") / n_toks).alias("q_stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Marker-stopword language heuristic: per-language marker-token counts,
+    argmax with a fixed preference order, 'und' when no marker hits.
+
+    (A production system would swap in a fastText/CLD model as a pandas UDF;
+    the heuristic keeps the operator JVM-side and deterministic.)"""
+    toks = tokens(text_col)
+    scores = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    pred = F.lit("und")
+    # build the when-chain in reverse preference order so earlier languages
+    # win ties (>= against all later candidates)
+    for lang in reversed(langs):
+        later = langs[langs.index(lang) + 1:]
+        cond = scores[lang] > 0
+        for o in later:
+            cond = cond & (scores[lang] >= scores[o])
+        for o in langs[: langs.index(lang)]:
+            cond = cond & (scores[lang] > scores[o])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercase, whitespace-collapsed
+    text. Stable across engines; the key for exact dedup."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(norm))

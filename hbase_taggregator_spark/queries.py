@@ -768,3 +768,7 @@ _register(
     ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 )
+
+
+# -- wave 3: text / dedup / similarity (registers into this catalog) --------
+import hbase_taggregator_spark.queries_ext  # noqa: E402,F401

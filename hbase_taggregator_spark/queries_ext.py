@@ -1,0 +1,309 @@
+"""Wave-3 catalog entries: text analysis, dedup, embedding similarity —
+the large-scale training-data-pipeline operators (BASELINE.json north star).
+
+Oracle strategy: all Spark-side hashing/scoring is md5- and decimal-based
+(see operators.dedup / operators.similarity), so every pipeline here is
+re-stated as portable DuckDB SQL — including MinHash-LSH candidate
+generation and SimHash signatures, which are usually considered
+"non-SQL-expressible". Only approximate-recall ANN (bucket pruning) is a
+rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hbase_taggregator_spark.operators import dedup as D
+from hbase_taggregator_spark.operators import similarity as S
+from hbase_taggregator_spark.operators import text as X
+from hbase_taggregator_spark.queries import _register, load_table
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.quality_features(docs).select(
+        "doc_id", "q_n_chars", "q_n_tokens", "q_chars_per_token",
+        "q_punct_ratio", "q_stopword_ratio",
+    )
+
+
+_stop_list = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+_register(
+    "text_quality_features",
+    _q_text_quality,
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+           length(text) AS q_n_chars,
+           len(toks) AS q_n_tokens,
+           CAST(length(text) AS DOUBLE) / len(toks) AS q_chars_per_token,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+             / length(text) AS q_punct_ratio,
+           CAST(len(list_filter(toks, x -> x IN ({_stop_list}))) AS DOUBLE)
+             / len(toks) AS q_stopword_ratio
+    FROM t
+    """,
+)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def _lang_sql() -> str:
+    score = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in X.LANG_MARKERS.items()
+    }
+    langs = list(X.LANG_MARKERS)
+    whens = []
+    for lang in langs:
+        before = langs[: langs.index(lang)]
+        after = langs[langs.index(lang) + 1:]
+        conds = [f"s_{lang} > 0"]
+        conds += [f"s_{lang} > s_{o}" for o in before]
+        conds += [f"s_{lang} >= s_{o}" for o in after]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    scores_sel = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {scores_sel} FROM t)
+    SELECT doc_id, lang,
+           CASE {' '.join(whens)} ELSE 'und' END AS lang_pred
+    FROM s
+    """
+
+
+_register("text_language_id", _q_lang_id, _lang_sql())
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.fingerprint(docs).select(
+        "doc_id", "fp", X.token_count("text").alias("n_tokens")
+    )
+
+
+_register(
+    "text_fingerprint_tokens",
+    _q_fingerprint,
+    f"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+           len({_SQL_TOKENS}) AS n_tokens
+    FROM documents
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+_register(
+    "dedup_exact",
+    _q_dedup_exact,
+    """
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS doc_id, COUNT(*) AS n_duplicates
+    FROM documents GROUP BY 1
+    """,
+)
+
+_SQL_SHINGLES3 = (
+    r"list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),"
+    r" i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, threshold=0.4)
+
+
+_register(
+    "dedup_ngram_jaccard_pairs",
+    _q_jaccard,
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES3}) AS s FROM t),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.4
+    """,
+)
+
+_SQL_H60 = "CAST(concat('0x', substr(md5(concat('{i}#', s)), 1, 15)) AS BIGINT)"
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, k=16, bands=4)
+
+
+def _minhash_sql(k: int = 16, bands: int = 4) -> str:
+    rows = k // bands
+    mins = ", ".join(
+        "list_min(list_transform(shingles, s -> "
+        + _SQL_H60.format(i=i)
+        + f")) AS m{i}"
+        for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws(',', "
+        + ", ".join(f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES3} AS shingles FROM t),
+    sig AS (SELECT doc_id, {mins} FROM sh WHERE len(shingles) > 0),
+    bands AS ({band_rows})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+_register("dedup_minhash_lsh_candidates", _q_minhash, _minhash_sql())
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_table(docs).select("doc_id", "simhash", "chunk0", "chunk1", "chunk2", "chunk3")
+
+
+def _simhash_sql() -> str:
+    """SimHash restated relationally: unnest shingles × bit positions,
+    ±1 votes, sign per bit, weighted bit sum."""
+    shingles2 = (
+        r"list_distinct(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),"
+        r" i -> array_to_string(toks[i:i+1], ' ')))"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({shingles2}) AS s FROM t),
+    h AS (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(concat('s0#', s)), 1, 8)) AS BIGINT) AS h0,
+                 CAST(concat('0x', substr(md5(concat('s1#', s)), 1, 8)) AS BIGINT) AS h1
+          FROM sh),
+    votes AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h0 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+             SUM(CASE WHEN (h1 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v1
+      FROM h, (SELECT unnest(generate_series(0, 31)) AS bit) b
+      GROUP BY 1, 2),
+    bits AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v0 > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) +
+             SUM(CASE WHEN v1 > 0 AND bit < 31 THEN CAST(1 AS BIGINT) << (32 + bit) ELSE 0 END)
+               AS simhash
+      FROM votes GROUP BY doc_id)
+    SELECT doc_id, simhash,
+           (simhash >> 0) & 65535 AS chunk0,
+           (simhash >> 16) & 65535 AS chunk1,
+           (simhash >> 32) & 65535 AS chunk2,
+           (simhash >> 48) & 65535 AS chunk3
+    FROM bits
+    """
+
+
+_register("dedup_simhash_signatures", _q_simhash, _simhash_sql())
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+_SQL_E = """
+    e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+    norms AS (SELECT vec_id, sqrt(CAST(SUM(CAST(v * v AS DECIMAL(18,12))) AS DOUBLE)) AS nrm
+              FROM e GROUP BY vec_id)
+"""
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk(emb, queries, k=5)
+
+
+_register(
+    "similarity_cosine_topk",
+    _q_cosine_topk,
+    f"""
+    WITH {_SQL_E},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST(SUM(CAST(q.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id != c.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, d.vec_id,
+             dot / (nq.nrm * nc.nrm) AS cosine
+      FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+                  JOIN norms nc ON nc.vec_id = d.vec_id)
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored) WHERE rk <= 5
+    """,
+)
+
+
+def _q_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.neardup_pairs(emb, threshold=0.42)
+
+
+_register(
+    "similarity_neardup_pairs",
+    _q_neardup,
+    f"""
+    WITH {_SQL_E},
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(CAST(a.v * b.v AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+      FROM dots d JOIN norms na ON na.vec_id = d.id_a
+                  JOIN norms nb ON nb.vec_id = d.id_b)
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.42
+    """,
+)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (bucket-pruned) — recall < 1 by design ⇒ rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_lsh_topk(emb, queries, k=5, n_planes=8)
+
+
+_register("similarity_ann_lsh_topk", _q_ann_lsh, None)
