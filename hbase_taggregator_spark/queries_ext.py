@@ -307,3 +307,73 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("similarity_ann_lsh_topk", _q_ann_lsh, None)
+
+
+# ---------------------------------------------------------------------------
+# streaming + multimodal
+# ---------------------------------------------------------------------------
+
+from hbase_taggregator_spark.operators.multimodal import (  # noqa: E402
+    extract_binary_features,
+    with_binary_payload,
+)
+from hbase_taggregator_spark.queries import T0, T_WEEK, US, _bucket_sql  # noqa: E402
+from hbase_taggregator_spark.streaming.timeseries_stream import (  # noqa: E402
+    bucketed_stream_agg,
+    replay_parquet_stream,
+    run_to_memory,
+)
+
+
+def _q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's bucketed aggregation on Structured Streaming: replay
+    the events parquet as a stream, watermarked tumbling windows, run to
+    completion. Must equal the batch result — it shares the batch oracle."""
+    stream = replay_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    stream = stream.filter(F.unix_micros("ts") < F.lit(T_WEEK * US))
+    agg = bucketed_stream_agg(
+        stream,
+        T0,
+        3600,
+        {"count": "count_value", "max": "max_value"},
+        watermark="1 hour",
+    )
+    result = run_to_memory(spark, agg, "stream_ts_3600")
+    return result.select(
+        F.expr("bucket_start_us div 1000").alias("bucket_ms"),
+        "count_value",
+        "max_value",
+    )
+
+
+_register(
+    "streaming_ts_count_max_3600",
+    _q_streaming_counts,
+    f"""
+    SELECT {_bucket_sql(T0, 3600)} AS bucket_ms,
+           COUNT(value) AS count_value, MAX(value) AS max_value
+    FROM events
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the Arrow/mapInPandas
+    plumbing (UTF-8 bytes stand in for media blobs; the oracle recomputes
+    size and md5 from the source text — any batch-shape bug breaks it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_binary_features(with_binary_payload(docs))
+    return feats.select("doc_id", "n_bytes", "payload_md5")
+
+
+_register(
+    "multimodal_binary_features",
+    _q_multimodal,
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)

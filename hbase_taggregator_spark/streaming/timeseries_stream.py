@@ -16,6 +16,7 @@ cardinality.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -43,6 +44,11 @@ def replay_parquet_stream(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if path.endswith(".parquet") and os.path.isfile(path):
+        # the file-stream source only accepts directories; target a single
+        # file by streaming its parent with a name filter
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
     df = reader.parquet(path)
     return _normalize_event_ts(df, ts_col)
 
