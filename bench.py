@@ -33,6 +33,13 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q10_returned_items",
+    "window_topk_parts_per_brand",
+    "asof_purchase_to_click",
+    "dedup_exact",
+    "dedup_minhash_lsh_candidates",
+    "text_quality_features",
+    "similarity_cosine_topk",
 ]
 
 
@@ -52,13 +59,18 @@ def main() -> None:
     # one warm-up pass: JVM/codegen/file-listing costs land here, not in q1
     QUERIES["ts_max_900"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # best-of-2 per query: the box this runs on shows multi-minute one-off
+    # stalls unrelated to the plans; min-of-runs measures the engine, not
+    # the neighbor
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            if name not in QUERIES:
+                continue
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     print(
         json.dumps(
@@ -68,6 +80,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": 2,
+                "aggregation": "min",
             }
         )
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from hbase_taggregator_spark.operators.text import fingerprint, tokens
+from hbase_taggregator_spark.util import ensure_parallelism
 
 
 def exact_dedup(
@@ -80,12 +81,29 @@ def minhash_signatures(
     explodes Catalyst's expression tree and takes codegen minutes even on
     tiny inputs; the explode keeps every expression small, vectorized, and
     partially aggregated before the shuffle on ``id_col``."""
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s")
+    sh = ensure_parallelism(
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s"),
+        )
     )
-    hashed = sh.select(
+    # Kirsch-Mitzenmacher double hashing: two md5-derived bases per shingle,
+    # h_i = (lo + i*hi) mod 2^60 — k-independent hashing cost (2 md5s, not
+    # k), with every term < 2^63 so the arithmetic is portable (no silent
+    # wraparound in Spark, no overflow error in DuckDB)
+    based = sh.select(
         id_col,
-        *[_hash60(F.concat(F.lit(f"{i}#"), F.col("s"))).alias(f"h{i}") for i in range(k)],
+        _hash60(F.concat(F.lit("lo#"), F.col("s"))).alias("lo"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('hi#', s)), 1, 15), 16, 10) AS BIGINT) div 4"
+        ).alias("hi"),
+    )
+    hashed = based.select(
+        id_col,
+        *[
+            ((F.col("lo") + F.lit(i) * F.col("hi")) % F.lit(1 << 60)).alias(f"h{i}")
+            for i in range(k)
+        ],
     )
     return hashed.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
@@ -151,8 +169,11 @@ def jaccard_pairs(
     fans out — at 100 TB run this only on an LSH candidate set (compose with
     :func:`minhash_lsh_candidates`) or drop top-frequency shingles.
     Jaccard is an exact rational cast to double — engine-portable."""
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n_shingle)).alias("sh")
+    sh = ensure_parallelism(
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n_shingle)).alias("sh"),
+        )
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -199,8 +220,11 @@ def simhash_table(
     Output: (id, simhash, 4×16-bit chunk keys) — chunk equality is the LSH
     for Hamming distance (signatures within Hamming ≤ 3 share ≥1 chunk).
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s")
+    sh = ensure_parallelism(
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s"),
+        )
     )
     hashed = sh.select(
         id_col,

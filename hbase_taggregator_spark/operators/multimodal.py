@@ -22,6 +22,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from hbase_taggregator_spark.util import ensure_parallelism
+
 #: output schema of extract_binary_features (kept flat for sink-friendliness)
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, payload_md5 string, first_byte int, entropy_bucket int"
@@ -68,7 +70,8 @@ def extract_binary_features(
         h = -sum(c / n * math.log2(c / n) for c in counts.values())
         return int(h)  # 0..8 buckets
 
-    return df.select(id_col, payload_col).mapInPandas(extract, FEATURE_SCHEMA)
+    narrow = ensure_parallelism(df.select(id_col, payload_col))
+    return narrow.mapInPandas(extract, FEATURE_SCHEMA)
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from hbase_taggregator_spark.operators.relational import top_k_per_group
+from hbase_taggregator_spark.util import ensure_parallelism
 
 DEC = "decimal(18,12)"
 
@@ -84,7 +85,7 @@ def cosine_topk(
         "__qnrm",
     )
     scored = (
-        with_norm(corpus, vec_col)
+        with_norm(ensure_parallelism(corpus), vec_col)
         .join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
         .withColumn(
             "cosine",
@@ -106,7 +107,7 @@ def neardup_pairs(
     """All pairs with cosine ≥ threshold. O(n²) scoring — correct baseline;
     compose with :func:`lsh_bucket` at scale so only same-bucket pairs are
     scored."""
-    nd = with_norm(df, vec_col)
+    nd = with_norm(ensure_parallelism(df), vec_col)
     a = nd.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         F.col("nrm").alias("__na"),
@@ -175,7 +176,7 @@ def ann_lsh_topk(
     """Approximate top-k: score only corpus vectors in the query's LSH
     bucket. Recall < 1 by construction (rows-only check in the catalog);
     cost drops by ~2^n_planes vs brute force."""
-    cb = lsh_bucket(corpus, vec_col, n_planes, dim)
+    cb = lsh_bucket(ensure_parallelism(corpus), vec_col, n_planes, dim)
     qb = lsh_bucket(
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")

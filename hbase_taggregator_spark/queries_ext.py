@@ -153,8 +153,6 @@ _register(
     """,
 )
 
-_SQL_H60 = "CAST(concat('0x', substr(md5(concat('{i}#', s)), 1, 15)) AS BIGINT)"
-
 
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -163,10 +161,11 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql(k: int = 16, bands: int = 4) -> str:
     rows = k // bands
+    lo = "CAST(concat('0x', substr(md5(concat('lo#', s)), 1, 15)) AS BIGINT)"
+    hi = "CAST(concat('0x', substr(md5(concat('hi#', s)), 1, 15)) AS BIGINT) // 4"
     mins = ", ".join(
-        "list_min(list_transform(shingles, s -> "
-        + _SQL_H60.format(i=i)
-        + f")) AS m{i}"
+        f"list_min(list_transform(shingles, s -> ({lo} + {i} * ({hi})) % {1 << 60}))"
+        f" AS m{i}"
         for i in range(k)
     )
     band_rows = " UNION ALL ".join(
