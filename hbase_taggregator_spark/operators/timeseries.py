@@ -266,6 +266,40 @@ class TimeseriesQuery:
         return dict(sorted(out.items()))
 
 
+def fill_gaps(
+    agg_df: DataFrame,
+    t_min_us: int,
+    upper_us: int,
+    interval_us: int,
+    fill: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Zero-fill extension (default OFF — the reference emits no row for an
+    empty bucket, SURVEY.md §2.3.3): left-join the aggregated result onto
+    the complete bucket sequence; missing aggregates become ``fill`` values
+    (or NULL).
+
+    The sequence is generated JVM-side (one row, exploded) and the join key
+    is the bucket integer — broadcast-sized for any sane bucket count
+    (a year of 15-min buckets is 35k rows)."""
+    spark = agg_df.sparkSession
+    n = (upper_us - t_min_us - 1) // interval_us
+    full = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(t_min_us),
+                F.lit(t_min_us + n * interval_us),
+                F.lit(interval_us),
+            )
+        ).alias("bucket_start_us")
+    )
+    out = F.broadcast(full).join(agg_df.drop("bucket_start"), "bucket_start_us", "left")
+    for col, v in (fill or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
+    return out.withColumn(
+        "bucket_start", F.timestamp_micros(F.col("bucket_start_us"))
+    ).orderBy("bucket_start_us")
+
+
 class TimeseriesAggregator:
     """Facade mirroring the reference client's public API
     (``TimeseriesAggregationClient.java:129-141`` — ``max/min/sum/avg`` plus

@@ -376,3 +376,250 @@ _register(
     FROM documents
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# wave 5: gap-fill, sliding/session windows, pivot, scalar-function catalog
+# ---------------------------------------------------------------------------
+
+from hbase_taggregator_spark.operators.timeseries import (  # noqa: E402
+    TimeseriesAggregator,
+    fill_gaps,
+)
+from hbase_taggregator_spark.operators.windows import (  # noqa: E402
+    session_agg,
+    sliding_bucket_agg,
+)
+
+_T2D = T0 + 2 * 86400
+
+
+def _q_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-fill extension (default-off per reference semantics — empty
+    buckets absent; SURVEY.md §2.3.3): every 900 s bucket appears, count 0
+    when empty."""
+    from hbase_taggregator_spark.queries import load_table as _lt
+
+    q = (
+        TimeseriesAggregator(spark)
+        .table(_lt(spark, sf_dir, "events"))
+        .range(T0, _T2D)
+        .interval(900)
+    )
+    filled = fill_gaps(
+        q.count("count_value"), T0 * US, _T2D * US, 900 * US,
+        fill={"count_value": 0},
+    )
+    return filled.select(
+        F.expr("bucket_start_us div 1000").alias("bucket_ms"), "count_value"
+    )
+
+
+_register(
+    "ts_count_900_gapfilled",
+    _q_gapfilled,
+    f"""
+    WITH buckets AS (
+      SELECT unnest(generate_series({T0 * US}, {_T2D * US - 1}, {900 * US})) AS bus),
+    agg AS (
+      SELECT {_bucket_sql(T0, 900)} * 1000 AS bus, COUNT(value) AS c
+      FROM events
+      WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {_T2D * US}
+      GROUP BY 1)
+    SELECT bus // 1000 AS bucket_ms, COALESCE(c, 0) AS count_value
+    FROM buckets LEFT JOIN agg USING (bus) ORDER BY 1
+    """,
+)
+
+
+def _q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h size, 15 min slide): overlapping buckets the
+    reference cannot express — each event lands in 4 windows."""
+    from hbase_taggregator_spark.queries import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").filter(
+        (F.unix_micros("ts") >= T0 * US) & (F.unix_micros("ts") < _T2D * US)
+    )
+    out = sliding_bucket_agg(
+        ev, "ts", 3600, 900,
+        [F.count("value").alias("count_value"), F.max("value").alias("max_value")],
+    )
+    return out.select(
+        F.expr("window_start_us div 1000").alias("window_start_ms"),
+        "count_value",
+        "max_value",
+    )
+
+
+_register(
+    "sliding_window_1h_15m",
+    _q_sliding,
+    f"""
+    WITH s AS (
+      SELECT unnest(generate_series({T0 * US - 3600 * US + 900 * US},
+                                    {_T2D * US - 900 * US}, {900 * US})) AS ws)
+    SELECT ws // 1000 AS window_start_ms,
+           COUNT(value) AS count_value, MAX(value) AS max_value
+    FROM events JOIN s
+      ON ws <= epoch_us(ts) AND epoch_us(ts) < ws + {3600 * US}
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {_T2D * US}
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (6 h inactivity gap) — `session_window`
+    merge semantics (new session when gap ≥ threshold; end = last + gap)."""
+    from hbase_taggregator_spark.queries import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").filter(
+        (F.unix_micros("ts") >= T0 * US) & (F.unix_micros("ts") < T_WEEK * US)
+    )
+    out = session_agg(
+        ev, "ts", 21600, ["user_id"],
+        [F.count("value").alias("n_events"), F.max("value").alias("max_value")],
+    )
+    return out.select(
+        "user_id", "session_start_us", "session_end_us", "n_events", "max_value"
+    )
+
+
+_register(
+    "session_windows_6h_per_user",
+    _q_sessions,
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, value FROM events
+      WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}),
+    m AS (
+      SELECT *, CASE WHEN t - LAG(t) OVER w >= {21600 * US}
+                       OR LAG(t) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+    g AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id, MIN(t) AS session_start_us,
+           MAX(t) + {21600 * US} AS session_end_us,
+           COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event-type count matrix (explicit value list so the
+    plan needs no extra distinct pass)."""
+    from hbase_taggregator_spark.queries import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").filter(
+        (F.unix_micros("ts") >= T0 * US) & (F.unix_micros("ts") < T_MONTH * US)
+    )
+    day = F.expr(f"(unix_micros(ts) - {T0 * US}) div {86400 * US}")
+    out = (
+        ev.withColumn("day_idx", day)
+        .groupBy("day_idx")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    for t in _EVENT_TYPES:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
+    return out
+
+
+from hbase_taggregator_spark.queries import T_MONTH  # noqa: E402
+
+_register(
+    "pivot_event_type_daily",
+    _q_pivot,
+    f"""
+    SELECT (epoch_us(ts) - {T0 * US}) // {86400 * US} AS day_idx,
+           {", ".join(f"COUNT(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+    FROM events
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_MONTH * US}
+    GROUP BY 1
+    """,
+)
+
+
+def _q_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function catalog spot check: string + math built-ins with
+    identical cross-engine semantics, over a join."""
+    from hbase_taggregator_spark.queries import load_table as _lt
+
+    cust = _lt(spark, sf_dir, "customer")
+    nation = _lt(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.upper("n_name").alias("nation_uc"),
+            F.length("n_name").alias("name_len"),
+            F.concat(F.lower(F.substring("n_name", 1, 3)), F.lit("-"),
+                     F.col("n_nationkey").cast("string")).alias("tag"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            # floor/ceil return LONG in Spark but DOUBLE in DuckDB — cast
+            F.floor(F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double"))
+            .cast("double").alias("floor_bal"),
+            F.ceil(
+                F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double")
+                / F.count("c_acctbal")
+            ).cast("double").alias("ceil_avg_bal"),
+            F.max(F.abs(F.col("c_acctbal"))).alias("max_abs_bal"),
+        )
+    )
+
+
+
+_register(
+    "scalar_functions_showcase",
+    _q_scalar_fns,
+    """
+    SELECT upper(n_name) AS nation_uc,
+           length(n_name) AS name_len,
+           concat(lower(substr(n_name, 1, 3)), '-', CAST(n_nationkey AS VARCHAR)) AS tag,
+           COUNT(*) AS n_cust,
+           FLOOR(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)) AS floor_bal,
+           CEIL(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(c_acctbal)) AS ceil_avg_bal,
+           MAX(ABS(c_acctbal)) AS max_abs_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+
+
+def _q_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function catalog over TIMESTAMP_NTZ (year/month/day extraction
+    is TZ-free on NTZ in both engines)."""
+    from hbase_taggregator_spark.queries import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.quarter("o_orderdate").alias("o_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.month("o_orderdate")).alias("min_month"),
+            F.max(F.dayofmonth("o_orderdate")).alias("max_day"),
+        )
+    )
+
+
+_register(
+    "date_functions_orders",
+    _q_date_fns,
+    """
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           EXTRACT(QUARTER FROM o_orderdate) AS o_quarter,
+           COUNT(*) AS n_orders,
+           MIN(EXTRACT(MONTH FROM o_orderdate)) AS min_month,
+           MAX(EXTRACT(DAY FROM o_orderdate)) AS max_day
+    FROM orders GROUP BY 1, 2
+    """,
+)

@@ -1,0 +1,73 @@
+"""Sinks (partitioned parquet round-trip, small-file control) and the
+relational helpers not covered by the oracle gate."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hbase_taggregator_spark.operators.relational import grouping_cube, latest_versions
+from hbase_taggregator_spark.operators.timeseries import TimeseriesAggregator, fill_gaps
+from hbase_taggregator_spark.sources.parquet import load_table
+from hbase_taggregator_spark.sources.sinks import write_partitioned
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_write_roundtrip_and_file_control(spark):
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "li")
+        write_partitioned(li, out, ["l_returnflag"], files_per_partition=1)
+        # directory layout prunes by partition column
+        dirs = sorted(os.path.basename(p) for p in glob.glob(f"{out}/l_returnflag=*"))
+        assert dirs == ["l_returnflag=A", "l_returnflag=N", "l_returnflag=R"]
+        # small-file control: exactly one data file per partition dir
+        for p in glob.glob(f"{out}/l_returnflag=*"):
+            assert len(glob.glob(f"{p}/*.parquet")) == 1
+        back = spark.read.parquet(out)
+        assert back.count() == li.count()
+        # partition pruning reaches the scan
+        pruned = back.filter(F.col("l_returnflag") == "A")
+        assert pruned.count() == li.filter(F.col("l_returnflag") == "A").count()
+
+
+def test_fill_gaps_semantics(spark):
+    events = load_table(spark, SF, "events")
+    t0, hi, ival = 1_704_067_200, 1_704_067_200 + 6 * 3600, 1800
+    q = TimeseriesAggregator(spark).table(events).range(t0, hi).interval(ival)
+    sparse = q.count("c")
+    filled = fill_gaps(sparse, t0 * 10**6, hi * 10**6, ival * 10**6, fill={"c": 0})
+    rows = filled.collect()
+    assert len(rows) == 12  # every bucket present
+    assert sparse.count() <= 12
+    assert sum(r["c"] for r in rows) == sum(
+        r["c"] for r in sparse.collect()
+    )  # zero-fill adds no counts
+    starts = [r["bucket_start_us"] for r in rows]
+    assert starts == sorted(starts) and starts[0] == t0 * 10**6
+
+
+def test_latest_versions_ties_and_n(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 5, "d")],
+        "k long, v long, payload string",
+    )
+    top2 = latest_versions(df, ["k"], "v", n=2).orderBy("k", F.desc("v")).collect()
+    assert [(r["k"], r["payload"]) for r in top2] == [(1, "c"), (1, "b"), (2, "d")]
+
+
+def test_cube_includes_all_grouping_sets(spark):
+    orders = load_table(spark, SF, "orders")
+    out = grouping_cube(
+        orders, ["o_orderstatus"], F.count(F.lit(1)).alias("n")
+    ).collect()
+    labels = {r["o_orderstatus"] for r in out}
+    assert "(all)" in labels and len(labels) >= 3
+    total = next(r["n"] for r in out if r["o_orderstatus"] == "(all)")
+    assert total == orders.count()
