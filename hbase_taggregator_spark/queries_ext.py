@@ -623,3 +623,173 @@ _register(
     FROM orders GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# wave 6: more TPC-H breadth + decoder registry (ColumnInterpreter analog)
+# ---------------------------------------------------------------------------
+
+from hbase_taggregator_spark.functions.decoders import (  # noqa: E402
+    decode_value,
+    encode_value,
+)
+from hbase_taggregator_spark.queries import _davg, _dsum  # noqa: E402
+
+
+def _q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q7-style: shipping volume between supplier and customer nations per
+    year (two broadcast dims + year extraction on NTZ)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"),
+             F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") >= 5)
+    )
+
+
+_register(
+    "q7_nation_volume",
+    _q7_volume,
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l_shipdate) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS volume,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name != n2.n_name
+    GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+    """,
+)
+
+
+def _q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14-style: conditional aggregation — promo revenue share in 1997."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            F.expr("l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'")
+            & F.expr("l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'")
+        )
+        .agg(
+            _dsum(promo, "promo_revenue"),
+            _dsum(rev, "total_revenue"),
+        )
+    )
+
+
+_register(
+    "q14_promo_revenue",
+    _q14_promo,
+    """
+    SELECT CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+)
+
+
+def _q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (decorrelated the Spark way: window mean
+    per group + filter) — customers above their nation's average balance."""
+    cust = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_nationkey")
+    # exact group mean via decimal sum / count (order-free)
+    nation_avg = (
+        F.sum(F.col("c_acctbal").cast("decimal(28,6)")).over(w).cast("double")
+        / F.count("c_acctbal").over(w)
+    )
+    return (
+        cust.withColumn("nation_avg", nation_avg)
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", "nation_avg")
+    )
+
+
+_register(
+    "correlated_above_avg_balance",
+    _q_above_avg,
+    """
+    WITH a AS (
+      SELECT c_nationkey AS k,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(c_acctbal) AS nation_avg
+      FROM customer GROUP BY 1)
+    SELECT c_custkey, c_nationkey, c_acctbal, nation_avg
+    FROM customer JOIN a ON c_nationkey = a.k
+    WHERE c_acctbal > nation_avg
+    """,
+)
+
+
+def _q_decoder_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColumnInterpreter analog: values stored as 8-byte big-endian longs
+    (Bytes.toLong layout), decoded by the registry inside codegen, then
+    bucketed — the reference's full decode→aggregate path on binary cells.
+    The oracle recomputes from the original numeric column, so any
+    encode/decode asymmetry (incl. the sign bit) breaks the match."""
+    events = load_table(spark, sf_dir, "events")
+    # signed longs from pure integer math (double→long casts truncate in
+    # Spark but round in DuckDB); negated for odd ids to exercise the sign
+    cents = F.when(
+        F.col("event_id") % 2 == 1, -F.col("event_id") * 7919
+    ).otherwise(F.col("event_id") * 7919).cast("long")
+    shaped = events.select(
+        "ts", encode_value(cents, "long_be").alias("cell_bytes")
+    )
+    decoded = shaped.select("ts", decode_value("cell_bytes", "long_be").alias("value"))
+    q = (
+        TimeseriesAggregator(spark)
+        .table(decoded)
+        .range(T0, T_WEEK)
+        .interval(86400)
+    )
+    df = q.agg(min="min_cents", max="max_cents", sum="sum_cents")
+    return df.select(
+        F.expr("bucket_start_us div 1000").alias("bucket_ms"),
+        "min_cents", "max_cents", "sum_cents",
+    )
+
+
+_register(
+    "decoder_registry_long_be",
+    _q_decoder_registry,
+    f"""
+    WITH shaped AS (
+      SELECT ts, CAST(CASE WHEN event_id % 2 = 1
+                      THEN -event_id * 7919
+                      ELSE event_id * 7919 END AS BIGINT) AS value
+      FROM events)
+    SELECT {_bucket_sql(T0, 86400)} AS bucket_ms,
+           MIN(value) AS min_cents, MAX(value) AS max_cents,
+           SUM(value) AS sum_cents
+    FROM shaped
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}
+    GROUP BY 1 ORDER BY 1
+    """,
+)
