@@ -71,6 +71,37 @@ def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     return left.join(right, on, "left_anti")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with key salting for skew.
+
+    When one join key carries a disproportionate share of rows (and the
+    small side is too big to broadcast), a plain hash join sends the hot
+    key's entire partition to one task. Salting splits the hot key ``salt``
+    ways: the left side gets a deterministic per-row salt, the right side is
+    replicated ×``salt`` — task parallelism on the hot key at the cost of
+    replicating the right side. AQE's skew-join handles sort-merge skew
+    automatically; salting is the explicit tool when AQE can't (e.g.
+    aggregation-after-join keyed on the same hot key).
+
+    The per-row salt is a hash of the whole left row (deterministic, no
+    rand()), so results are stable across retries — important for exactly
+    -once sinks.
+    """
+    salt_col = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
+    lhs = left.withColumn("__salt", salt_col)
+    rhs = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = lhs.join(rhs, [*on, "__salt"], how)
+    return out.drop("__salt")
+
+
 def grouping_rollup(df: DataFrame, cols: list[str], *aggs: Column) -> DataFrame:
     """ROLLUP with deterministic '(all)' labels instead of NULL group keys,
     so subtotal rows are unambiguous (and hash-stable across engines)."""

@@ -793,3 +793,52 @@ _register(
     GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+def _q_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState): running
+    per-user extrema accumulated across real microbatches (input re-split
+    into 4 files, maxFilesPerTrigger=1). The final state per key must equal
+    the batch aggregate — which is the oracle. running_sum is excluded from
+    the compare (per-batch float accumulation is order-dependent)."""
+    import tempfile
+
+    from hbase_taggregator_spark.streaming.stateful import running_extrema_stream
+    from hbase_taggregator_spark.streaming.timeseries_stream import (
+        replay_parquet_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        events.repartition(4).write.parquet(src)
+        stream = replay_parquet_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            running_extrema_stream(stream)
+            .writeStream.format("memory")
+            .queryName("q_stateful_extrema")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        final = spark.sql(
+            """SELECT user_id, running_max, running_min, running_count FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY running_count DESC) rk
+                 FROM q_stateful_extrema) WHERE rk = 1"""
+        )
+        # materialize before the temp dir vanishes
+        out = spark.createDataFrame(final.collect(), final.schema)
+    return out
+
+
+_register(
+    "streaming_stateful_running_extrema",
+    _q_stateful_stream,
+    """
+    SELECT user_id, MAX(value) AS running_max, MIN(value) AS running_min,
+           COUNT(value) AS running_count
+    FROM events GROUP BY user_id
+    """,
+)
