@@ -40,6 +40,10 @@ HEADLINE = [
     "dedup_minhash_lsh_candidates",
     "text_quality_features",
     "similarity_cosine_topk",
+    "sliding_window_1h_15m",
+    "q7_nation_volume",
+    "decoder_registry_long_be",
+    "corpus_pipeline_stats",
 ]
 
 

@@ -842,3 +842,199 @@ _register(
     FROM events GROUP BY user_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# wave 8: rowkey-range scan, resample+interpolate, BPE-ish tokens, pipeline
+# ---------------------------------------------------------------------------
+
+from hbase_taggregator_spark.sources.rowkey import encode_rowkey  # noqa: E402
+
+
+def _q_rowkey_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's row-range predicate (start_row ≤ key < stop_row,
+    TimeseriesAggregationClient.java:576-581) on binary rowkeys: BinaryType
+    comparison is bytewise-lexicographic in both engines, so the oracle
+    filters the same [start, stop) byte range rebuilt from the timestamp."""
+    events = load_table(spark, sf_dir, "events")
+    shaped = events.select(
+        encode_rowkey(b"evntkey", F.expr("unix_micros(ts) div 1000000")).alias("rowkey"),
+        "value",
+    )
+    start_key = b"evntkey" + (T0 + 3 * 86400).to_bytes(4, "big")
+    stop_key = b"evntkey" + (T0 + 5 * 86400).to_bytes(4, "big")
+    scanned = shaped.filter(
+        (F.col("rowkey") >= F.lit(start_key)) & (F.col("rowkey") < F.lit(stop_key))
+    )
+    return scanned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+
+
+_register(
+    "rowkey_range_scan",
+    _q_rowkey_range,
+    f"""
+    SELECT COUNT(*) AS n_rows, MAX(value) AS max_value, MIN(value) AS min_value
+    FROM events
+    WHERE epoch_us(ts) // 1000000 >= {T0 + 3 * 86400}
+      AND epoch_us(ts) // 1000000 < {T0 + 5 * 86400}
+    """,
+)
+
+
+def _q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to a uniform grid with linear interpolation of empty
+    buckets: bucket avg → gap-fill → forward/backward neighbor via
+    last/first over frames → linear blend. All window arithmetic; the
+    oracle restates it with the same exact-rational algebra."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    q = (
+        TimeseriesAggregator(spark)
+        .table(ev)
+        .range(T0, T0 + 2 * 86400)
+        .interval(7200)
+    )
+    # decimal-exact bucket average so interpolation inputs match the oracle
+    agg = q.aggregate(
+        (F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+         / F.count("value")).alias("avg_value")
+    )
+    filled = fill_gaps(agg, T0 * US, (T0 + 2 * 86400) * US, 7200 * US)
+    wb = W.orderBy("bucket_start_us").rowsBetween(W.unboundedPreceding, 0)
+    wf = W.orderBy("bucket_start_us").rowsBetween(0, W.unboundedFollowing)
+    prev_v = F.last("avg_value", ignorenulls=True).over(wb)
+    next_v = F.first("avg_value", ignorenulls=True).over(wf)
+    prev_t = F.last(F.when(F.col("avg_value").isNotNull(), F.col("bucket_start_us")), True).over(wb)
+    next_t = F.first(F.when(F.col("avg_value").isNotNull(), F.col("bucket_start_us")), True).over(wf)
+    frac = (F.col("bucket_start_us") - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+        F.when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return filled.select(
+        F.expr("bucket_start_us div 1000").alias("bucket_ms"),
+        interp.alias("value_interp"),
+        F.col("avg_value").isNull().alias("was_gap"),
+    )
+
+
+_register(
+    "ts_resample_interpolate_7200",
+    _q_resample_interpolate,
+    f"""
+    WITH buckets AS (
+      SELECT unnest(generate_series({T0 * US}, {(T0 + 2 * 86400) * US - 1}, {7200 * US})) AS bus),
+    agg AS (
+      SELECT {T0 * US} + ((epoch_us(ts) - {T0 * US}) // {7200 * US}) * {7200 * US} AS bus,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS avg_value
+      FROM events
+      WHERE event_type = 'signup'
+        AND epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {(T0 + 2 * 86400) * US}
+      GROUP BY 1),
+    g AS (SELECT bus, avg_value FROM buckets LEFT JOIN agg USING (bus)),
+    n AS (
+      SELECT bus, avg_value,
+             LAST_VALUE(avg_value IGNORE NULLS) OVER
+               (ORDER BY bus ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             FIRST_VALUE(avg_value IGNORE NULLS) OVER
+               (ORDER BY bus ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             LAST_VALUE(CASE WHEN avg_value IS NOT NULL THEN bus END IGNORE NULLS) OVER
+               (ORDER BY bus ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             FIRST_VALUE(CASE WHEN avg_value IS NOT NULL THEN bus END IGNORE NULLS) OVER
+               (ORDER BY bus ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM g)
+    SELECT bus // 1000 AS bucket_ms,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) * (CAST(bus - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+           END AS value_interp,
+           avg_value IS NULL AS was_gap
+    FROM n
+    """,
+)
+
+#: GPT-2-ish pretokenizer, restricted to a dialect-neutral subset
+_BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretokenization count (regexp_extract_all with a GPT-2-ish
+    pattern over lowercased text) vs whitespace tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), 0))
+    from hbase_taggregator_spark.operators.text import token_count
+
+    return docs.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+    )
+
+
+_register(
+    "text_bpe_token_count",
+    _q_bpe_tokens,
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS n_bpe_tokens,
+           len(string_split_regex(trim(lower(text)), '\\s+')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+
+
+def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus pipeline composition: quality filter →
+    language ID → exact dedup → per-language corpus stats. One declarative
+    plan — Catalyst fuses the projections; the only shuffles are the dedup
+    groupBy and the final rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = X.quality_features(X.language_id(X.fingerprint(docs)))
+    kept = scored.filter(
+        (F.col("q_n_tokens") >= 10) & (F.col("q_stopword_ratio") < 0.5)
+    )
+    deduped = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.first("lang_pred").alias("lang_pred"),
+        F.first("q_n_tokens").alias("n_tokens"),
+    )
+    return deduped.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+_register(
+    "corpus_pipeline_stats",
+    _q_corpus_pipeline,
+    _lang_sql().replace(
+        "SELECT doc_id, lang,", "SELECT doc_id,"
+    )
+    and f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents),
+    s AS (SELECT doc_id, text, toks,
+                 {", ".join(f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)}))) AS s_{lang}" for lang, ws in X.LANG_MARKERS.items())}
+          FROM t),
+    lp AS (SELECT doc_id, text, toks,
+                  CASE {' '.join(f"WHEN s_{lang} > 0 {' '.join(f'AND s_{lang} > s_{o}' for o in list(X.LANG_MARKERS)[:i])} {' '.join(f'AND s_{lang} >= s_{o}' for o in list(X.LANG_MARKERS)[i+1:])} THEN '{lang}'" for i, lang in enumerate(X.LANG_MARKERS))} ELSE 'und' END AS lang_pred
+           FROM s),
+    q AS (SELECT doc_id, lang_pred,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+                 len(toks) AS n_tokens,
+                 CAST(len(list_filter(toks, x -> x IN ({_stop_list}))) AS DOUBLE) / len(toks) AS stop_ratio
+          FROM lp),
+    kept AS (SELECT * FROM q WHERE n_tokens >= 10 AND stop_ratio < 0.5),
+    dd AS (SELECT fp, MIN(doc_id) AS doc_id,
+                  MIN(lang_pred) AS lang_pred, MIN(n_tokens) AS n_tokens
+           FROM kept GROUP BY fp)
+    SELECT lang_pred, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM dd GROUP BY lang_pred
+    """,
+)
