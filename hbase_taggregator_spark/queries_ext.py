@@ -1038,3 +1038,54 @@ _register(
     FROM dd GROUP BY lang_pred
     """,
 )
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per series — Spark `percentile` and
+    DuckDB `quantile_cont` share the p·(n−1) linear-interpolation definition,
+    so the doubles match bit-for-bit on sorted identical inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+_register(
+    "percentiles_per_event_type",
+    _q_percentiles,
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+def _q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic arg-max per group (ties broken by max id): two-level
+    aggregate instead of `max_by`/`arg_max`, whose tie-breaking is
+    engine-arbitrary."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.groupBy("event_type").agg(F.max("value").alias("max_value"))
+    return (
+        ev.join(F.broadcast(mx), "event_type")
+        .filter(F.col("value") == F.col("max_value"))
+        .groupBy("event_type", "max_value")
+        .agg(F.max("event_id").alias("argmax_event_id"))
+    )
+
+
+_register(
+    "argmax_event_per_type",
+    _q_argmax,
+    """
+    WITH mx AS (SELECT event_type, MAX(value) AS max_value FROM events GROUP BY 1)
+    SELECT e.event_type, max_value, MAX(event_id) AS argmax_event_id
+    FROM events e JOIN mx ON e.event_type = mx.event_type AND e.value = mx.max_value
+    GROUP BY 1, 2
+    """,
+)
