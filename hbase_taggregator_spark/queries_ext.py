@@ -1089,3 +1089,54 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+
+def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates from exact decimal moments: Welford-style
+    native stddev/corr are accumulation-order-dependent in the last bits, so
+    variance/stddev/correlation are derived from order-free decimal sums
+    (Σx, Σx², Σxy) with the final arithmetic in double — deterministic in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    dx = F.col("value").cast("decimal(28,6)")
+    dy = F.col("user_id").cast("decimal(28,6)")
+    n = F.count("value")
+    sx = F.sum(dx).cast("double")
+    sxx = F.sum((dx * dx).cast("decimal(38,12)")).cast("double")
+    sy = F.sum(dy).cast("double")
+    syy = F.sum((dy * dy).cast("decimal(38,12)")).cast("double")
+    sxy = F.sum((dx * dy).cast("decimal(38,12)")).cast("double")
+    var = (sxx - sx * sx / n) / (n - 1)
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        (sx / n).alias("mean_value"),
+        var.alias("var_samp"),
+        F.sqrt(var).alias("stddev_samp"),
+        corr.alias("corr_value_user"),
+    )
+
+
+_register(
+    "stats_moments_per_type",
+    _q_moments,
+    """
+    WITH m AS (
+      SELECT event_type, COUNT(value) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(user_id AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(user_id AS DECIMAL(28,6)) * CAST(user_id AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(28,6)) * CAST(user_id AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           sx / n AS mean_value,
+           (sxx - sx * sx / n) / (n - 1) AS var_samp,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_samp,
+           (sxy - sx * sy / n) /
+             (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_value_user
+    FROM m
+    """,
+)
