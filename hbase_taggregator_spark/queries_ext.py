@@ -1140,3 +1140,53 @@ _register(
     FROM m
     """,
 )
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column support: extract the integer `k` from the
+    JSON `props` string and aggregate it per event_type (JVM-side
+    get_json_object — no schema declaration needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_register(
+    "json_props_extract",
+    _q_json_props,
+    """
+    SELECT event_type,
+           COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value histogram with fixed-width bins (integer floor math — the same
+    portable bucket algebra as the time axis, applied to the value axis)."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_idx = F.floor(F.col("value") / 25).cast("long")
+    return (
+        ev.groupBy(bin_idx.alias("bin_idx"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("value").alias("bin_min"),
+             F.max("value").alias("bin_max"))
+    )
+
+
+_register(
+    "histogram_value_25",
+    _q_histogram,
+    """
+    SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bin_idx, COUNT(*) AS n,
+           MIN(value) AS bin_min, MAX(value) AS bin_max
+    FROM events GROUP BY 1
+    """,
+)
