@@ -44,6 +44,20 @@ HEADLINE = [
     "q7_nation_volume",
     "decoder_registry_long_be",
     "corpus_pipeline_stats",
+    # round-2 additions: the 8 late round-1 queries + wave 9
+    "percentiles_per_event_type",
+    "stats_moments_per_type",
+    "argmax_event_per_type",
+    "ts_resample_interpolate_7200",
+    "text_bpe_token_count",
+    "json_props_extract",
+    "histogram_value_25",
+    "ts_qualifier_offset_900",
+    "decoder_registry_decimal_be",
+    "dedup_funnel_survivors",
+    "similarity_ann_recall_at_5",
+    "q2_min_cost_supplier",
+    "q9_profit_by_nation_year",
 ]
 
 

@@ -48,9 +48,45 @@ def _long_to_be_bytes(c: Column) -> Column:
     return F.unhex(F.lpad(F.conv(wrapped.cast("string"), 10, 16), 16, "0"))
 
 
+def scaled_decimal_decoder(scale: int) -> Callable[[Column], Column]:
+    """Decoder for the fixed-scale decimal layout: an 8-byte big-endian
+    signed long holding the *unscaled* value (BigDecimal.unscaledValue with a
+    known scale — the pure-expression analog of HBase's
+    BigDecimalColumnInterpreter; the variable-length Bytes.toBigDecimal
+    framing collapses to a schema-level scale here). Entirely conv/hex
+    expressions — runs inside codegen."""
+    if not 0 <= scale <= 18:
+        raise ValueError(f"scale must be in [0, 18], got {scale}")
+
+    def decode(c: Column) -> Column:
+        unscaled = _be_bytes_to_long(c)
+        return (
+            unscaled.cast("decimal(20,0)") / F.lit(10**scale).cast("decimal(20,0)")
+        ).cast(f"decimal(20,{scale})")
+
+    return decode
+
+
+def scaled_decimal_encoder(scale: int) -> Callable[[Column], Column]:
+    """Inverse of :func:`scaled_decimal_decoder`: decimal → unscaled long →
+    8 big-endian bytes. Exact when the input's scale ≤ ``scale``."""
+
+    def encode(c: Column) -> Column:
+        unscaled = (
+            c.cast(f"decimal(20,{scale})") * F.lit(10**scale).cast("decimal(20,0)")
+        ).cast("long")
+        return _long_to_be_bytes(unscaled)
+
+    return encode
+
+
 DECODERS: dict[str, Callable[[Column], Column]] = {
     "long_be": _be_bytes_to_long,
     "utf8": lambda c: c.cast("string"),
+    # BigDecimalColumnInterpreter analog at common scales; arbitrary scales
+    # via register_decoder(name, scaled_decimal_decoder(s))
+    "decimal_be_2": scaled_decimal_decoder(2),
+    "decimal_be_6": scaled_decimal_decoder(6),
 }
 
 
@@ -91,4 +127,6 @@ def encode_value(c: Column | str, decoder: str = "long_be") -> Column:
         return _long_to_be_bytes(col)
     if decoder == "utf8":
         return F.encode(col.cast("string"), "UTF-8")
+    if decoder.startswith("decimal_be_"):
+        return scaled_decimal_encoder(int(decoder.rsplit("_", 1)[1]))(col)
     raise ValueError(f"no encoder for {decoder!r}")

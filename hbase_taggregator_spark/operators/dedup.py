@@ -80,12 +80,14 @@ def minhash_signatures(
     formulation (array_min over transform, ×k, re-inlined per consumer)
     explodes Catalyst's expression tree and takes codegen minutes even on
     tiny inputs; the explode keeps every expression small, vectorized, and
-    partially aggregated before the shuffle on ``id_col``."""
-    sh = ensure_parallelism(
-        df.select(
-            F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s"),
-        )
+    partially aggregated before the shuffle on ``id_col``.
+
+    Parallelism is ensured on the narrow (id, text) input BEFORE the
+    explode: the same spread at 1/fan-out of the shuffle bytes (each doc
+    ships once, not once per shingle)."""
+    sh = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s"),
     )
     # Kirsch-Mitzenmacher double hashing: two md5-derived bases per shingle,
     # h_i = (lo + i*hi) mod 2^60 — k-independent hashing cost (2 md5s, not
@@ -169,11 +171,9 @@ def jaccard_pairs(
     fans out — at 100 TB run this only on an LSH candidate set (compose with
     :func:`minhash_lsh_candidates`) or drop top-frequency shingles.
     Jaccard is an exact rational cast to double — engine-portable."""
-    sh = ensure_parallelism(
-        df.select(
-            F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), n_shingle)).alias("sh"),
-        )
+    sh = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n_shingle)).alias("sh"),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -201,6 +201,63 @@ def jaccard_pairs(
     )
 
 
+def dedup_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full near-dup funnel, composed end-to-end the 100 TB-safe way
+    (module docstring steps 2+4 as ONE plan):
+
+    1. MinHash-LSH candidate pairs (banded equi-join — never all-pairs).
+    2. Exact Jaccard verification computed ONLY on the candidate pairs:
+       the shingle self-join is constrained to candidate (id_a, id_b), so
+       its cost is |candidates| × shingles-per-doc, not corpus².
+    3. Survivors: keep the lowest-id member of every verified duplicate
+       relation — a document is dropped iff some lower-id candidate partner
+       exceeds the Jaccard threshold.
+
+    Returns the surviving (id_col) rows. At scale every join here is keyed
+    (band_key, then id), so the plan is shuffle-bounded by the candidate
+    set — the quadratic verify stage of :func:`jaccard_pairs` never runs on
+    the whole corpus.
+    """
+    cand = minhash_lsh_candidates(df, text_col, id_col, n_shingle, k, bands)
+    sh = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n_shingle)).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # verify: |A∩B| per CANDIDATE pair only — expand candidate pairs by the
+    # left doc's shingles, then equi-join on (id_b, shingle) so the probe is
+    # a hash join keyed on both columns (never a per-pair cross product)
+    inter = (
+        cand.select("id_a", "id_b")
+        .join(sh.select(F.col(id_col).alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    dups = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"),
+                                F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.select(id_col).join(dups, id_col, "left_anti")
+
+
 def simhash_table(
     df: DataFrame,
     text_col: str = "text",
@@ -220,11 +277,9 @@ def simhash_table(
     Output: (id, simhash, 4×16-bit chunk keys) — chunk equality is the LSH
     for Hamming distance (signatures within Hamming ≤ 3 share ≥1 chunk).
     """
-    sh = ensure_parallelism(
-        df.select(
-            F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s"),
-        )
+    sh = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s"),
     )
     hashed = sh.select(
         id_col,

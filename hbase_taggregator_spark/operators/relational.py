@@ -92,7 +92,16 @@ def salted_join(
     The per-row salt is a hash of the whole left row (deterministic, no
     rand()), so results are stable across retries — important for exactly
     -once sinks.
+
+    Only ``inner`` and ``left`` are supported: the right side is replicated
+    ×``salt``, so right/full outer joins would emit each unmatched right row
+    once per salt value.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (right side is "
+            f"replicated per salt), got {how!r}"
+        )
     salt_col = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
     lhs = left.withColumn("__salt", salt_col)
     rhs = right.withColumn(

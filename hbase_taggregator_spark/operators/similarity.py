@@ -172,10 +172,18 @@ def ann_lsh_topk(
     query_id_col: str = "query_id",
     n_planes: int = 8,
     dim: int = 64,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
-    bucket. Recall < 1 by construction (rows-only check in the catalog);
-    cost drops by ~2^n_planes vs brute force."""
+    bucket. Recall < 1 by construction; cost drops by ~2^n_planes vs brute
+    force.
+
+    ``multi_probe`` > 0 additionally probes every bucket within Hamming
+    distance 1 of the query's bucket, flipping the ``multi_probe``
+    lowest-index planes (the classic multi-probe LSH recall boost: each
+    extra probe recovers neighbors that straddle one hyperplane, at +1
+    bucket lookup each — still an equi-join, and only the Q query rows are
+    expanded, never the corpus)."""
     cb = lsh_bucket(ensure_parallelism(corpus), vec_col, n_planes, dim)
     qb = lsh_bucket(
         queries.select(
@@ -185,6 +193,17 @@ def ann_lsh_topk(
         n_planes,
         dim,
     )
+    if multi_probe > 0:
+        probes = F.array_distinct(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+                    for j in range(min(multi_probe, n_planes))
+                ],
+            )
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
     scored = (
         with_norm(cb, vec_col)
         .join(F.broadcast(with_norm(qb, "__qvec", "__qnrm")), "bucket")

@@ -148,16 +148,21 @@ class TimeseriesQuery:
 
         strict: t_max. taggregator: end of the trailing bucket the
         reference's do-while always emits — with n = ⌊(t_max−t_min)/ival⌋,
-        bound = t_min + (n+1)·ival (one bucket past t_max; for an exactly
-        aligned range that is one whole extra bucket, reproducing the 9-vs-8
-        golden discrepancy in ``TestTimeseriesAggregateProtocol.java:149-158``
-        vs ``:294-302``)."""
+        bound = t_min + max(n+1, 2)·ival (one bucket past t_max; for an
+        exactly aligned range that is one whole extra bucket, reproducing the
+        9-vs-8 golden discrepancy in
+        ``TestTimeseriesAggregateProtocol.java:149-158`` vs ``:294-302``).
+        The max(…, 2) floor matches the do-while's append-before-test shape
+        (``TimeseriesAggregateImplementation.java:78-111``): the initial
+        bucket plus at least one appended trailing bucket, so a range shorter
+        than one interval still buckets cells in
+        [t_min+ival, t_min+2·ival)."""
         assert self.t_min_us is not None and self.t_max_us is not None
         assert self.interval_us is not None
         if self.cutoff == STRICT:
             return self.t_max_us
         n_full = (self.t_max_us - self.t_min_us) // self.interval_us
-        return self.t_min_us + (n_full + 1) * self.interval_us
+        return self.t_min_us + max(n_full + 1, 2) * self.interval_us
 
     def bucket_start_us(self) -> Column:
         """Bucket assignment as pure int64 arithmetic (codegen'd, O(1)/row).
@@ -254,15 +259,13 @@ class TimeseriesQuery:
         Only valid for single-verb, no-dims queries."""
         if df is None:
             raise ValueError("pass the aggregated DataFrame to to_map()")
-        rows = df.collect()
-        out: dict[int, Any] = {}
-        for r in rows:
-            d = r.asDict()
-            val_cols = [c for c in df.columns
-                        if c not in ("bucket_start", "bucket_start_us")]
-            if len(val_cols) != 1:
-                raise ValueError("to_map() needs exactly one value column")
-            out[d["bucket_start_us"] // 1000] = d[val_cols[0]]
+        val_cols = [c for c in df.columns
+                    if c not in ("bucket_start", "bucket_start_us")]
+        if len(val_cols) != 1:
+            raise ValueError("to_map() needs exactly one value column")
+        out: dict[int, Any] = {
+            r["bucket_start_us"] // 1000: r[val_cols[0]] for r in df.collect()
+        }
         return dict(sorted(out.items()))
 
 

@@ -68,11 +68,31 @@ def _bucket_sql(t_min_s: int, interval_s: int) -> str:
     )
 
 
+def _ts_upper(t_min: int, t_max: int, interval: int, cutoff: str) -> int:
+    """Effective exclusive upper bound in seconds (mirrors
+    TimeseriesQuery.upper_bound_us so the scan prune never cuts data the
+    taggregator-mode trailing bucket still aggregates)."""
+    if cutoff == "strict":
+        return t_max
+    n_full = (t_max - t_min) // interval
+    return t_min + max(n_full + 1, 2) * interval
+
+
 def _ts_query(verb: str, t_min: int, t_max: int, interval: int, cutoff: str = "strict"):
-    """Build one bucketed-aggregation query through the engine core."""
+    """Build one bucketed-aggregation query through the engine core.
+
+    The query's time range is passed down to the source so the predicate
+    lands on the raw int64-nanos column and reaches the parquet scan
+    (PushedFilters / row-group skipping) — the Spark analog of the
+    reference's scan-range pruning (TimeseriesAggregationClient.java:576-581).
+    At 100 TB this is the difference between scanning a week and scanning
+    the whole table."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        events = load_table(spark, sf_dir, "events")
+        events = load_table(
+            spark, sf_dir, "events",
+            time_range=(t_min * US, _ts_upper(t_min, t_max, interval, cutoff) * US),
+        )
         q = (
             TimeseriesAggregator(spark)
             .table(events)
@@ -105,9 +125,10 @@ def _ts_oracle(verb: str, t_min: int, t_max: int, interval: int, cutoff: str = "
     lo_us = t_min * US
     if cutoff == "strict":
         hi_us = t_max * US
-    else:  # taggregator trailing-bucket compat (SURVEY.md §2.3.2)
+    else:  # taggregator trailing-bucket compat (SURVEY.md §2.3.2); the
+        # max(…, 2) floor mirrors the do-while's ≥2-bucket output
         n_full = (t_max - t_min) // interval
-        hi_us = (t_min + (n_full + 1) * interval) * US
+        hi_us = (t_min + max(n_full + 1, 2) * interval) * US
     agg = {
         "max": "MAX(value) AS max_value",
         "min": "MIN(value) AS min_value",
@@ -159,7 +180,7 @@ _register(
 def _ts_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All five verbs in one single-scan pass (the reference's '96 queries →
     1 scan' claim, generalized to multi-verb — README.md:5)."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_MONTH * US))
     q = (
         TimeseriesAggregator(spark)
         .table(events)
@@ -192,7 +213,7 @@ _register(
 def _ts_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket × series dimension — a generalization the reference's scan
     model cannot express (it collapses everything in range)."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_MONTH * US))
     q = (
         TimeseriesAggregator(spark)
         .table(events)
@@ -226,8 +247,10 @@ def _ts_rowkey_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HBase-shaped path: synthesize the reference's physical layout (binary
     rowkey, embedded int32 epoch-seconds, mask '00000001111'), then decode
     through the engine's mask expressions and aggregate. The oracle computes
-    from the original timestamp — any decode error breaks the hash match."""
-    events = load_table(spark, sf_dir, "events")
+    from the original timestamp — any decode error breaks the hash match.
+    The raw-column prune is equivalent to the decoded-seconds filter because
+    both bounds are whole seconds (floor(t) ∈ [lo, hi) ⟺ t ∈ [lo, hi))."""
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))
     shaped = events.select(
         encode_rowkey(b"evntkey", F.expr("unix_micros(ts) div 1000000")).alias("rowkey"),
         "value",

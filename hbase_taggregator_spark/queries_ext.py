@@ -216,10 +216,12 @@ def _simhash_sql() -> str:
       FROM h, (SELECT unnest(generate_series(0, 31)) AS bit) b
       GROUP BY 1, 2),
     bits AS (
+      -- outer CAST: DuckDB widens integer SUM to HUGEINT (int128), which the
+      -- driver's type-tagged hasher serializes differently from int64
       SELECT doc_id,
-             SUM(CASE WHEN v0 > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) +
-             SUM(CASE WHEN v1 > 0 AND bit < 31 THEN CAST(1 AS BIGINT) << (32 + bit) ELSE 0 END)
-               AS simhash
+             CAST(SUM(CASE WHEN v0 > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) +
+                  SUM(CASE WHEN v1 > 0 AND bit < 31 THEN CAST(1 AS BIGINT) << (32 + bit) ELSE 0 END)
+               AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id)
     SELECT doc_id, simhash,
            (simhash >> 0) & 65535 AS chunk0,
@@ -402,7 +404,7 @@ def _q_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         TimeseriesAggregator(spark)
-        .table(_lt(spark, sf_dir, "events"))
+        .table(_lt(spark, sf_dir, "events", time_range=(T0 * US, _T2D * US)))
         .range(T0, _T2D)
         .interval(900)
     )
@@ -437,7 +439,7 @@ def _q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference cannot express — each event lands in 4 windows."""
     from hbase_taggregator_spark.queries import load_table as _lt
 
-    ev = _lt(spark, sf_dir, "events").filter(
+    ev = _lt(spark, sf_dir, "events", time_range=(T0 * US, _T2D * US)).filter(
         (F.unix_micros("ts") >= T0 * US) & (F.unix_micros("ts") < _T2D * US)
     )
     out = sliding_bucket_agg(
@@ -473,7 +475,7 @@ def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge semantics (new session when gap ≥ threshold; end = last + gap)."""
     from hbase_taggregator_spark.queries import load_table as _lt
 
-    ev = _lt(spark, sf_dir, "events").filter(
+    ev = _lt(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US)).filter(
         (F.unix_micros("ts") >= T0 * US) & (F.unix_micros("ts") < T_WEEK * US)
     )
     out = session_agg(
@@ -515,7 +517,7 @@ def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan needs no extra distinct pass)."""
     from hbase_taggregator_spark.queries import load_table as _lt
 
-    ev = _lt(spark, sf_dir, "events").filter(
+    ev = _lt(spark, sf_dir, "events", time_range=(T0 * US, T_MONTH * US)).filter(
         (F.unix_micros("ts") >= T0 * US) & (F.unix_micros("ts") < T_MONTH * US)
     )
     day = F.expr(f"(unix_micros(ts) - {T0 * US}) div {86400 * US}")
@@ -753,7 +755,7 @@ def _q_decoder_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed — the reference's full decode→aggregate path on binary cells.
     The oracle recomputes from the original numeric column, so any
     encode/decode asymmetry (incl. the sign bit) breaks the match."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))
     # signed longs from pure integer math (double→long casts truncate in
     # Spark but round in DuckDB); negated for odd ids to exercise the sign
     cents = F.when(
@@ -787,7 +789,7 @@ _register(
       FROM events)
     SELECT {_bucket_sql(T0, 86400)} AS bucket_ms,
            MIN(value) AS min_cents, MAX(value) AS max_cents,
-           SUM(value) AS sum_cents
+           CAST(SUM(value) AS BIGINT) AS sum_cents
     FROM shaped
     WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}
     GROUP BY 1 ORDER BY 1
@@ -855,8 +857,13 @@ def _q_rowkey_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's row-range predicate (start_row ≤ key < stop_row,
     TimeseriesAggregationClient.java:576-581) on binary rowkeys: BinaryType
     comparison is bytewise-lexicographic in both engines, so the oracle
-    filters the same [start, stop) byte range rebuilt from the timestamp."""
-    events = load_table(spark, sf_dir, "events")
+    filters the same [start, stop) byte range rebuilt from the timestamp.
+    The rowkey range maps 1:1 to a raw time range (whole-second bounds), so
+    the scan is pruned before the keys are even synthesized."""
+    events = load_table(
+        spark, sf_dir, "events",
+        time_range=((T0 + 3 * 86400) * US, (T0 + 5 * 86400) * US),
+    )
     shaped = events.select(
         encode_rowkey(b"evntkey", F.expr("unix_micros(ts) div 1000000")).alias("rowkey"),
         "value",
@@ -892,7 +899,9 @@ def _q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle restates it with the same exact-rational algebra."""
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    ev = load_table(
+        spark, sf_dir, "events", time_range=(T0 * US, (T0 + 2 * 86400) * US)
+    ).filter(F.col("event_type") == "signup")
     q = (
         TimeseriesAggregator(spark)
         .table(ev)
@@ -1034,7 +1043,7 @@ _register(
     dd AS (SELECT fp, MIN(doc_id) AS doc_id,
                   MIN(lang_pred) AS lang_pred, MIN(n_tokens) AS n_tokens
            FROM kept GROUP BY fp)
-    SELECT lang_pred, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM dd GROUP BY lang_pred
     """,
 )
@@ -1096,16 +1105,25 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     native stddev/corr are accumulation-order-dependent in the last bits, so
     variance/stddev/correlation are derived from order-free decimal sums
     (Σx, Σx², Σxy) with the final arithmetic in double — deterministic in
-    both engines."""
+    both engines.
+
+    The scale-12 sums go decimal→string→double on BOTH sides: DuckDB's
+    direct int128-decimal→double cast divides in floating point and can be
+    off by one ulp (observed at sf0.01), while string→double parsing is
+    correctly rounded everywhere."""
     ev = load_table(spark, sf_dir, "events")
     dx = F.col("value").cast("decimal(28,6)")
     dy = F.col("user_id").cast("decimal(28,6)")
+
+    def _d12(c):  # exact decimal sum → correctly-rounded double
+        return F.sum(c.cast("decimal(38,12)")).cast("string").cast("double")
+
     n = F.count("value")
     sx = F.sum(dx).cast("double")
-    sxx = F.sum((dx * dx).cast("decimal(38,12)")).cast("double")
+    sxx = _d12(dx * dx)
     sy = F.sum(dy).cast("double")
-    syy = F.sum((dy * dy).cast("decimal(38,12)")).cast("double")
-    sxy = F.sum((dx * dy).cast("decimal(38,12)")).cast("double")
+    syy = _d12(dy * dy)
+    sxy = _d12(dx * dy)
     var = (sxx - sx * sx / n) / (n - 1)
     corr = (sxy - sx * sy / n) / (
         F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
@@ -1126,10 +1144,10 @@ _register(
     WITH m AS (
       SELECT event_type, COUNT(value) AS n,
              CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx,
              CAST(SUM(CAST(user_id AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(CAST(user_id AS DECIMAL(28,6)) * CAST(user_id AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(CAST(value AS DECIMAL(28,6)) * CAST(user_id AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(CAST(user_id AS DECIMAL(28,6)) * CAST(user_id AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(28,6)) * CAST(user_id AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxy
       FROM events GROUP BY event_type)
     SELECT event_type, n,
            sx / n AS mean_value,
@@ -1161,9 +1179,326 @@ _register(
     """
     SELECT event_type,
            COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# wave 9 (round 2): qualifier-offset gate, decimal decoder, dedup funnel,
+# ANN recall, TPC-H q2/q9 shapes
+# ---------------------------------------------------------------------------
+
+
+def _q_qualifier_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.1 row 6 under the driver oracle: the reference's full
+    key-embedded-timestamp layout — one row per coarse period (hour) with
+    the timestamp in the rowkey mask span, sub-period samples as int32
+    seconds-offset qualifiers (AggregationBuilder.java:84-100; the test
+    fixture's row-per-hour × qualifier layout,
+    TestTimeseriesAggregateProtocol.java:110-128). Synthesized from events
+    by splitting each second-truncated timestamp into (hour rowkey,
+    offset-in-hour qualifier); decode must reassemble exactly or the
+    oracle's bucket hash breaks."""
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))
+    sec = F.expr("unix_micros(ts) div 1000000")
+    shaped = events.select(
+        encode_rowkey(b"evntkey", sec - (sec % 3600)).alias("rowkey"),
+        (sec % 3600).cast("int").alias("qualifier_offset_s"),
+        "value",
+    )
+    tsa = TimeseriesAggregator(spark)
+    q = (
+        tsa.table_from_rowkey(
+            shaped, "00000001111", qualifier_col="qualifier_offset_s"
+        )
+        .range(T0, T_WEEK)
+        .interval(900)
+    )
+    df = q.agg(count="count_value", max="max_value")
+    return df.select(
+        F.expr("bucket_start_us div 1000").alias("bucket_ms"),
+        "count_value",
+        "max_value",
+    )
+
+
+_register(
+    "ts_qualifier_offset_900",
+    _q_qualifier_offset,
+    f"""
+    SELECT ({T0 * US} + (((epoch_us(ts) // 1000000) * 1000000 - {T0 * US}) // {900 * US}) * {900 * US}) // 1000
+             AS bucket_ms,
+           COUNT(value) AS count_value, MAX(value) AS max_value
+    FROM events
+    WHERE (epoch_us(ts) // 1000000) * 1000000 >= {T0 * US}
+      AND (epoch_us(ts) // 1000000) * 1000000 < {T_WEEK * US}
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+def _q_decoder_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigDecimalColumnInterpreter analog: order totals stored as scaled
+    big-endian longs (unscaled cents), decoded by the registry's
+    ``decimal_be_2`` inside codegen, aggregated per priority. Odd order
+    keys are negated to exercise the sign bit through the byte round-trip."""
+    orders = load_table(spark, sf_dir, "orders")
+    signed = F.when(
+        F.col("o_orderkey") % 2 == 1, -F.col("o_totalprice")
+    ).otherwise(F.col("o_totalprice")).cast("decimal(12,2)")
+    shaped = orders.select(
+        "o_orderpriority", encode_value(signed, "decimal_be_2").alias("cell_bytes")
+    )
+    decoded = shaped.select(
+        "o_orderpriority", decode_value("cell_bytes", "decimal_be_2").alias("v")
+    )
+    return decoded.groupBy("o_orderpriority").agg(
+        F.min("v").alias("min_price"),
+        F.max("v").alias("max_price"),
+        F.sum("v").cast("decimal(18,2)").alias("sum_price"),
+    )
+
+
+_register(
+    "decoder_registry_decimal_be",
+    _q_decoder_decimal,
+    """
+    WITH shaped AS (
+      SELECT o_orderpriority,
+             CAST(CASE WHEN o_orderkey % 2 = 1 THEN -o_totalprice
+                       ELSE o_totalprice END AS DECIMAL(12,2)) AS v
+      FROM orders)
+    SELECT o_orderpriority, MIN(v) AS min_price, MAX(v) AS max_price,
+           CAST(SUM(v) AS DECIMAL(18,2)) AS sum_price
+    FROM shaped GROUP BY 1
+    """,
+)
+
+
+def _q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed dedup funnel as ONE plan: MinHash-LSH candidates →
+    exact-Jaccard verify on candidates only → keep-lowest-id survivors
+    (operators.dedup.dedup_funnel — the 100 TB-safe composition; the
+    standalone O(n²) verify never runs on the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_funnel(docs, threshold=0.4, k=16, bands=4)
+
+
+def _funnel_sql(k: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
+    rows = k // bands
+    lo = "CAST(concat('0x', substr(md5(concat('lo#', s)), 1, 15)) AS BIGINT)"
+    hi = "CAST(concat('0x', substr(md5(concat('hi#', s)), 1, 15)) AS BIGINT) // 4"
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> ({lo} + {i} * ({hi})) % {1 << 60}))"
+        f" AS m{i}"
+        for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws(',', "
+        + ", ".join(f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES3} AS shingles FROM t),
+    sig AS (SELECT doc_id, {mins} FROM sh WHERE len(shingles) > 0),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shx GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c JOIN shx a ON a.doc_id = c.id_a
+                  JOIN shx b ON b.doc_id = c.id_b AND b.s = a.s
+      GROUP BY 1, 2),
+    dups AS (
+      SELECT DISTINCT id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold})
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM dups)
+    """
+
+
+_register("dedup_funnel_survivors", _q_dedup_funnel, _funnel_sql())
+
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a deterministic value: recall@5 of the LSH-bucketed
+    top-k against brute-force cosine top-k, per query vector. Both sides
+    (and the md5-derived hyperplanes) are restated in the oracle, turning
+    the round-1 rows-only check into a hash-matched one."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    ann = S.ann_lsh_topk(emb, queries, k=5, n_planes=8).select("query_id", "vec_id")
+    hits = (
+        exact.join(ann, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
+def _ann_recall_sql(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    plane_rows = ", ".join(
+        f"({p}, {i + 1}, {w!r})"
+        for p in range(n_planes)
+        for i, w in enumerate(S._hyperplane(p, dim))
+    )
+    return f"""
+    WITH {_SQL_E},
+    planes(p, i, w) AS (VALUES {plane_rows}),
+    pd AS (
+      SELECT e.vec_id, pl.p,
+             CAST(SUM(CAST(e.v * pl.w AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM e JOIN planes pl ON pl.i = e.i
+      GROUP BY 1, 2),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+               AS BIGINT) AS bucket
+      FROM pd GROUP BY 1),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST(SUM(CAST(q.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id != c.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, d.vec_id, dot / (nq.nrm * nc.nrm) AS cosine
+      FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+                  JOIN norms nc ON nc.vec_id = d.vec_id),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored) WHERE rk <= {k}),
+    annscored AS (
+      SELECT s.query_id, s.vec_id, s.cosine
+      FROM scored s JOIN buckets bq ON bq.vec_id = s.query_id
+                    JOIN buckets bc ON bc.vec_id = s.vec_id
+                                   AND bc.bucket = bq.bucket),
+    ann AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM annscored) WHERE rk <= {k}),
+    hits AS (
+      SELECT x.query_id, COUNT(*) AS n_hits
+      FROM exact x JOIN ann USING (query_id, vec_id) GROUP BY 1)
+    SELECT q.query_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(n_hits, 0) / {float(k)} AS recall_at_5
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+    LEFT JOIN hits ON hits.query_id = q.query_id
+    """
+
+
+_register("similarity_ann_recall_at_5", _q_ann_recall, _ann_recall_sql())
+
+
+def _q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape (no partsupp table in the fixture, so lineitem is the
+    part↔supplier price list): for each size-15 part, the minimum offered
+    price and the lowest-keyed supplier offering it — a correlated scalar
+    subquery (min over the same fact), decorrelated into an aggregate +
+    re-join; ties resolved deterministically by MIN(suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    min_price = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    best = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(min_price, "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .groupBy("p_partkey", "p_brand", "min_price")
+        .agg(F.min("l_suppkey").alias("best_suppkey"))
+    )
+    return best.join(
+        F.broadcast(supp), F.col("best_suppkey") == F.col("s_suppkey")
+    ).select("p_partkey", "p_brand", "min_price", "best_suppkey", "s_name")
+
+
+_register(
+    "q2_min_cost_supplier",
+    _q2_min_cost,
+    """
+    WITH mp AS (
+      SELECT l_partkey, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY 1),
+    best AS (
+      SELECT p_partkey, p_brand, min_price, MIN(l_suppkey) AS best_suppkey
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN mp ON mp.l_partkey = p_partkey
+                       AND l_extendedprice = min_price
+      WHERE p_size = 15
+      GROUP BY 1, 2, 3)
+    SELECT p_partkey, p_brand, min_price, best_suppkey, s_name
+    FROM best JOIN supplier ON s_suppkey = best_suppkey
+    """,
+)
+
+
+def _q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape: multi-fact join (lineitem ⋈ orders ⋈ part ⋈ supplier
+    ⋈ nation) with EXPRESSION group keys (nation, order year) and a profit
+    expression spanning two tables (p_retailprice stands in for the missing
+    partsupp supplycost). Exercises join reordering + broadcast of all three
+    dimension sides + decimal-exact signed sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dsum(profit, "sum_profit"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_register(
+    "q9_profit_by_nation_year",
+    _q9_profit,
+    """
+    SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.1 * p_retailprice * l_quantity
+                    AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN part ON l_partkey = p_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
     """,
 )
 

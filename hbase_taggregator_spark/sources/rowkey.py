@@ -40,7 +40,18 @@ def rowkey_seconds(rowkey: Column | str, mask: str) -> Column:
     """
     key = F.col(rowkey) if isinstance(rowkey, str) else rowkey
     off, length = mask_span(mask)
+    if length > 4:
+        # Bytes.toInt throws for a >4-byte source span; surface the
+        # unsupported layout at build time instead of decoding garbage
+        raise ValueError(
+            f"mask '1'-span is {length} bytes; the reference decodes exactly "
+            "a 4-byte int32 (AggregationBuilder.java:109-115)"
+        )
     raw = F.conv(F.hex(F.substring(key, off + 1, length)), 16, 10).cast("long")
+    # the reference copies span bytes into the HIGH-order positions of a
+    # 4-byte buffer, so a short span is left-shifted into the int32 top bytes
+    if length < 4:
+        raw = raw * F.lit(256 ** (4 - length)).cast("long")
     signed = F.when(raw >= INT32_SIGN, raw - INT32_WRAP).otherwise(raw)
     return F.when(F.length(key) == len(mask), signed).otherwise(F.lit(0))
 

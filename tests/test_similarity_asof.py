@@ -53,6 +53,30 @@ def test_ann_scores_match_bruteforce_where_returned(spark, vecs):
         assert r["cosine"] == pytest.approx(brute[(r["query_id"], r["vec_id"])], abs=1e-12)
 
 
+def test_multiprobe_recall_superset(spark, vecs):
+    """Multi-probe LSH probes Hamming-1 neighbor buckets: its result set
+    contains the single-probe results and can only add pairs (recall is
+    monotone in probes); scores stay exact."""
+    single = {(r["query_id"], r["vec_id"])
+              for r in S.ann_lsh_topk(vecs, vecs, k=4, n_planes=4, dim=3).collect()}
+    multi_rows = S.ann_lsh_topk(
+        vecs, vecs, k=4, n_planes=4, dim=3, multi_probe=4
+    ).collect()
+    multi = {(r["query_id"], r["vec_id"]) for r in multi_rows}
+    # top-k can push out lower-scored single-probe hits only when new,
+    # better candidates appear — per-query hit counts never decrease
+    from collections import Counter
+
+    per_q_single = Counter(q for q, _ in single)
+    per_q_multi = Counter(q for q, _ in multi)
+    for q in per_q_single:
+        assert per_q_multi[q] >= per_q_single[q]
+    brute = {(r["query_id"], r["vec_id"]): r["cosine"]
+             for r in S.cosine_topk(vecs, vecs, k=4).collect()}
+    for r in multi_rows:
+        assert r["cosine"] == pytest.approx(brute[(r["query_id"], r["vec_id"])], abs=1e-12)
+
+
 # ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------

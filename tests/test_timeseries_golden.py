@@ -26,6 +26,10 @@ SCENARIOS = [
     ("odd_start_0215", BASE_S + 2 * H + 900, BASE_S + 4 * H + 900, 900),
     ("starts_before_data", BASE_S - DAY, BASE_S + 12 * H, 900),
     ("extends_beyond_data", BASE_S + 3 * DAY, BASE_S + 5 * DAY, 28800),
+    # span < interval: the reference's do-while still emits 2 buckets
+    # (initial + trailing), so cells in [t_min+ival, t_min+2·ival) aggregate
+    ("sub_interval_span", BASE_S, BASE_S + 1800, H),
+    ("sub_interval_odd", BASE_S + 900, BASE_S + 2700, 2 * H),
 ]
 
 VERBS = ["max", "min", "sum", "avg", "count"]

@@ -23,13 +23,19 @@ from hbase_taggregator_spark.sources.parquet import TABLES  # noqa: E402
 
 
 def normalize(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
+    """Type-tagged, full-precision value serialization.
+
+    Mirrors the driver's exact hasher: floats compare by full ``repr`` (bit
+    precision, not 9 significant digits) and the Python type participates in
+    the key — so a DuckDB HUGEINT surfacing as ``decimal.Decimal`` mismatches
+    an int64 even when the values are numerically equal, exactly like the
+    driver's type-tagged serialization (round-1 lesson: the looser 9-digit
+    compare declared two queries green that the driver hash-failed)."""
     if isinstance(v, bool):
-        return str(int(v))
-    return str(v)
+        return ("bool", str(int(v)))
+    if isinstance(v, float):
+        return ("float", "nan" if math.isnan(v) else repr(v))
+    return (type(v).__name__, str(v))
 
 
 def row_key(row: dict) -> tuple:
