@@ -54,6 +54,7 @@ HEADLINE = [
     "histogram_value_25",
     "ts_qualifier_offset_900",
     "decoder_registry_decimal_be",
+    "decoder_registry_double_be",
     "dedup_funnel_survivors",
     "similarity_ann_recall_at_5",
     "q2_min_cost_supplier",

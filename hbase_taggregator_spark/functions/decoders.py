@@ -90,18 +90,93 @@ DECODERS: dict[str, Callable[[Column], Column]] = {
 }
 
 
-def _double_bits(c: Column) -> Column:
-    # no bits→double builtin; decode via the long pattern then reinterpret
-    # with a join-free trick is not expressible — keep the long decoder and
-    # cast for integral doubles; full IEEE reinterpret would need a UDF,
-    # so it is intentionally NOT registered (UDFs are the slow path).
-    raise NotImplementedError(
-        "IEEE-754 bit reinterpretation needs a UDF; store doubles natively "
-        "or as scaled longs (the reference's tests only use LongColumnInterpreter)"
+# --- IEEE-754 double reinterpretation, in pure expressions ----------------
+#
+# Bytes.toDouble = toLong + Double.longBitsToDouble. There is no
+# reinterpret-cast builtin, but the bit algebra is exactly expressible
+# because every step is a power-of-two scaling (exact in binary floating
+# point): value = (frac + 2^52) · 2^(exp−1075), with the subnormal branch
+# frac · 2^−1074 and the non-finite branch from the all-ones exponent.
+# pow(2, k) is an exact double for every k in [−1074, 1023], and the final
+# multiply is exact because the true product is representable — so the
+# decode is bit-exact, not approximate (property-tested against
+# struct.unpack on random bit patterns).
+
+_FRAC_MASK = (1 << 52) - 1
+_TWO52 = 1 << 52
+
+
+def _bits_to_double(bits: Column) -> Column:
+    """Double.longBitsToDouble as a Column expression (bit-exact)."""
+    exp = F.shiftright(bits, 52).bitwiseAND(F.lit(0x7FF))
+    frac = bits.bitwiseAND(F.lit(_FRAC_MASK))
+    neg = bits < 0
+    normal = (frac + F.lit(_TWO52)).cast("double") * F.pow(
+        F.lit(2.0), exp.cast("int") - F.lit(1075)
+    )
+    subnormal = frac.cast("double") * F.lit(float.fromhex("0x1p-1074"))
+    nonfinite = F.when(frac == 0, F.lit(float("inf"))).otherwise(F.lit(float("nan")))
+    mag = (
+        F.when(exp == 0x7FF, nonfinite)
+        .when(exp == 0, subnormal)
+        .otherwise(normal)
+    )
+    return F.when(neg, -mag).otherwise(mag)
+
+
+def _double_to_bits(c: Column) -> Column:
+    """Double.doubleToLongBits (canonical NaN) as a Column expression.
+
+    The exponent comes from floor(log2) corrected by two exact power-of-two
+    comparisons (log2 alone can be one off at boundaries); the mantissa is
+    recovered by the exact scaling a·2^(52−e). Subnormals scale in two
+    steps so the intermediate stays in range."""
+    a = F.abs(c)
+    e0 = F.floor(F.log2(a)).cast("int")
+    e = (
+        F.when(F.pow(F.lit(2.0), e0 + 1) <= a, e0 + 1)
+        .when(F.pow(F.lit(2.0), e0) > a, e0 - 1)
+        .otherwise(e0)
+    )
+    # a·2^(52−e) in two half-steps: 2^(52−e) alone overflows to inf for
+    # e < −971 even though the product is in range; each half stays within
+    # [2^−486, 2^537] and both scalings are exact
+    sh = F.lit(52) - e
+    h1 = F.floor(sh / 2).cast("int")
+    m = ((a * F.pow(F.lit(2.0), h1)) * F.pow(F.lit(2.0), sh - h1)).cast("long")
+    normal_bits = (e.cast("long") + 1023) * F.lit(_TWO52).cast("long") + (
+        m - F.lit(_TWO52)
+    )
+    sub_m = ((a * F.lit(float.fromhex("0x1p537"))) * F.lit(float.fromhex("0x1p537"))).cast("long")
+    inf_bits = F.lit(0x7FF << 52).cast("long")
+    nan_bits = F.lit((0x7FF << 52) | (1 << 51)).cast("long")
+    mag_bits = (
+        F.when(F.isnan(c), nan_bits)
+        .when(a == F.lit(float("inf")), inf_bits)
+        .when(a == 0.0, F.lit(0).cast("long"))
+        .when(a < F.lit(float.fromhex("0x1p-1022")), sub_m)
+        .otherwise(normal_bits)
+    )
+    # -0.0 compares == 0.0 and ANSI mode forbids the 1/x sign probe, so the
+    # negative-zero sign comes from the string form ("-0.0"); NaN keeps the
+    # canonical positive bits
+    is_neg = (c < 0.0) | ((c == 0.0) & c.cast("string").startswith("-"))
+    # setting the sign bit = subtracting 2^63 in two's complement; the
+    # result stays inside the signed-long range, so no overflow path exists
+    return F.when(is_neg & ~F.isnan(c), mag_bits + F.lit(-(2**63)).cast("long")).otherwise(
+        mag_bits
     )
 
 
-DECODERS["double_bits_be"] = _double_bits
+def _double_be_decode(c: Column) -> Column:
+    return _bits_to_double(_be_bytes_to_long(c))
+
+
+def _double_be_encode(c: Column) -> Column:
+    return _long_to_be_bytes(_double_to_bits(c))
+
+
+DECODERS["double_bits_be"] = _double_be_decode
 
 
 def register_decoder(name: str, fn: Callable[[Column], Column]) -> None:
@@ -127,6 +202,8 @@ def encode_value(c: Column | str, decoder: str = "long_be") -> Column:
         return _long_to_be_bytes(col)
     if decoder == "utf8":
         return F.encode(col.cast("string"), "UTF-8")
+    if decoder == "double_bits_be":
+        return _double_be_encode(col)
     if decoder.startswith("decimal_be_"):
         return scaled_decimal_encoder(int(decoder.rsplit("_", 1)[1]))(col)
     raise ValueError(f"no encoder for {decoder!r}")

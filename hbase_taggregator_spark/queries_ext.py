@@ -1278,6 +1278,58 @@ _register(
 )
 
 
+def _q_decoder_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoubleColumnInterpreter analog — the one HBase interpreter round 1
+    left unimplemented. Bytes.toDouble (8-byte IEEE-754 big-endian) is
+    reinterpreted with pure expressions (functions/decoders.py:
+    power-of-two-exact scaling — no UDF), so the full decode→bucket→aggregate
+    path stays in codegen. Odd event ids negate the value to push the sign
+    bit through the byte round-trip; the oracle recomputes from the original
+    doubles, so one wrong mantissa bit breaks min/max equality."""
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))
+    signed = F.when(
+        F.col("event_id") % 2 == 1, -F.col("value")
+    ).otherwise(F.col("value"))
+    shaped = events.select(
+        "ts", encode_value(signed, "double_bits_be").alias("cell_bytes")
+    )
+    decoded = shaped.select(
+        "ts", decode_value("cell_bytes", "double_bits_be").alias("value")
+    )
+    q = (
+        TimeseriesAggregator(spark)
+        .table(decoded)
+        .range(T0, T_WEEK)
+        .interval(86400)
+    )
+    df = q.aggregate(
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        _dsum("value", "sum_v"),
+    )
+    return df.select(
+        F.expr("bucket_start_us div 1000").alias("bucket_ms"),
+        "min_v", "max_v", "sum_v",
+    )
+
+
+_register(
+    "decoder_registry_double_be",
+    _q_decoder_double,
+    f"""
+    WITH shaped AS (
+      SELECT ts, CASE WHEN event_id % 2 = 1 THEN -value ELSE value END AS value
+      FROM events)
+    SELECT {_bucket_sql(T0, 86400)} AS bucket_ms,
+           MIN(value) AS min_v, MAX(value) AS max_v,
+           {{dsum}} AS sum_v
+    FROM shaped
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}
+    GROUP BY 1 ORDER BY 1
+    """.replace("{dsum}", "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)"),
+)
+
+
 def _q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed dedup funnel as ONE plan: MinHash-LSH candidates →
     exact-Jaccard verify on candidates only → keep-lowest-id survivors

@@ -51,6 +51,47 @@ def test_engine_matches_simulator_for_arbitrary_geometry(
     assert got == expected
 
 
+@settings(max_examples=3, deadline=None)
+@given(
+    data=st.lists(
+        st.floats(allow_nan=False, width=64) | st.floats(width=64),
+        min_size=16, max_size=64,
+    )
+)
+def test_ieee_double_codec_is_bit_exact(spark, data):
+    """The pure-expression IEEE-754 reinterpret (Bytes.toDouble analog)
+    round-trips ARBITRARY doubles bit-exactly — incl. subnormals, ±0, ±inf,
+    NaN (canonicalized like Double.doubleToLongBits) — verified against
+    struct.pack on the driver."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from hbase_taggregator_spark.functions.decoders import (
+        _bits_to_double,
+        _double_to_bits,
+    )
+
+    df = spark.createDataFrame([(v,) for v in data], "v double")
+    out = df.select(
+        "v",
+        _double_to_bits(F.col("v")).alias("b"),
+        _bits_to_double(_double_to_bits(F.col("v"))).alias("rt"),
+    ).collect()
+    for r in out:
+        expect = struct.unpack(">q", struct.pack(">d", r["v"]))[0]
+        if math.isnan(r["v"]):
+            expect = 0x7FF8000000000000
+        if expect >= 1 << 63:
+            expect -= 1 << 64
+        assert r["b"] == expect, (r["v"], hex(r["b"]), hex(expect))
+        if math.isnan(r["v"]):
+            assert math.isnan(r["rt"])
+        else:
+            assert struct.pack(">d", r["rt"]) == struct.pack(">d", r["v"])
+
+
 @settings(max_examples=4, deadline=None)
 @given(
     interval=st.sampled_from([900, 2700, 7200]),
