@@ -57,6 +57,8 @@ HEADLINE = [
     "decoder_registry_double_be",
     "dedup_funnel_survivors",
     "similarity_ann_recall_at_5",
+    "similarity_ivf_recall_at_5",
+    "similarity_lsh_neardup_pairs",
     "q2_min_cost_supplier",
     "q9_profit_by_nation_year",
 ]

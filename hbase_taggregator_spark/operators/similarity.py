@@ -127,6 +127,42 @@ def neardup_pairs(
     )
 
 
+def lsh_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs with the LSH prefilter COMPOSED in: only
+    same-bucket pairs are scored (an equi-join on the bucket key), so the
+    quadratic verify of :func:`neardup_pairs` never touches the corpus —
+    the shuffle carries one row per vector and the pair fan-out is bounded
+    per bucket. Approximate by construction (cross-bucket pairs are
+    missed); sign-LSH buckets make the miss rate shrink with cosine →
+    threshold."""
+    b = lsh_bucket(with_norm(ensure_parallelism(df), vec_col), vec_col, n_planes, dim)
+    a = b.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("nrm").alias("__na"),
+    )
+    bb = b.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("nrm").alias("__nb"),
+    )
+    return (
+        a.join(bb, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _hyperplane(seed: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bytes —
     reproducible across runs/engines without any RNG state."""
@@ -161,6 +197,87 @@ def lsh_bucket(
         bit = F.when(dot(F.col(vec_col), plane) > 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + bit.cast("long") * F.lit(1 << i).cast("long")
     return df.withColumn(out_col, bucket)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids by cosine
+    (IVF coarse quantization). The centroid set is tiny → broadcast; the
+    per-vector scoring is map-side (corpus never shuffles); the only
+    shuffle is the per-vector top-n_probe window on ``id_col``.
+
+    Deterministic: ties broken by centroid id. Output:
+    (id_col, vec_col, nrm, cent_id, cent_rank)."""
+    c = centroids.select(
+        F.col("cent_id"), F.col("cvec"), norm(F.col("cvec")).alias("cnrm")
+    )
+    scored = (
+        with_norm(df, vec_col)
+        .join(F.broadcast(c))
+        .withColumn(
+            "__ccos",
+            dot(F.col(vec_col), F.col("cvec")) / (F.col("nrm") * F.col("cnrm")),
+        )
+    )
+    ranked = top_k_per_group(
+        scored.select(id_col, vec_col, "nrm", "cent_id", "__ccos"),
+        [id_col], "__ccos", n_probe, descending=True, tiebreak=["cent_id"],
+    )
+    return ranked.drop("__ccos")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors live in their single
+    nearest centroid's inverted list; each query probes its ``n_probe``
+    nearest lists. The probe is an equi-join on ``cent_id`` — at 100 TB the
+    corpus is hash-partitioned (or bucketed) by cent_id once, and every
+    query touches n_probe/n_centroids of the data.
+
+    ``centroids`` defaults to the first ``n_centroids`` corpus vectors by id
+    (deterministic sampling init — same trick as k-means init; a Lloyd
+    refinement is a relational assign→mean loop the caller can run and pass
+    back in)."""
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+        )
+    corpus_lists = ivf_assign(
+        ensure_parallelism(corpus), centroids, vec_col, id_col, n_probe=1
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    probes = ivf_assign(q, centroids, "__qvec", query_id_col, n_probe=n_probe)
+    probes = probes.select(query_id_col, "__qvec", F.col("nrm").alias("__qnrm"), "cent_id")
+    scored = (
+        corpus_lists.join(F.broadcast(probes), "cent_id")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn(
+            "cosine",
+            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnrm") * F.col("nrm")),
+        )
+        .select(query_id_col, id_col, "cosine")
+    )
+    return top_k_per_group(
+        scored, [query_id_col], "cosine", k, descending=True, tiebreak=[id_col]
+    )
 
 
 def ann_lsh_topk(

@@ -1462,6 +1462,178 @@ def _ann_recall_sql(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
 _register("similarity_ann_recall_at_5", _q_ann_recall, _ann_recall_sql())
 
 
+def _recall_vs_exact(emb, queries, approx, k: int = 5):
+    """(query_id, n_hits, recall@k) of an approximate top-k result against
+    brute-force cosine top-k on the same queries."""
+    exact = S.cosine_topk(emb, queries, k=k).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx.select("query_id", "vec_id"),
+                   ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) / F.lit(float(k))).alias(f"recall_at_{k}"),
+    )
+
+
+def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (coarse centroid quantization → inverted lists →
+    n_probe nearest lists per query) with its recall@5 against brute force
+    as the gated deterministic value. Centroids are the first 16 corpus
+    vectors (deterministic sampling init), assignment/probing by exact
+    decimal cosine — the oracle restates the whole structure in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    ivf = S.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return _recall_vs_exact(emb, queries, ivf, k=5)
+
+
+def _ivf_recall_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    return f"""
+    WITH {_SQL_E},
+    cd AS (
+      SELECT v.vec_id, c.vec_id AS cent_id,
+             CAST(SUM(CAST(v.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS cdot
+      FROM e v JOIN e c ON v.i = c.i AND c.vec_id < {n_centroids}
+      GROUP BY 1, 2),
+    cscore AS (
+      SELECT vd.vec_id, cent_id, cdot / (nv.nrm * nc.nrm) AS ccos
+      FROM cd vd JOIN norms nv ON nv.vec_id = vd.vec_id
+                 JOIN norms nc ON nc.vec_id = cent_id),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cent_id) AS rk
+        FROM cscore) WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cent_id) AS rk
+        FROM cscore WHERE vec_id < 10) p WHERE rk <= {n_probe}),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST(SUM(CAST(q.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id != c.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, d.vec_id, dot / (nq.nrm * nc.nrm) AS cosine
+      FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+                  JOIN norms nc ON nc.vec_id = d.vec_id),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored) WHERE rk <= {k}),
+    ivfs AS (
+      SELECT s.query_id, s.vec_id, s.cosine
+      FROM scored s JOIN assign a ON a.vec_id = s.vec_id
+                    JOIN probes p ON p.query_id = s.query_id
+                                 AND p.cent_id = a.cent_id),
+    ivf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM ivfs) WHERE rk <= {k}),
+    hits AS (
+      SELECT x.query_id, COUNT(*) AS n_hits
+      FROM exact x JOIN ivf USING (query_id, vec_id) GROUP BY 1)
+    SELECT q.query_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(n_hits, 0) / {float(k)} AS recall_at_5
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+    LEFT JOIN hits ON hits.query_id = q.query_id
+    """
+
+
+_register("similarity_ivf_recall_at_5", _q_ivf_recall, _ivf_recall_sql())
+
+
+def _q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection with the LSH prefilter composed in:
+    only same-bucket pairs are cosine-verified. The oracle restates the
+    hyperplane bucketing + in-bucket scoring, so this approximate operator
+    is still hash-exact deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_neardup_pairs(emb, threshold=0.42, n_planes=8)
+
+
+def _lsh_neardup_sql(n_planes: int = 8, dim: int = 64, threshold: float = 0.42) -> str:
+    plane_rows = ", ".join(
+        f"({p}, {i + 1}, {w!r})"
+        for p in range(n_planes)
+        for i, w in enumerate(S._hyperplane(p, dim))
+    )
+    return f"""
+    WITH {_SQL_E},
+    planes(p, i, w) AS (VALUES {plane_rows}),
+    pd AS (
+      SELECT e.vec_id, pl.p,
+             CAST(SUM(CAST(e.v * pl.w AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM e JOIN planes pl ON pl.i = e.i
+      GROUP BY 1, 2),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+               AS BIGINT) AS bucket
+      FROM pd GROUP BY 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    pdots AS (
+      SELECT p.id_a, p.id_b,
+             CAST(SUM(CAST(ea.v * eb.v AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM pairs p JOIN e ea ON ea.vec_id = p.id_a
+                   JOIN e eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+    FROM pdots d JOIN norms na ON na.vec_id = d.id_a
+                 JOIN norms nb ON nb.vec_id = d.id_b
+    WHERE dot / (na.nrm * nb.nrm) >= {threshold}
+    """
+
+
+_register("similarity_lsh_neardup_pairs", _q_lsh_neardup, _lsh_neardup_sql())
+
+
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the corpus replayed as an unbounded stream,
+    fingerprint groupBy in complete mode — final state must equal the batch
+    dedup (it shares dedup_exact's oracle). At 100 TB-scale ingest the
+    state is one row per distinct fingerprint; MIN/COUNT merges are
+    order-insensitive, so the result is microbatch-schedule-independent."""
+    from hbase_taggregator_spark.streaming.timeseries_stream import (
+        replay_parquet_stream,
+        run_to_memory,
+    )
+
+    stream = replay_parquet_stream(spark, f"{sf_dir}/documents.parquet")
+    agg = (
+        X.fingerprint(stream)
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_duplicates"),
+        )
+    )
+    result = run_to_memory(spark, agg, "stream_dedup_exact")
+    return result.select("fp", "doc_id", "n_duplicates")
+
+
+_register(
+    "streaming_dedup_exact",
+    _q_streaming_dedup,
+    """
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS doc_id, COUNT(*) AS n_duplicates
+    FROM documents GROUP BY 1
+    """,
+)
+
+
 def _q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q2 shape (no partsupp table in the fixture, so lineitem is the
     part↔supplier price list): for each size-15 part, the minimum offered

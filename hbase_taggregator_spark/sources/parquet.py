@@ -46,7 +46,7 @@ def _normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     would lose bits above 2^53 — and truncates toward zero exactly like
     other engines' nanos→micros narrowing, so oracle comparisons agree.
     """
-    if isinstance(df.schema[ts_col].dataType, T.LongType):
+    if ts_col in df.columns and isinstance(df.schema[ts_col].dataType, T.LongType):
         return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
     return df
 

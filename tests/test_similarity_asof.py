@@ -53,6 +53,32 @@ def test_ann_scores_match_bruteforce_where_returned(spark, vecs):
         assert r["cosine"] == pytest.approx(brute[(r["query_id"], r["vec_id"])], abs=1e-12)
 
 
+def test_ivf_scores_match_bruteforce_where_returned(spark, vecs):
+    """IVF loses recall to list pruning, never accuracy: returned scores
+    equal brute force; probing every list recovers brute force exactly."""
+    brute = {(r["query_id"], r["vec_id"]): r["cosine"]
+             for r in S.cosine_topk(vecs, vecs, k=4).collect()}
+    ivf = S.ivf_topk(vecs, vecs, k=4, n_centroids=3, n_probe=2).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        assert r["cosine"] == pytest.approx(brute[(r["query_id"], r["vec_id"])], abs=1e-12)
+    # n_probe = n_centroids → every inverted list probed → exact result
+    full = {(r["query_id"], r["vec_id"]): r["cosine"]
+            for r in S.ivf_topk(vecs, vecs, k=4, n_centroids=3, n_probe=3).collect()}
+    assert full == brute
+
+
+def test_lsh_neardup_is_exact_within_buckets(spark, vecs):
+    """The LSH-composed near-dup operator returns a subset of the exact
+    pairs with identical scores (prefilter only prunes, never rescores)."""
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in S.neardup_pairs(vecs, 0.9).collect()}
+    approx = S.lsh_neardup_pairs(vecs, 0.9, n_planes=4, dim=3).collect()
+    for r in approx:
+        assert r["cosine"] == pytest.approx(exact[(r["id_a"], r["id_b"])], abs=1e-12)
+    assert {(r["id_a"], r["id_b"]) for r in approx} <= set(exact)
+
+
 def test_multiprobe_recall_superset(spark, vecs):
     """Multi-probe LSH probes Hamming-1 neighbor buckets: its result set
     contains the single-probe results and can only add pairs (recall is
