@@ -61,6 +61,13 @@ HEADLINE = [
     "similarity_lsh_neardup_pairs",
     "q2_min_cost_supplier",
     "q9_profit_by_nation_year",
+    # wave 10: corpus-pipeline text ops, funnel, q18, sink round-trip
+    "text_repetition_features",
+    "text_pattern_counts",
+    "corpus_train_val_split",
+    "funnel_click_to_purchase_1h",
+    "q18_large_orders",
+    "sink_partitioned_roundtrip",
 ]
 
 

@@ -88,3 +88,85 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     text. Stable across engines; the key for exact dedup."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out_col, F.md5(norm))
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Repetition signals — the standard boilerplate/low-quality detector
+    for pretraining corpora: the share of the document covered by its most
+    frequent word n-gram, and the distinct/total n-gram ratio. A spammy
+    page repeating one phrase scores high top-share and low distinct ratio.
+
+    Relational formulation: explode n-grams (NOT distinct — counts matter),
+    count per (doc, gram), then one aggregation per doc. Shuffle carries
+    (doc, gram) partial counts — map-side combine keeps it bounded."""
+    toks = tokens(text_col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    exploded = df.select(F.col("doc_id"), F.explode(grams).alias("g"))
+    per_gram = exploded.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_gram_count"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "top_gram_count",
+        (F.col("top_gram_count").cast("double") / F.col("n_grams"))
+        .alias("top_gram_share"),
+        (F.col("n_distinct_grams").cast("double") / F.col("n_grams"))
+        .alias("distinct_gram_ratio"),
+    )
+
+
+#: pattern-count surface signals (PII-adjacent filtering): portable regexes
+#: that mean the same thing to Spark (Java) and DuckDB (RE2) engines.
+PATTERNS: dict[str, str] = {
+    "n_emails": r"[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "n_urls": r"https?://[^\s]+",
+    "n_digits_runs": r"[0-9]{4,}",
+}
+
+
+def pattern_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count PII-adjacent surface patterns (emails, URLs, long digit runs)
+    per document — the cheap pre-filter before a real PII pipeline. Pure
+    projection (regexp_count is codegen'd)."""
+    out = df
+    for name, pat in PATTERNS.items():
+        out = out.withColumn(
+            name, F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 0))
+        )
+    return out
+
+
+def train_val_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_fraction: float = 0.1,
+    buckets: int = 1000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic hash-based train/validation assignment: bucket =
+    md5(id) mod ``buckets``; the first ``val_fraction·buckets`` buckets are
+    validation. Engine-portable (md5, not Spark-private hash), stable under
+    reruns/appends — the property that matters when the corpus is rebuilt:
+    a document never migrates between splits."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long") % buckets
+    )
+    threshold = int(val_fraction * buckets)
+    return df.withColumn("split_bucket", bucket).withColumn(
+        out_col,
+        F.when(F.col("split_bucket") < threshold, F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    )

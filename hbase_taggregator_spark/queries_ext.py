@@ -1727,6 +1727,216 @@ _register(
 )
 
 
+# ---------------------------------------------------------------------------
+# wave 10 (round 2): repetition/PII/train-val text ops, funnel analytics,
+# q18 shape, sink round-trip
+# ---------------------------------------------------------------------------
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: top-bigram share + distinct-gram ratio per
+    document (the standard repetition quality filter for pretraining
+    corpora)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.repetition_features(docs, n=2)
+
+
+_register(
+    "text_repetition_features",
+    _q_repetition,
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                       i -> array_to_string(toks[i:i+1], ' '))) AS g
+          FROM t),
+    pg AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    pd AS (SELECT doc_id,
+                  CAST(SUM(c) AS BIGINT) AS n_grams,
+                  CAST(MAX(c) AS BIGINT) AS top_gram_count,
+                  COUNT(*) AS n_distinct_grams
+           FROM pg GROUP BY 1)
+    SELECT doc_id, n_grams, top_gram_count,
+           CAST(top_gram_count AS DOUBLE) / n_grams AS top_gram_share,
+           CAST(n_distinct_grams AS DOUBLE) / n_grams AS distinct_gram_ratio
+    FROM pd
+    """,
+)
+
+
+def _q_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-adjacent surface-pattern counts (emails, URLs, long digit runs)
+    — portable regexes, identical in Java and RE2 engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.pattern_counts(docs).select(
+        "doc_id", "n_emails", "n_urls", "n_digits_runs"
+    )
+
+
+_register(
+    "text_pattern_counts",
+    _q_patterns,
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{X.PATTERNS["n_emails"]}')) AS n_emails,
+           len(regexp_extract_all(lower(text), '{X.PATTERNS["n_urls"]}')) AS n_urls,
+           len(regexp_extract_all(lower(text), '{X.PATTERNS["n_digits_runs"]}')) AS n_digits_runs
+    FROM documents
+    """,
+)
+
+
+def _q_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val split: md5-bucket assignment that
+    never migrates a document between splits across corpus rebuilds."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.train_val_split(docs, val_fraction=0.1, buckets=1000).select(
+        "doc_id", "split_bucket", "split"
+    )
+
+
+_register(
+    "corpus_train_val_split",
+    _q_train_val,
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000 AS split_bucket
+      FROM documents)
+    SELECT doc_id, split_bucket,
+           CASE WHEN split_bucket < 100 THEN 'val' ELSE 'train' END AS split
+    FROM b
+    """,
+)
+
+
+def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence/funnel analytics: per user, the share of clicks followed by
+    a purchase within 1 hour. The click→purchase probe is a time-banded
+    semi-join per user (shuffle on user_id only; the band bounds the per-key
+    fan-out)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("ct"), "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("pt")
+    )
+    converted = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pt") > F.col("ct"))
+        & (F.col("pt") <= F.col("ct") + 3600 * US),
+        "left_semi",
+    )
+    n_clicks = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+    n_conv = converted.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_converted"))
+    return (
+        n_clicks.join(n_conv, "user_id", "left")
+        .select(
+            "user_id",
+            "n_clicks",
+            F.coalesce("n_converted", F.lit(0)).cast("long").alias("n_converted"),
+            (F.coalesce("n_converted", F.lit(0)).cast("double") / F.col("n_clicks"))
+            .alias("conversion_rate"),
+        )
+    )
+
+
+_register(
+    "funnel_click_to_purchase_1h",
+    _q_funnel_conversion,
+    f"""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS ct, event_id FROM events
+      WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, epoch_us(ts) AS pt FROM events
+      WHERE event_type = 'purchase'),
+    conv AS (
+      SELECT c.user_id, c.event_id FROM c
+      WHERE EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                    AND p.pt > c.ct AND p.pt <= c.ct + {3600 * US})),
+    nc AS (SELECT user_id, COUNT(*) AS n_clicks FROM c GROUP BY 1),
+    nv AS (SELECT user_id, COUNT(*) AS n_converted FROM conv GROUP BY 1)
+    SELECT nc.user_id, n_clicks,
+           CAST(COALESCE(n_converted, 0) AS BIGINT) AS n_converted,
+           CAST(COALESCE(n_converted, 0) AS DOUBLE) / n_clicks AS conversion_rate
+    FROM nc LEFT JOIN nv ON nc.user_id = nv.user_id
+    """,
+)
+
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: orders whose total lineitem quantity exceeds a
+    threshold — aggregate-then-having feeding a dimension join (the
+    classic group-filter-join pipeline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+_register(
+    "q18_large_orders",
+    _q18_large_orders,
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 250)
+    SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+    """,
+)
+
+
+def _q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink gate: write the corpus partitioned by language with small-file
+    control (sources/sinks.py), read the directory layout back, aggregate.
+    Any loss/duplication in the partitioned write breaks the count match;
+    the oracle aggregates the source directly."""
+    import tempfile
+
+    from hbase_taggregator_spark.sources.sinks import write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/docs_by_lang"
+        write_partitioned(docs, path, ["lang"], files_per_partition=2)
+        back = spark.read.parquet(path)
+        agg = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        out = spark.createDataFrame(agg.collect(), agg.schema)
+    return out
+
+
+_register(
+    "sink_partitioned_roundtrip",
+    _q_sink_roundtrip,
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+
+
 def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value histogram with fixed-width bins (integer floor math — the same
     portable bucket algebra as the time axis, applied to the value axis)."""
