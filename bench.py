@@ -68,6 +68,13 @@ HEADLINE = [
     "funnel_click_to_purchase_1h",
     "q18_large_orders",
     "sink_partitioned_roundtrip",
+    # wave 11: remaining TPC-H shapes
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_customer_balance",
 ]
 
 

@@ -635,7 +635,7 @@ from hbase_taggregator_spark.functions.decoders import (  # noqa: E402
     decode_value,
     encode_value,
 )
-from hbase_taggregator_spark.queries import _davg, _dsum  # noqa: E402
+from hbase_taggregator_spark.queries import DEC, _davg, _dsum, _sql_dsum  # noqa: E402
 
 
 def _q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1957,5 +1957,260 @@ _register(
     SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bin_idx, COUNT(*) AS n,
            MIN(value) AS bin_min, MAX(value) AS bin_max
     FROM events GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# wave 11: remaining TPC-H relational shapes, adapted to this schema
+# (no partsupp / commitdate / comment columns in the fixture tables)
+# ---------------------------------------------------------------------------
+
+
+def _q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: per-priority counts of orders that had a late-shipped
+    lineitem (EXISTS with a cross-table inequality). Spark plans the EXISTS
+    as a left-semi hash join on l_orderkey with the inequality as a join
+    residual — shuffle on the orderkey only, no fan-out."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'")
+        & F.expr("o_orderdate < TIMESTAMP_NTZ'1997-04-01 00:00:00'")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_register(
+    "q4_order_priority",
+    _q4_priority_count,
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY 1
+    """,
+)
+
+
+def _q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 shape: customer order-count distribution — LEFT OUTER join
+    (customers with zero orders must appear with c_count=0) feeding a second
+    aggregation over the first's result. Two shuffles: custkey, then the
+    tiny c_count domain."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_register(
+    "q13_customer_distribution",
+    _q13_cust_distribution,
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY 1)
+    SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY 1
+    """,
+)
+
+
+def _q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape: distinct-supplier counts per part attribute triple,
+    with an anti-join exclusion list (negative-balance suppliers stand in
+    for the complaint filter). part is broadcast; the distinct rides the
+    (brand, type, size) shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & ~F.col("p_type").startswith("PROMO")
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    ok = li.join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        ok.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_register(
+    "q16_parts_supplier_counts",
+    _q16_supplier_counts,
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+
+
+def _q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: lineitems below 20% of their part's average quantity
+    (correlated aggregate, decorrelated into a per-part aggregate rejoin).
+    The boundary predicate is decimal algebra — ``qty * 5 * cnt < sum`` —
+    so both engines evaluate it exactly (no double-division ulp at the
+    threshold). Per-part stats are built only for the target brand's parts,
+    then broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_li = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    stats = brand_li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty_dec"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).select(F.col("l_partkey").alias("s_partkey"), "sum_qty_dec", "cnt")
+    small = brand_li.join(
+        F.broadcast(stats), F.col("l_partkey") == F.col("s_partkey")
+    ).filter(
+        F.col("l_quantity").cast(DEC) * 5 * F.col("cnt") < F.col("sum_qty_dec")
+    )
+    return small.agg(
+        (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0)
+        .alias("avg_yearly")
+    )
+
+
+_register(
+    "q17_small_quantity_revenue",
+    _q17_small_quantity,
+    """
+    WITH brand_li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#23'),
+    stats AS (
+      SELECT l_partkey AS s_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sum_qty_dec,
+             COUNT(*) AS cnt
+      FROM brand_li GROUP BY 1)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM brand_li JOIN stats ON l_partkey = s_partkey
+    WHERE CAST(l_quantity AS DECIMAL(28,6)) * 5 * cnt < sum_qty_dec
+    """,
+)
+
+
+def _q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: OR-of-ANDs predicate across both join sides. The
+    common conjunct (the partkey equi-join) stays the join key; the
+    disjunction is a residual filter — Catalyst does not turn it into a
+    cartesian. Brand/size bands hit three disjoint part subsets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_register(
+    "q19_disjunctive_revenue",
+    _q19_disjunctive,
+    f"""
+    SELECT {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+
+
+def _q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape: customers above the average positive balance with no
+    recent orders — scalar aggregate subquery + anti-join, grouped by a
+    synthetic country code (every fixture customer has *some* order, so the
+    idleness cutoff is date-scoped). The scalar threshold is broadcast as a
+    1-row frame; the boundary compare is decimal ``bal * n > sum`` (exact on
+    both engines)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ'2000-01-01 00:00:00'")
+    )
+    thresh = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("sum_pos"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal").cast(DEC) * F.col("n_pos") > F.col("sum_pos"))
+    )
+    idle = rich.join(
+        orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    return idle.groupBy(
+        (F.col("c_custkey") % 7).alias("cntrycode")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        _dsum("c_acctbal", "totacctbal"),
+    )
+
+
+_register(
+    "q22_idle_customer_balance",
+    _q22_idle_customers,
+    f"""
+    WITH t AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS sum_pos,
+             COUNT(*) AS n_pos
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_custkey % 7 AS cntrycode, COUNT(*) AS numcust,
+           {_sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer, t
+    WHERE CAST(c_acctbal AS DECIMAL(28,6)) * n_pos > sum_pos
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
     """,
 )
