@@ -75,6 +75,10 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q22_idle_customer_balance",
+    # wave 12: chunking, packing, quantization
+    "corpus_doc_chunks",
+    "corpus_pack_sequences",
+    "embedding_quantize_int8",
 ]
 
 

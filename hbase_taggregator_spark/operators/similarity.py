@@ -334,3 +334,40 @@ def ann_lsh_topk(
     return top_k_per_group(
         scored, [query_id_col], "cosine", k, descending=True, tiebreak=[id_col]
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: ``scale = 127 / max|v|``,
+    ``q_i = floor(v_i * scale + 0.5)`` — the storage/bandwidth reduction
+    step before shipping embeddings to an ANN index. Rounding is expressed
+    as floor(+0.5), which both engines evaluate identically (round() HALF
+    semantics differ between engines); all other math is IEEE double ops
+    with one deterministic result.
+
+    ``max_abs`` is a map-side array_max over the un-exploded vector (one
+    shallow higher-order function — deep nested lambda trees are what breaks
+    codegen), so the only shuffle is the final per-vector aggregation of the
+    exploded components. Emits exact integer summaries (L1 norm,
+    position-weighted checksum) so the oracle can verify every quantized
+    component without comparing arrays."""
+    max_abs = F.array_max(
+        F.transform(F.col(vec_col), lambda v: F.abs(v.cast("double")))
+    )
+    scale = F.when(max_abs > 0, 127.0 / max_abs).otherwise(F.lit(1.0))
+    ex = df.select(
+        id_col,
+        F.size(vec_col).alias("n_dims"),
+        scale.alias("scale"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    )
+    q = F.floor(F.col("v").cast("double") * F.col("scale") + 0.5).cast("long")
+    return (
+        ex.groupBy(id_col, "n_dims", "scale")
+        .agg(
+            F.sum(F.abs(q)).alias("q_l1"),
+            F.sum(q * (F.col("pos") + 1)).alias("q_checksum"),
+        )
+        .select(id_col, "n_dims", "scale", "q_l1", "q_checksum")
+    )

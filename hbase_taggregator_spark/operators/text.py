@@ -170,3 +170,78 @@ def train_val_split(
             F.lit("train")
         ),
     )
+
+
+def doc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-tokenization chunking step for context-length-bounded
+    training. Chunk starts advance by ``chunk_tokens - overlap``; the last
+    window may be short; empty docs yield no chunks.
+
+    Pure map-side: sequence + transform + posexplode, no shuffle. Integer
+    chunk-count algebra (no float ceil) so both engines agree exactly."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # 1 chunk for n <= chunk_tokens, else 1 + ceil((n-chunk)/stride), in ints
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        1
+        + F.greatest(
+            F.lit(0),
+            ((n - chunk_tokens + stride - 1) / stride).cast("int"),
+        )
+    )
+    starts = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    with_toks = df.select("doc_id", toks.alias("toks"), F.posexplode(starts))
+    chunk = F.slice(F.col("toks"), F.col("col") * stride + 1, chunk_tokens)
+    return with_toks.select(
+        "doc_id",
+        F.col("col").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_len: int = 256,
+    n_shards: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Concatenate-then-split sequence packing: documents are laid out in
+    deterministic order and cut into ``ctx_len``-token bins; each document
+    is assigned the bin where its first token lands. Packing runs
+    independently per md5 shard — the window's partition key — so at 100 TB
+    every shard packs in parallel instead of one global sort."""
+    nt = token_count(text_col)
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % n_shards
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = df.select(F.col("doc_id"), shard.alias("shard"), nt.alias("n_tokens"))
+    d = d.withColumn(
+        "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return d.select(
+        "shard",
+        (F.col("start_tok") / ctx_len).cast("long").alias("bin_idx"),
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+    )

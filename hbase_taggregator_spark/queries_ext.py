@@ -2214,3 +2214,105 @@ _register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# wave 12: training-pipeline structure ops — chunking, packing, quantization
+# ---------------------------------------------------------------------------
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token windows, 8-token overlap (stride
+    24); every chunk carries an md5 fingerprint so the oracle verifies the
+    exact token content of every window, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.doc_chunks(docs, chunk_tokens=32, overlap=8)
+
+
+_register(
+    "corpus_doc_chunks",
+    _q_doc_chunks,
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) <= 0 THEN 0
+                      ELSE 1 + greatest(0,
+                           CAST((len(toks) - 32 + 24 - 1) // 24 AS INT)) END
+                   AS n_chunks
+          FROM t),
+    e AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+          FROM c WHERE n_chunks > 0)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           len(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32])
+             AS n_chunk_tokens,
+           md5(array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32],
+                               ' ')) AS chunk_fp
+    FROM e
+    """,
+)
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-split sequence packing into 256-token bins over 16
+    md5 shards — each shard packs independently (the window partition key),
+    so the layout parallelizes instead of requiring one global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.pack_sequences(docs, ctx_len=256, n_shards=16)
+
+
+_register(
+    "corpus_pack_sequences",
+    _q_pack_sequences,
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 16 AS shard,
+             len({_SQL_TOKENS}) AS n_tokens
+      FROM documents),
+    w AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_tok
+      FROM d)
+    SELECT shard, start_tok // 256 AS bin_idx, doc_id, n_tokens, start_tok
+    FROM w
+    """,
+)
+
+
+def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus with exact
+    integer verification columns (L1, position-weighted checksum)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_int8(emb)
+
+
+_register(
+    "embedding_quantize_int8",
+    _q_quantize,
+    """
+    WITH idx AS (
+      SELECT vec_id, embedding, len(embedding) AS n_dims,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings),
+    ex AS (SELECT vec_id, n_dims, i,
+                  CAST(embedding[i] AS DOUBLE) AS v FROM idx),
+    mx AS (SELECT vec_id, n_dims, MAX(ABS(v)) AS max_abs
+           FROM ex GROUP BY 1, 2),
+    s AS (SELECT vec_id, n_dims,
+                 CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 1.0 END
+                   AS scale
+          FROM mx)
+    SELECT e.vec_id, s.n_dims, s.scale,
+           CAST(SUM(ABS(CAST(FLOOR(v * scale + 0.5) AS BIGINT))) AS BIGINT)
+             AS q_l1,
+           CAST(SUM(CAST(FLOOR(v * scale + 0.5) AS BIGINT) * e.i) AS BIGINT)
+             AS q_checksum
+    FROM ex e JOIN s USING (vec_id)
+    GROUP BY 1, 2, 3
+    """,
+)
