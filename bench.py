@@ -79,6 +79,11 @@ HEADLINE = [
     "corpus_doc_chunks",
     "corpus_pack_sequences",
     "embedding_quantize_int8",
+    # wave 13: skew-safe distinct, range-band join, grouping sets, best-dup
+    "skew_salted_distinct_users",
+    "range_band_join_value",
+    "grouping_sets_status_priority",
+    "dedup_keep_best_quality",
 ]
 
 

@@ -126,3 +126,68 @@ def grouping_cube(df: DataFrame, cols: list[str], *aggs: Column) -> DataFrame:
     for c in cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit("(all)")))
     return out
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    distinct_col: str,
+    out_col: str = "n_distinct",
+    salt: int = 16,
+) -> DataFrame:
+    """COUNT(DISTINCT x) per group, salted for hot groups.
+
+    Plain count-distinct shuffles every (group, x) pair to the group's
+    single reducer — a hot group becomes one straggler task. Salting by a
+    hash *of the distinct column* splits each group ``salt`` ways while
+    keeping the partial counts disjoint (the same x always lands in the
+    same salt bucket), so stage 2 just SUMs the partials: exact, no
+    overlap, and the hot group's work spreads across ``salt`` tasks.
+
+    Two shuffles either way; the salted form bounds the largest task by
+    1/``salt`` of the hottest group.
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(F.col(distinct_col)), F.lit(salt))
+    )
+    partial = salted.groupBy(*group_cols, "__salt").agg(
+        F.countDistinct(distinct_col).alias("__partial")
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.sum("__partial").cast("long").alias(out_col)
+    )
+
+
+def range_band_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    grid: int,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Interval join (``lo <= value < hi``) rewritten as an equi-join.
+
+    A naive inequality join is a broadcast-nested-loop — every fact row
+    probes every band. When band boundaries lie on a ``grid``, each band
+    covers ``(hi-lo)/grid`` buckets: explode the (small) band side into its
+    covered buckets, join on ``floor(value/grid)``, and keep the exact
+    range predicate as a residual. The fact side never fans out; the
+    explode factor lives entirely on the dimension side.
+    """
+    bucket = F.floor(F.col(value_col) / grid).cast("long")
+    b = bands.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / grid).cast("long"),
+                F.floor((F.col(hi_col) - 1) / grid).cast("long"),
+            )
+        ),
+    )
+    j = fact.withColumn("__bucket", bucket).join(
+        F.broadcast(b), "__bucket"
+    )
+    return j.filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    ).drop("__bucket")

@@ -2316,3 +2316,137 @@ _register(
     GROUP BY 1, 2, 3
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# wave 13: skew-safe distinct, range-band join, grouping sets, best-survivor
+# dedup
+# ---------------------------------------------------------------------------
+
+from hbase_taggregator_spark.operators.relational import (  # noqa: E402
+    range_band_join,
+    salted_count_distinct,
+)
+
+
+def _q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via disjoint-salt partial counts —
+    the skew-safe COUNT(DISTINCT) form. Exact by construction (each user
+    hashes to one salt bucket), so it shares a plain-SQL oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count_distinct(
+        ev, ["event_type"], "user_id", out_col="n_users", salt=16
+    )
+
+
+_register(
+    "skew_salted_distinct_users",
+    _q_salted_distinct,
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+
+
+def _q_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join rewritten as an equi-join on a grid bucket: events
+    joined to value bands without a nested-loop — the band side explodes
+    into covered buckets, the fact side never fans out."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0, 100, "low"), (100, 250, "mid"), (250, 500, "high")],
+        "lo INT, hi INT, band STRING",
+    )
+    j = range_band_join(ev, bands, "value", grid=25)
+    return j.groupBy("band", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum("value", "sum_value"),
+    )
+
+
+_register(
+    "range_band_join_value",
+    _q_range_band,
+    f"""
+    WITH bands(lo, hi, band) AS (VALUES (0, 100, 'low'), (100, 250, 'mid'),
+                                        (250, 500, 'high'))
+    SELECT band, lo, hi, COUNT(*) AS n_events,
+           {_sql_dsum('value')} AS sum_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY 1, 2, 3
+    """,
+)
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube) through the
+    SQL API, with grouping flags so subtotal rows are unambiguous."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                 AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+_register(
+    "grouping_sets_status_priority",
+    _q_grouping_sets,
+    """
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+
+
+def _q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the *best* duplicate (longest, then lowest id)
+    instead of an arbitrary one — survivor selection is an argmax per
+    fingerprint group, one shuffle on the 16-byte fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = X.fingerprint(docs)
+    nt = X.token_count("text")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("fp").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = fp.select("doc_id", "fp", nt.alias("n_tokens")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return ranked.filter(F.col("rn") == 1).select("doc_id", "fp", "n_tokens")
+
+
+_register(
+    "dedup_keep_best_quality",
+    _q_dedup_best,
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+             len({_SQL_TOKENS}) AS n_tokens
+      FROM documents),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+                    ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM t)
+    SELECT doc_id, fp, n_tokens FROM r WHERE rn = 1
+    """,
+)

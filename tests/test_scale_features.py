@@ -150,3 +150,52 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS b_li")
         spark.sql("DROP TABLE IF EXISTS b_ord")
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_salted_count_distinct_exact(spark):
+    """Disjoint-salt partials must reproduce COUNT(DISTINCT) exactly —
+    the same user always hashes to the same salt bucket, so partials never
+    overlap."""
+    from hbase_taggregator_spark.operators.relational import (
+        salted_count_distinct,
+    )
+
+    ev = load_table(spark, SF, "events")
+    plain = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: r["n_users"]
+        for r in salted_count_distinct(
+            ev, ["event_type"], "user_id", out_col="n_users", salt=8
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_range_band_join_matches_inequality_join(spark):
+    """The grid-bucket rewrite must emit exactly the rows of the naive
+    inequality join, and its plan must be a broadcast hash join (no
+    nested loop)."""
+    from hbase_taggregator_spark.operators.relational import range_band_join
+
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [(0, 100, "low"), (100, 250, "mid"), (250, 500, "high")],
+        "lo INT, hi INT, band STRING",
+    )
+    naive = ev.join(
+        bands, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    fast = range_band_join(ev, bands, "value", grid=25)
+    assert fast.count() == naive.count()
+    assert (
+        sorted(r["event_id"] for r in fast.collect())
+        == sorted(r["event_id"] for r in naive.collect())
+    )
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
