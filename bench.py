@@ -84,6 +84,10 @@ HEADLINE = [
     "range_band_join_value",
     "grouping_sets_status_priority",
     "dedup_keep_best_quality",
+    # wave 14: streaming sinks and joins
+    "streaming_foreachbatch_sink",
+    "streaming_static_join_segments",
+    "streaming_stream_join_pairs",
 ]
 
 

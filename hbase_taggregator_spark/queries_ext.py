@@ -2450,3 +2450,135 @@ _register(
     SELECT doc_id, fp, n_tokens FROM r WHERE rn = 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# wave 14: streaming sinks and joins — foreachBatch parquet, stream-static,
+# stream-stream
+# ---------------------------------------------------------------------------
+
+
+def _q_streaming_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → foreachBatch parquet sink: every microbatch idempotently
+    overwrites the output with the full current aggregate (the restart-safe
+    object-store sink pattern); the gate reads the final files back and must
+    match the batch oracle exactly — any duplication or loss in the sink
+    path breaks the hash."""
+    import tempfile
+
+    from hbase_taggregator_spark.streaming.timeseries_stream import (
+        run_to_parquet,
+    )
+
+    stream = replay_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    stream = stream.filter(F.unix_micros("ts") < F.lit(T_WEEK * US))
+    agg = bucketed_stream_agg(
+        stream, T0, 7200, {"count": "n", "sum": "sum_value"},
+        watermark="1 hour",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        run_to_parquet(spark, agg, f"{d}/out", f"{d}/ckpt")
+        back = spark.read.parquet(f"{d}/out").select(
+            F.expr("bucket_start_us div 1000").alias("bucket_ms"),
+            "n",
+            F.col("sum_value").cast(DEC).cast("double").alias("sum_value"),
+        )
+        out = spark.createDataFrame(back.collect(), back.schema)
+    return out
+
+
+_register(
+    "streaming_foreachbatch_sink",
+    _q_streaming_foreachbatch,
+    f"""
+    SELECT {_bucket_sql(T0, 7200)} AS bucket_ms, COUNT(value) AS n,
+           {_sql_dsum('value')} AS sum_value
+    FROM events
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}
+    GROUP BY 1
+    """,
+)
+
+
+def _q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    broadcast dimension (customer keyed by user_id) — the standard
+    dimension-lookup topology; stateless per microbatch, so state is only
+    the downstream aggregate."""
+    stream = replay_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream.join(F.broadcast(cust), "user_id")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    result = run_to_memory(spark, agg, "stream_static_join_seg")
+    return result.select("c_mktsegment", "n_events")
+
+
+_register(
+    "streaming_static_join_segments",
+    _q_streaming_static_join,
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_events
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY 1
+    """,
+)
+
+
+def _q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks joined to purchases of the same
+    user within the following hour, both sides watermarked so join state is
+    evicted after the band passes. Inner join emits on match (no watermark
+    hold), so the replayed result equals the batch band-join; the memory
+    sink is aggregated in batch to per-user pair counts."""
+    clicks = replay_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    purchases = replay_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), "event_id")
+        .withWatermark("c_ts", "2 hours")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    pairs = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("stream_stream_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+        raise TimeoutError("stream-stream join did not finish")
+    sink = spark.table("stream_stream_pairs")
+    return sink.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+_register(
+    "streaming_stream_join_pairs",
+    _q_streaming_stream_join,
+    f"""
+    WITH c AS (SELECT user_id, epoch_us(ts) AS ct FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(ts) AS pt FROM events
+          WHERE event_type = 'purchase')
+    SELECT c.user_id, COUNT(*) AS n_pairs
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.pt > c.ct AND p.pt <= c.ct + {3600 * US}
+    GROUP BY 1
+    """,
+)

@@ -112,3 +112,32 @@ def run_to_memory(
         q.stop()
         raise TimeoutError(f"streaming query {query_name} did not finish")
     return spark.table(query_name)
+
+
+def run_to_parquet(
+    spark: SparkSession,
+    agg: DataFrame,
+    path: str,
+    checkpoint: str,
+    timeout_s: int = 300,
+) -> None:
+    """Execute a complete-mode streaming aggregation with a ``foreachBatch``
+    parquet sink: every microbatch idempotently overwrites ``path`` with the
+    full current result. Overwrite-by-batch is the restart-safe pattern for
+    object-store sinks without transactional append — replaying a batch
+    after a failure rewrites the same content instead of duplicating it."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(path)
+
+    q = (
+        agg.writeStream.foreachBatch(_write)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:  # pragma: no cover - guard against a hung trigger
+        q.stop()
+        raise TimeoutError("foreachBatch streaming query did not finish")

@@ -73,3 +73,68 @@ def test_media_decode_stubs_raise(spark):
         decode_image(docs)
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         sample_frames(docs)
+
+
+def test_watermark_drops_late_data(spark):
+    """Append-mode watermark semantics: an event arriving after its bucket
+    was emitted is dropped (the documented late-data policy —
+    timeseries_stream.py module docstring). Forced microbatch order via
+    file mtimes; note Spark's late filter uses the previous batch's
+    watermark, so the drop takes effect for rows arriving at least one
+    batch after the bucket's emission — the late row here lands two
+    batches after its bucket closed and must not appear anywhere."""
+    import datetime as dt
+    import glob as g
+    import os
+    import shutil
+    import tempfile
+
+    from hbase_taggregator_spark.streaming.timeseries_stream import (
+        bucketed_stream_agg,
+        replay_parquet_stream,
+    )
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m, 0)
+
+    t0 = int(dt.datetime(2024, 1, 1, 10, 0, tzinfo=dt.timezone.utc).timestamp())
+    schema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    batches = [
+        ("a", [(1, ts(10, 0), 1.0), (1, ts(10, 5), 2.0), (1, ts(13, 0), 3.0)]),
+        ("b", [(1, ts(14, 0), 4.0)]),
+        ("c", [(1, ts(10, 10), 100.0), (1, ts(18, 0), 5.0)]),  # 10:10 late
+        ("d", [(1, ts(19, 0), 6.0)]),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        for i, (name, rows) in enumerate(batches):
+            tmp = os.path.join(d, f"tmp_{name}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+            dst = os.path.join(src, f"{name}.parquet")
+            shutil.copy(g.glob(f"{tmp}/*.parquet")[0], dst)
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+        stream = replay_parquet_stream(spark, src, max_files_per_trigger=1)
+        agg = bucketed_stream_agg(
+            stream, t0, 3600, {"count": "n", "sum": "s"},
+            watermark="30 minutes",
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_drop")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        assert not q.isActive
+        got = {
+            r["bucket_start_us"]: (r["n"], r["s"])
+            for r in spark.table("late_drop").collect()
+        }
+    b0 = t0 * 1_000_000
+    # bucket 10:00 closed before the late 10:10 row arrived → it holds only
+    # the two on-time rows; the late value 100.0 is absent everywhere
+    assert got[b0] == (2, 3.0)
+    assert all(abs(s - 100.0) > 1e-9 and s < 100.0 for (_, s) in got.values())
