@@ -69,13 +69,42 @@ def scaled_decimal_decoder(scale: int) -> Callable[[Column], Column]:
 
 def scaled_decimal_encoder(scale: int) -> Callable[[Column], Column]:
     """Inverse of :func:`scaled_decimal_decoder`: decimal → unscaled long →
-    8 big-endian bytes. Exact when the input's scale ≤ ``scale``."""
+    8 big-endian bytes.
+
+    Exact when the input's scale ≤ ``scale``; inputs with more fractional
+    digits are rounded HALF_UP to ``scale`` by the decimal cast (documented
+    behavior — byte-level round-trip identity holds only for inputs already
+    at the target scale). The representable range is ``|unscaled| < 2^63``
+    (the 8-byte layout): out-of-range inputs **raise** at evaluation time
+    via ``raise_error`` instead of silently encoding NULL/garbage bytes,
+    and ``scale`` is validated like :func:`scaled_decimal_decoder`."""
+    if not 0 <= scale <= 18:
+        raise ValueError(f"scale must be in [0, 18], got {scale}")
 
     def encode(c: Column) -> Column:
+        # decimal(19,0) holds every int64 plus the first out-of-range
+        # magnitudes; anything overflowing the cast itself is also caught
+        # by the null-with-non-null-input branch below
         unscaled = (
             c.cast(f"decimal(20,{scale})") * F.lit(10**scale).cast("decimal(20,0)")
-        ).cast("long")
-        return _long_to_be_bytes(unscaled)
+        ).cast("decimal(21,0)")
+        in_range = unscaled.isNotNull() & (F.abs(unscaled) < _sign_dec())
+        checked = (
+            F.when(c.isNull(), F.lit(None).cast("long"))
+            .when(in_range, unscaled.cast("long"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"scaled_decimal_encoder(scale={scale}): value "
+                        ),
+                        F.coalesce(c.cast("string"), F.lit("?")),
+                        F.lit(" has |unscaled| >= 2^63 (8-byte layout)"),
+                    )
+                )
+            )
+        )
+        return _long_to_be_bytes(checked)
 
     return encode
 

@@ -21,7 +21,7 @@ Everything is built-in expressions — higher-order functions, no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from hbase_taggregator_spark.operators.text import fingerprint, tokens
 from hbase_taggregator_spark.util import ensure_parallelism
@@ -31,17 +31,29 @@ def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_columns: list[str] | None = None,
 ) -> DataFrame:
     """Exact near-identity dedup on the normalized-content fingerprint:
     keeps the lowest-id representative per group, annotated with the
-    duplicate count. One shuffle on the 16-byte fingerprint."""
-    return (
-        fingerprint(df, text_col, "fp")
-        .groupBy("fp")
-        .agg(
+    duplicate count. One shuffle on the 16-byte fingerprint.
+
+    ``keep_columns`` returns the surviving rows WITH those payload columns
+    attached (no caller-side re-join): the groupBy becomes a window over
+    the same fingerprint key — still exactly one shuffle — with
+    ``row_number`` picking the lowest-id survivor and a count-over-window
+    supplying ``n_duplicates``."""
+    fpd = fingerprint(df, text_col, "fp")
+    if keep_columns is None:
+        return fpd.groupBy("fp").agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("n_duplicates"),
         )
+    w = W.partitionBy("fp")
+    return (
+        fpd.withColumn("__rk", F.row_number().over(w.orderBy(id_col)))
+        .withColumn("n_duplicates", F.count(F.lit(1)).over(w))
+        .filter(F.col("__rk") == 1)
+        .select("fp", id_col, *keep_columns, "n_duplicates")
     )
 
 
@@ -119,12 +131,24 @@ def minhash_lsh_candidates(
     n_shingle: int = 3,
     k: int = 16,
     bands: int = 4,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash.
 
     rows/band-bucket pairs only — the self-join is on (band_idx, band_key),
     so the shuffle carries one row per (doc, band), and only same-bucket
     docs meet. Output: (id_a, id_b, n_shared_bands), id_a < id_b.
+
+    ``max_bucket`` is the standard LSH skew guard: the in-bucket pair count
+    is quadratic, so one hot band key (empty docs, boilerplate) becomes a
+    straggler task computing millions of pairs. Buckets with more than
+    ``max_bucket`` members are DROPPED before the self-join (their members
+    are near-certain boilerplate; exact dedup upstream catches identical
+    docs regardless — see :func:`dedup_funnel`), bounding any task's pair
+    fan-out at ``max_bucket²``. Size-1 buckets are pruned too (they cannot
+    produce a pair), which shrinks the self-join input for free. ``None``
+    disables the guard. The bucket census reuses the (band_idx, band_key)
+    partitioning the self-join needs anyway — no extra shuffle pattern.
     """
     rows_per_band = k // bands
     sig = minhash_signatures(df, text_col, id_col, n_shingle, k)
@@ -142,6 +166,16 @@ def minhash_lsh_candidates(
             )
         ).alias("band_idx", "band_key"),
     )
+    bucket_n = with_bands.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    cap = (
+        F.col("__bn") <= max_bucket if max_bucket is not None else F.lit(True)
+    )
+    ok = bucket_n.filter((F.col("__bn") >= 2) & cap).select(
+        "band_idx", "band_key"
+    )
+    with_bands = with_bands.join(ok, ["band_idx", "band_key"])
     a, b = with_bands.alias("a"), with_bands.alias("b")
     return (
         a.join(
@@ -209,6 +243,7 @@ def dedup_funnel(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """The full near-dup funnel, composed end-to-end the 100 TB-safe way
     (module docstring steps 2+4 as ONE plan):
@@ -226,7 +261,9 @@ def dedup_funnel(
     set — the quadratic verify stage of :func:`jaccard_pairs` never runs on
     the whole corpus.
     """
-    cand = minhash_lsh_candidates(df, text_col, id_col, n_shingle, k, bands)
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, n_shingle, k, bands, max_bucket
+    )
     sh = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), n_shingle)).alias("sh"),

@@ -169,19 +169,32 @@ def range_band_join(
     """Interval join (``lo <= value < hi``) rewritten as an equi-join.
 
     A naive inequality join is a broadcast-nested-loop — every fact row
-    probes every band. When band boundaries lie on a ``grid``, each band
-    covers ``(hi-lo)/grid`` buckets: explode the (small) band side into its
-    covered buckets, join on ``floor(value/grid)``, and keep the exact
-    range predicate as a residual. The fact side never fans out; the
-    explode factor lives entirely on the dimension side.
+    probes every band. Each band covers every grid bucket intersecting
+    ``[lo, hi)``: explode the (small) band side into its covered buckets,
+    join on ``floor(value/grid)``, and keep the exact range predicate as a
+    residual. The fact side never fans out; the explode factor lives
+    entirely on the dimension side.
+
+    Bucket bounds hold for ANY (possibly fractional) ``lo``/``hi``: the top
+    covered bucket is ``ceil(hi/grid) - 1`` (a fractional ``hi`` still
+    reaches into its enclosing bucket; ``floor((hi-1)/grid)`` would skip it
+    and silently drop matches). Degenerate bands (``hi <= lo``) match no
+    value under the half-open predicate and are dropped up front —
+    otherwise ``sequence()`` would emit a *descending* bucket list for
+    them. Bounds are computed in DECIMAL so int64-magnitude boundaries
+    don't round through double division.
     """
     bucket = F.floor(F.col(value_col) / grid).cast("long")
-    b = bands.withColumn(
+    # decimal(28,9) / decimal(12,0) keeps 19 fractional digits after Spark's
+    # precision-loss adjustment — floor/ceil stay exact for any boundary
+    # with <=9 fractional digits (double division would not, at int64 scale)
+    grid_dec = F.lit(grid).cast("decimal(12,0)")
+    b = bands.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(lo_col) / grid).cast("long"),
-                F.floor((F.col(hi_col) - 1) / grid).cast("long"),
+                F.floor(F.col(lo_col).cast("decimal(28,9)") / grid_dec).cast("long"),
+                (F.ceil(F.col(hi_col).cast("decimal(28,9)") / grid_dec) - 1).cast("long"),
             )
         ),
     )

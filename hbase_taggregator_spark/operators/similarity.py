@@ -73,10 +73,16 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus
-    vectors (excluding itself when ids collide). Broadcast×corpus product
-    stays map-side; the per-query top-k is one window shuffle."""
+    vectors. Broadcast×corpus product stays map-side; the per-query top-k
+    is one window shuffle.
+
+    ``exclude_self=True`` (the recall-gate default) drops corpus rows whose
+    id equals the query id — correct when queries are drawn FROM the corpus
+    id space. Pass ``False`` for an unrelated query table, where an id
+    collision would otherwise wrongly exclude a legitimate neighbor."""
     q = with_norm(
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
@@ -84,9 +90,12 @@ def cosine_topk(
         "__qvec",
         "__qnrm",
     )
+    pair_cond = (
+        F.col(query_id_col) != F.col(id_col) if exclude_self else F.lit(True)
+    )
     scored = (
         with_norm(ensure_parallelism(corpus), vec_col)
-        .join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+        .join(F.broadcast(q), pair_cond)
         .withColumn(
             "cosine",
             dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnrm") * F.col("nrm")),
@@ -134,6 +143,7 @@ def lsh_neardup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Embedding near-dup pairs with the LSH prefilter COMPOSED in: only
     same-bucket pairs are scored (an equi-join on the bucket key), so the
@@ -141,8 +151,20 @@ def lsh_neardup_pairs(
     the shuffle carries one row per vector and the pair fan-out is bounded
     per bucket. Approximate by construction (cross-bucket pairs are
     missed); sign-LSH buckets make the miss rate shrink with cosine →
-    threshold."""
+    threshold.
+
+    ``max_bucket`` caps in-bucket quadratic fan-out the same way as
+    :func:`hbase_taggregator_spark.operators.dedup.minhash_lsh_candidates`:
+    buckets with more members (degenerate/boilerplate embeddings — e.g.
+    all-zero vectors hashing together) are dropped before the self-join,
+    and size-1 buckets are pruned (no pair possible). ``None`` disables."""
     b = lsh_bucket(with_norm(ensure_parallelism(df), vec_col), vec_col, n_planes, dim)
+    bucket_n = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
+    cap = (
+        F.col("__bn") <= max_bucket if max_bucket is not None else F.lit(True)
+    )
+    ok = bucket_n.filter((F.col("__bn") >= 2) & cap).select("bucket")
+    b = b.join(ok, "bucket")
     a = b.select(
         "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         F.col("nrm").alias("__na"),
@@ -207,28 +229,90 @@ def ivf_assign(
     n_probe: int = 1,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by cosine
-    (IVF coarse quantization). The centroid set is tiny → broadcast; the
-    per-vector scoring is map-side (corpus never shuffles); the only
-    shuffle is the per-vector top-n_probe window on ``id_col``.
+    (IVF coarse quantization) — **entirely map-side, zero shuffle**.
 
-    Deterministic: ties broken by centroid id. Output:
-    (id_col, vec_col, nrm, cent_id, cent_rank)."""
-    c = centroids.select(
-        F.col("cent_id"), F.col("cvec"), norm(F.col("cvec")).alias("cnrm")
-    )
-    scored = (
-        with_norm(df, vec_col)
-        .join(F.broadcast(c))
-        .withColumn(
-            "__ccos",
-            dot(F.col(vec_col), F.col("cvec")) / (F.col("nrm") * F.col("cnrm")),
+    The centroid set is tiny by construction, so it is materialized once at
+    plan time (one 16-row job that also computes each centroid's norm with
+    the SAME decimal-exact algebra the oracle restates) and inlined as
+    literal arrays. Each row then builds an ``array<struct<negcos,
+    cent_id>>`` over those literals and takes ``slice(array_sort(...), 1,
+    n_probe)`` — the argmax is a per-row expression, not a window. The
+    earlier formulation shuffled corpus × n_centroids rows through a
+    ``row_number`` window keyed on ``id_col``; at 100 TB that is 16× the
+    corpus through an Exchange for what a projection can compute.
+
+    Deterministic: struct sort ascending on (-cos, cent_id) = cosine
+    descending, ties by centroid id — identical ordering to the window
+    form. Output: (id_col, vec_col, nrm, cent_id), ≤ n_probe rows per id.
+    """
+    cents = (
+        centroids.select(
+            F.col("cent_id"), F.col("cvec"), norm(F.col("cvec")).alias("cnrm")
         )
+        .orderBy("cent_id")
+        .collect()
     )
-    ranked = top_k_per_group(
-        scored.select(id_col, vec_col, "nrm", "cent_id", "__ccos"),
-        [id_col], "__ccos", n_probe, descending=True, tiebreak=["cent_id"],
-    )
-    return ranked.drop("__ccos")
+    nd = with_norm(df, vec_col)
+    entries = [
+        F.struct(
+            (
+                -(
+                    dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in r["cvec"]]))
+                    / (F.col("nrm") * F.lit(float(r["cnrm"])))
+                )
+            ).alias("negcos"),
+            F.lit(r["cent_id"]).alias("cent_id"),
+        )
+        for r in cents
+    ]
+    best = F.slice(F.array_sort(F.array(*entries)), 1, n_probe)
+    return nd.select(
+        id_col, vec_col, "nrm", F.explode(best).alias("__e")
+    ).select(id_col, vec_col, "nrm", F.col("__e.cent_id").alias("cent_id"))
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd iteration(s) for IVF centroids as a relational assign→mean
+    loop: map-side nearest-centroid assignment (:func:`ivf_assign`, zero
+    shuffle) → per-(centroid, dimension) mean → rebuilt centroid arrays.
+
+    The mean is engine-portable by the same discipline as every other
+    cross-engine number here: the component sum accumulates in
+    DECIMAL(28,12) (exact, order-free), is cast to double (correctly
+    rounded in both engines), and only then divided by the count — one
+    deterministic IEEE division. Centroids that attract no vectors drop
+    out (standard Lloyd behavior; k can shrink).
+
+    Returns a (cent_id, cvec) DataFrame suitable for
+    :func:`ivf_topk`'s ``centroids`` parameter."""
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, centroids, vec_col, id_col, n_probe=1)
+        comp = (
+            assigned.select(
+                "cent_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            .groupBy("cent_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("double").cast("decimal(28,12)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        centroids = comp.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+    return centroids
 
 
 def ivf_topk(
@@ -241,6 +325,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroids: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors live in their single
     nearest centroid's inverted list; each query probes its ``n_probe``
@@ -249,9 +334,10 @@ def ivf_topk(
     query touches n_probe/n_centroids of the data.
 
     ``centroids`` defaults to the first ``n_centroids`` corpus vectors by id
-    (deterministic sampling init — same trick as k-means init; a Lloyd
-    refinement is a relational assign→mean loop the caller can run and pass
-    back in)."""
+    (deterministic sampling init — same trick as k-means init;
+    :func:`kmeans_refine` is the Lloyd assign→mean loop to improve them).
+    ``exclude_self`` as in :func:`cosine_topk`: only leave it on when query
+    ids are drawn from the corpus id space (the recall gates are)."""
     if centroids is None:
         centroids = (
             corpus.orderBy(id_col)
@@ -268,7 +354,9 @@ def ivf_topk(
     probes = probes.select(query_id_col, "__qvec", F.col("nrm").alias("__qnrm"), "cent_id")
     scored = (
         corpus_lists.join(F.broadcast(probes), "cent_id")
-        .filter(F.col(query_id_col) != F.col(id_col))
+        .filter(
+            F.col(query_id_col) != F.col(id_col) if exclude_self else F.lit(True)
+        )
         .withColumn(
             "cosine",
             dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnrm") * F.col("nrm")),
@@ -290,6 +378,7 @@ def ann_lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     multi_probe: int = 0,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
     bucket. Recall < 1 by construction; cost drops by ~2^n_planes vs brute
@@ -324,7 +413,9 @@ def ann_lsh_topk(
     scored = (
         with_norm(cb, vec_col)
         .join(F.broadcast(with_norm(qb, "__qvec", "__qnrm")), "bucket")
-        .filter(F.col(query_id_col) != F.col(id_col))
+        .filter(
+            F.col(query_id_col) != F.col(id_col) if exclude_self else F.lit(True)
+        )
         .withColumn(
             "cosine",
             dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnrm") * F.col("nrm")),
