@@ -91,23 +91,48 @@ def bucketed_stream_agg(
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int = 4):
+    """Scope ``spark.sql.shuffle.partitions`` down while a streaming query
+    STARTS (the stateful-operator partition count — hence the number of
+    state-store instances — is frozen at query start from this conf).
+
+    Local bounded replays don't need 32 state stores each paying
+    open/commit per microbatch; 4 keeps full pipelining on a laptop-class
+    gate while cutting the fixed per-batch state overhead ~8×. On a real
+    cluster the caller simply doesn't enter this scope (or passes the
+    cluster's real parallelism). Results are partitioning-independent —
+    this is a latency knob, never a semantics knob."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_to_memory(
     spark: SparkSession,
     agg: DataFrame,
     query_name: str,
     timeout_s: int = 300,
+    n_state_partitions: int = 4,
 ) -> DataFrame:
     """Execute a streaming aggregation to completion over a bounded source
     (availableNow trigger, complete mode, memory sink) and return the final
     result table — used by the batch-equivalence gate."""
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    with state_partitions(spark, n_state_partitions):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
     if q.isActive:  # pragma: no cover - guard against a hung trigger
         q.stop()
         raise TimeoutError(f"streaming query {query_name} did not finish")
@@ -120,6 +145,7 @@ def run_to_parquet(
     path: str,
     checkpoint: str,
     timeout_s: int = 300,
+    n_state_partitions: int = 4,
 ) -> None:
     """Execute a complete-mode streaming aggregation with a ``foreachBatch``
     parquet sink: every microbatch idempotently overwrites ``path`` with the
@@ -130,14 +156,15 @@ def run_to_parquet(
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(path)
 
-    q = (
-        agg.writeStream.foreachBatch(_write)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    with state_partitions(spark, n_state_partitions):
+        q = (
+            agg.writeStream.foreachBatch(_write)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
     if q.isActive:  # pragma: no cover - guard against a hung trigger
         q.stop()
         raise TimeoutError("foreachBatch streaming query did not finish")

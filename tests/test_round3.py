@@ -1,0 +1,280 @@
+"""Round-3 additions: band-join boundary correctness, encoder range
+guards, map-side IVF (plan-asserted zero-shuffle), k-means refinement,
+LSH bucket-size skew guard, window-form exact dedup, multimodal header
+decode round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_taggregator_spark import plans as P
+from hbase_taggregator_spark.functions.decoders import (
+    scaled_decimal_decoder,
+    scaled_decimal_encoder,
+)
+from hbase_taggregator_spark.operators import dedup as D
+from hbase_taggregator_spark.operators import multimodal as M
+from hbase_taggregator_spark.operators import similarity as S
+from hbase_taggregator_spark.operators.relational import range_band_join
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- range_band_join boundary handling (ADVICE r2) -------------------------
+
+
+def test_range_band_join_fractional_hi(spark):
+    """A band with fractional hi must still cover its top partial bucket
+    (ceil(hi/grid)-1, not floor((hi-1)/grid))."""
+    fact = spark.createDataFrame(
+        [(i, float(i)) for i in range(25)], "id int, v double"
+    )
+    bands = spark.createDataFrame(
+        [("frac", 5.0, 10.5), ("norm", 20.0, 22.0)],
+        "name string, lo double, hi double",
+    )
+    got = sorted(
+        (r.id, r.name)
+        for r in range_band_join(fact, bands, "v", 10).select("id", "name").collect()
+    )
+    want = sorted(
+        [(i, "frac") for i in range(5, 11)] + [(20, "norm"), (21, "norm")]
+    )
+    assert got == want
+
+
+def test_range_band_join_degenerate_band_dropped(spark):
+    """hi <= lo matches nothing under [lo, hi) — and must not trip
+    sequence()'s descending-list behavior."""
+    fact = spark.createDataFrame([(1, 7.0)], "id int, v double")
+    bands = spark.createDataFrame(
+        [("degen", 7.0, 7.0), ("inv", 9.0, 3.0)], "name string, lo double, hi double"
+    )
+    assert range_band_join(fact, bands, "v", 10).count() == 0
+
+
+# --- scaled_decimal_encoder guards (ADVICE r2) -----------------------------
+
+
+def test_encoder_validates_scale():
+    with pytest.raises(ValueError):
+        scaled_decimal_encoder(19)
+    with pytest.raises(ValueError):
+        scaled_decimal_encoder(-1)
+
+
+def test_encoder_out_of_range_raises(spark):
+    """|unscaled| >= 2^63 must fail loudly, not encode NULL bytes."""
+    df = spark.createDataFrame([(9.3e18,)], "v double")
+    with pytest.raises(Exception, match="Decimal|unscaled|2\\^63|OUT_OF_RANGE"):
+        df.select(scaled_decimal_encoder(2)(F.col("v"))).collect()
+
+
+def test_encoder_decoder_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("1234.56",), ("-0.01",), ("0.00",), (None,)], "s string"
+    )
+    orig = F.col("s").cast("decimal(20,2)")
+    rt = scaled_decimal_decoder(2)(scaled_decimal_encoder(2)(orig))
+    rows = df.select(orig.alias("orig"), rt.alias("rt")).collect()
+    for r in rows:
+        assert r.orig == r.rt
+
+
+# --- map-side IVF: zero shuffle, refinement improves the objective ---------
+
+
+def _first16_centroids(emb):
+    return (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    )
+
+
+def test_ivf_assign_is_map_side(spark):
+    """The corpus→centroid argmax is a per-row expression over inlined
+    centroids: NO Exchange anywhere in the assignment plan (the r2 form
+    shuffled corpus × n_centroids rows through a row_number window)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned = S.ivf_assign(emb, _first16_centroids(emb), n_probe=1)
+    assert P.count_nodes(assigned, "Exchange") == 0
+    assert assigned.count() == emb.count()
+
+
+def test_ivf_assign_matches_window_form(spark):
+    """Map-side argmax picks the same centroid as the explicit
+    score-everything-then-rank formulation (same cosine, same tiebreak)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    cents = _first16_centroids(emb)
+    fast = {
+        r["vec_id"]: r["cent_id"]
+        for r in S.ivf_assign(emb, cents, n_probe=1).collect()
+    }
+    import math
+
+    c = cents.collect()
+    slow = {}
+    for v in emb.select("vec_id", "embedding").collect():
+        vn = math.sqrt(sum(x * x for x in v["embedding"]))
+        scored = []
+        for cr in c:
+            cn = math.sqrt(sum(x * x for x in cr["cvec"]))
+            num = sum(a * b for a, b in zip(v["embedding"], cr["cvec"]))
+            scored.append((-(num / (vn * cn)), cr["cent_id"]))
+        slow[v["vec_id"]] = sorted(scored)[0][1]
+    assert fast == slow
+
+
+def test_kmeans_refine_improves_objective(spark):
+    """One Lloyd iteration must improve the clustering objective (mean
+    cosine of each vector to its assigned centroid) — the invariant k-means
+    optimizes. (Recall@k on the synthetic near-uniform fixture is flat by
+    construction, so the objective is the signal.)"""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    init = _first16_centroids(emb)
+
+    def objective(cents):
+        assigned = S.ivf_assign(emb, cents, n_probe=1)
+        cmap = {
+            r["cent_id"]: r["cvec"]
+            for r in cents.select("cent_id", "cvec").collect()
+        }
+        import math
+
+        tot = n = 0
+        for r in assigned.select("embedding", "cent_id").collect():
+            v, c = r["embedding"], cmap[r["cent_id"]]
+            vn = math.sqrt(sum(x * x for x in v))
+            cn = math.sqrt(sum(x * x for x in c))
+            tot += sum(a * b for a, b in zip(v, c)) / (vn * cn)
+            n += 1
+        return tot / n
+
+    refined = S.kmeans_refine(emb, init, n_iter=1)
+    assert objective(refined) > objective(init) + 0.01
+
+
+def test_exclude_self_opt_out(spark):
+    """With exclude_self=False, an id collision between an unrelated query
+    table and the corpus must NOT drop the corpus row."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with_self = S.cosine_topk(corpus, queries, k=2, exclude_self=False)
+    ids = {r["vec_id"] for r in with_self.collect()}
+    assert ids == {1, 2}
+    without = S.cosine_topk(corpus, queries, k=2, exclude_self=True)
+    assert {r["vec_id"] for r in without.collect()} == {2}
+
+
+# --- LSH bucket-size guard -------------------------------------------------
+
+
+def test_minhash_bucket_cap_bounds_skew(spark):
+    """One mega-bucket (many near-identical docs) must not explode the pair
+    count: with max_bucket set below the clique size, the hot buckets are
+    dropped and only the small-bucket pairs remain."""
+    boiler = [(i, "the same boilerplate text repeated endlessly here") for i in range(40)]
+    distinct = [
+        (100 + i, f"unique document number {i} with words {i * 17} and {i * 31}")
+        for i in range(6)
+    ]
+    near = [
+        (200, "a rare pair of documents sharing most tokens exactly"),
+        (201, "a rare pair of documents sharing most tokens exactly too"),
+    ]
+    df = spark.createDataFrame(boiler + distinct + near, "doc_id long, text string")
+    uncapped = D.minhash_lsh_candidates(df, k=8, bands=4, max_bucket=None)
+    capped = D.minhash_lsh_candidates(df, k=8, bands=4, max_bucket=10)
+    n_uncapped = uncapped.count()
+    n_capped = capped.count()
+    assert n_uncapped >= 40 * 39 // 2  # the boilerplate clique is quadratic
+    assert n_capped < 40  # cap removed the clique…
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (200, 201) in pairs  # …but kept the legitimate near-dup pair
+
+
+def test_funnel_with_cap_still_exact_on_small_buckets(spark):
+    """The funnel with a cap keeps verifying small-bucket candidates."""
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "totally different content about other things entirely"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    survivors = {
+        r.doc_id
+        for r in D.dedup_funnel(df, threshold=0.5, k=8, bands=4, max_bucket=10).collect()
+    }
+    assert survivors == {1, 3}
+
+
+# --- exact_dedup keep_columns ----------------------------------------------
+
+
+def test_exact_dedup_keep_columns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "same text", "en"),
+            (2, "same text", "de"),
+            (3, "other text", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        r.doc_id: (r.lang, r.n_duplicates)
+        for r in D.exact_dedup(df, keep_columns=["lang"]).collect()
+    }
+    assert rows == {1: ("en", 2), 3: ("fr", 1)}
+
+
+# --- multimodal header decode ----------------------------------------------
+
+
+def test_parse_image_headers_pure():
+    import struct
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + struct.pack(
+        ">II", 640, 480
+    ) + b"\x08\x06\x00\x00\x00"
+    assert M._parse_image_header(png) == ("png", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    assert M._parse_image_header(gif) == ("gif", 320, 200)
+    bmp = b"BM" + b"\x1a\x00\x00\x00" + b"\x00" * 8 + b"\x28\x00\x00\x00" + struct.pack(
+        "<ii", 1024, 768
+    )
+    assert M._parse_image_header(bmp) == ("bmp", 1024, 768)
+    jpeg = (
+        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 480, 640) + b"\x03"
+    )
+    assert M._parse_image_header(jpeg) == ("jpeg", 640, 480)
+    assert M._parse_image_header(b"garbage")[0] == "unknown"
+
+
+def test_synth_payload_roundtrip(spark):
+    """JVM-built header bytes parse back to the exact dimensions through
+    the Arrow mapInPandas boundary — for every supported format."""
+    df = spark.createDataFrame(
+        [(0, 640, 480, "png"), (1, 320, 200, "gif"), (2, 1024, 768, "bmp")],
+        "doc_id long, w int, h int, f string",
+    )
+    payload = M.synth_image_payload(F.col("w"), F.col("h"), F.col("f"))
+    out = M.decode_image(df.withColumn("payload", payload))
+    rows = {r.doc_id: (r.fmt, r.width, r.height) for r in out.collect()}
+    assert rows == {
+        0: ("png", 640, 480),
+        1: ("gif", 320, 200),
+        2: ("bmp", 1024, 768),
+    }
+
+
+def test_decode_pixels_is_env_gated(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    with pytest.raises(NotImplementedError):
+        M.decode_pixels(df)
