@@ -197,18 +197,33 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n_shingle: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
     explode distinct shingles → self-join on shingle → |A∩B| per pair →
     |A∪B| = |A|+|B|−|A∩B|. The shuffle is on the shingle, so a hot shingle
-    fans out — at 100 TB run this only on an LSH candidate set (compose with
-    :func:`minhash_lsh_candidates`) or drop top-frequency shingles.
+    fans out quadratically — at 100 TB run this only on an LSH candidate
+    set (compose with :func:`minhash_lsh_candidates`) or set
+    ``max_doc_freq``: shingles appearing in more than that many documents
+    (boilerplate) are excluded from the similarity universe — both from the
+    intersection join AND from the per-document sizes, so the result is
+    exact document-frequency-filtered Jaccard (the standard df-filter
+    semantics, restated identically by the oracle), with any shingle's pair
+    fan-out bounded by ``max_doc_freq²``.
     Jaccard is an exact rational cast to double — engine-portable."""
     sh = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), n_shingle)).alias("sh"),
     )
+    if max_doc_freq is not None:
+        ok = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(ok, "sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

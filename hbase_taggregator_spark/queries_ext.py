@@ -3172,6 +3172,38 @@ _register(
 )
 
 
+def _q_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency-filtered exact Jaccard: shingles in more than 20
+    docs (boilerplate) are excluded from the similarity universe before the
+    quadratic self-join — the df-filter skew guard for n-gram Jaccard at
+    scale (any shingle's pair fan-out bounded by max_doc_freq²). The oracle
+    restates the same filtered universe."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, threshold=0.4, max_doc_freq=20)
+
+
+_register(
+    "dedup_jaccard_df_capped",
+    _q_jaccard_df_capped,
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    sh0 AS (SELECT doc_id, unnest({_SQL_SHINGLES3}) AS s FROM t),
+    oks AS (SELECT s FROM sh0 GROUP BY 1 HAVING COUNT(*) <= 20),
+    sh AS (SELECT sh0.* FROM sh0 JOIN oks USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.4
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # gate-window ordering (round 3)
 #

@@ -68,9 +68,16 @@ def test_binary_features_match_python(spark):
 
 
 def test_media_decode_stubs_raise(spark):
+    """decode_image is real as of round 3 (pure-Python header parse — text
+    payloads classify as 'unknown'); only pixel decode and frame sampling
+    remain env-gated codec seams."""
+    from hbase_taggregator_spark.operators.multimodal import decode_pixels
+
     docs = with_binary_payload(load_table(spark, SF, "documents").limit(1))
+    meta = decode_image(docs).collect()
+    assert len(meta) == 1 and meta[0]["fmt"] == "unknown"
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_image(docs)
+        decode_pixels(docs)
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         sample_frames(docs)
 
