@@ -97,6 +97,13 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "multimodal_decode_headers",
     "dedup_exact_survivor_rows",
+    "ts_rollup_hourly_to_daily",
+    "streaming_dedup_within_watermark",
+    "dedup_jaccard_df_capped",
+    # similarity_pq_recall_at_5 is gate-only: at fixture scale its cost is
+    # ~all Catalyst/codegen compile of the m×k codebook expressions, which
+    # a throughput bench would mis-read (the compiled plan is map-side and
+    # scan-bound at real scale)
 ]
 
 #: order-of-magnitude scaling evidence: a representative subset re-timed at

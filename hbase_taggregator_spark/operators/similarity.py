@@ -462,3 +462,181 @@ def quantize_int8(
         )
         .select(id_col, "n_dims", "scale", "q_l1", "q_checksum")
     )
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact Euclidean top-k (ascending distance): the ground truth for
+    PQ/ADC recall. ||q−x||² = |q|² + |x|² − 2·q·x reuses the precomputed
+    norms and the decimal-exact dot — identical IEEE arithmetic to the
+    oracle's restatement, and still map-side over the broadcast queries."""
+    q = with_norm(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        ),
+        "__qvec",
+        "__qnrm",
+    )
+    cond = F.col(query_id_col) != F.col(id_col) if exclude_self else F.lit(True)
+    scored = (
+        with_norm(ensure_parallelism(corpus), vec_col)
+        .join(F.broadcast(q), cond)
+        .withColumn(
+            "d2",
+            F.col("__qnrm") * F.col("__qnrm")
+            + F.col("nrm") * F.col("nrm")
+            - 2 * dot(F.col("__qvec"), F.col(vec_col)),
+        )
+        .select(query_id_col, id_col, "d2")
+    )
+    return top_k_per_group(
+        scored, [query_id_col], "d2", k, descending=False, tiebreak=[id_col]
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[tuple[int, int, list[float]]]:
+    """Per-subspace codebooks for product quantization: the vector space is
+    split into ``m`` contiguous subspaces of dim/m dimensions; each
+    subspace's codebook is the sub-vectors of the first ``k`` corpus
+    vectors by id (the same deterministic sampling init as IVF — a
+    :func:`kmeans_refine`-per-subspace upgrade slots in unchanged). Code
+    ids are the source vec_ids, keeping the oracle restatement a plain
+    ``vec_id < k`` filter. Returns [(subspace, code_id, sub_vector)],
+    driver-side (m×k×(dim/m) floats — trivially broadcastable)."""
+    sub = dim // m
+    rows = (
+        corpus.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    )
+    books: list[tuple[int, int, list[float]]] = []
+    for s in range(m):
+        for r in sorted(rows, key=lambda r: r[id_col]):
+            vals = [float(x) for x in r[vec_col]][s * sub : (s + 1) * sub]
+            books.append((s, int(r[id_col]), vals))
+    return books
+
+
+def _pq_subdist(vec_col: str, s: int, sub: int, cvals: list[float]) -> Column:
+    """Decimal-accumulated squared L2 between a vector's subspace-s slice
+    and a literal codeword — exact and order-free, so SQL SUM() over the
+    same terms is bit-identical. One shallow zip_with + aggregate (not a
+    16-deep chained-cast expression: m×k of those sends Catalyst analysis
+    + codegen into the minutes — the nested-HOF trap from round 1)."""
+    seg = F.slice(F.col(vec_col), s * sub + 1, sub)
+    cl = F.array(*[F.lit(v) for v in cvals])
+    diffs = F.zip_with(
+        seg,
+        cl,
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    return _dec_sum(diffs)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """PQ encoding — per subspace, the nearest codeword id (squared-L2
+    argmin, ties by code id). Entirely map-side over inlined codebooks,
+    same zero-shuffle discipline as :func:`ivf_assign`: a 64-dim float
+    vector compresses to ``m`` small ints (the 16× storage cut that makes
+    100 TB ANN serving tractable). Output: (id_col, code_0..code_{m-1})."""
+    sub = dim // m
+    out = []
+    for s in range(m):
+        entries = [
+            F.struct(
+                _pq_subdist(vec_col, s, sub, cvals).alias("dist"),
+                F.lit(code).alias("code"),
+            )
+            for (ss, code, cvals) in codebooks
+            if ss == s
+        ]
+        out.append(F.array_sort(F.array(*entries))[0]["code"].alias(f"code_{s}"))
+    return corpus.select(id_col, *out)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance PQ top-k: the corpus is scanned as codes only
+    (m ints/vector), each query precomputes an m×n_codes lookup table of
+    exact subspace distances, and the approximate distance is the sum of
+    m table lookups — the classic ADC scheme (Jégou et al., PQ for
+    nearest neighbor search; public method). Physical shape at 100 TB:
+    codes shuffle once exploded to (id, s, code); the LUT (Q×m×n_codes
+    rows) broadcasts; the per-pair distance is a 4-term decimal-exact sum
+    — no raw vectors move after encoding."""
+    books = pq_codebooks(corpus, m, n_codes, id_col, vec_col, dim)
+    codes = pq_encode(ensure_parallelism(corpus), books, m, id_col, vec_col, dim)
+    sub = dim // m
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    lut_entries = [
+        F.struct(
+            F.lit(s).alias("s"),
+            F.lit(code).alias("code"),
+            _pq_subdist("__qvec", s, sub, cvals).alias("dist"),
+        )
+        for (s, code, cvals) in books
+    ]
+    lut = q.select(
+        query_id_col, F.explode(F.array(*lut_entries)).alias("__e")
+    ).select(
+        query_id_col,
+        F.col("__e.s").alias("s"),
+        F.col("__e.code").alias("code"),
+        F.col("__e.dist").alias("dist"),
+    )
+    code_rows = codes.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), F.col(f"code_{s}").alias("code"))
+                    for s in range(m)
+                ]
+            )
+        ).alias("__c"),
+    ).select(id_col, F.col("__c.s").alias("s"), F.col("__c.code").alias("code"))
+    scored = (
+        code_rows.join(F.broadcast(lut), ["s", "code"])
+        .filter(
+            F.col(query_id_col) != F.col(id_col) if exclude_self else F.lit(True)
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(F.col("dist").cast(DEC)).cast("double").alias("adc_dist"))
+    )
+    return top_k_per_group(
+        scored, [query_id_col], "adc_dist", k, descending=False, tiebreak=[id_col]
+    )

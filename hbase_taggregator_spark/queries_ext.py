@@ -3204,6 +3204,176 @@ _register(
 )
 
 
+def _q_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate reuse: hourly rollup maintained once, daily
+    answer re-aggregated FROM the rollup (max-of-max / sum-of-sum in
+    decimal / count-of-count, avg at read time) — never rescanning raw
+    events. The oracle aggregates the raw table directly at the daily
+    grain: decimal re-summation makes the two paths bit-identical."""
+    from hbase_taggregator_spark.operators.timeseries import continuous_rollup
+
+    events = load_table(
+        spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US)
+    )
+    _fine, coarse = continuous_rollup(events, T0, T_WEEK, 3600, 86400)
+    return coarse.select(
+        F.expr("bucket_start_us div 1000").alias("bucket_ms"),
+        "max_value", "min_value", "sum_value", "count_value", "avg_value",
+    )
+
+
+_register(
+    "ts_rollup_hourly_to_daily",
+    _q_rollup_reuse,
+    f"""
+    SELECT {{bucket}} AS bucket_ms,
+           MAX(value) AS max_value, MIN(value) AS min_value,
+           {{dsum}} AS sum_value, COUNT(value) AS count_value,
+           {{dsum}} / COUNT(value) AS avg_value
+    FROM events
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}
+    GROUP BY 1
+    """.format(bucket=_bucket_sql(T0, 86400), dsum=_sql_dsum("value")),
+)
+
+
+def _q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicatesWithinWatermark over real microbatches (the
+    4-file replay): first arrival per (user_id, event_type) key, state
+    evicted past the watermark. The watermark delay (30 days) exceeds the
+    fixture's whole time span so no key is evicted mid-replay — making the
+    RESULT deterministic (the surviving-row choice is arrival-order-
+    dependent, the distinct-key count is not) while still exercising the
+    watermarked dedup state machinery end-to-end. The oracle is the exact
+    distinct count."""
+    import tempfile
+
+    from hbase_taggregator_spark.streaming.timeseries_stream import (
+        replay_parquet_stream,
+        state_partitions,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        events.repartition(4).write.parquet(src)
+        stream = replay_parquet_stream(spark, src, max_files_per_trigger=1)
+        deduped = stream.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(
+            ["user_id", "event_type"]
+        )
+        with state_partitions(spark, 4):
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName("stream_dedup_wm")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(240)
+        if q.isActive:  # pragma: no cover
+            q.stop()
+            raise TimeoutError("dedup-within-watermark stream did not finish")
+        final = spark.table("stream_dedup_wm").agg(
+            F.count(F.lit(1)).alias("n_distinct_keys")
+        )
+        out = spark.createDataFrame(final.collect(), final.schema)
+    return out
+
+
+_register(
+    "streaming_dedup_within_watermark",
+    _q_streaming_dedup_watermark,
+    """
+    SELECT COUNT(*) AS n_distinct_keys
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    """,
+)
+
+
+def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC recall@5 against exact Euclidean top-k:
+    per-subspace codebooks (first-16 init, code id = source vec_id),
+    map-side encoding to m=4 codes, per-query distance LUT, 4-term
+    decimal-exact ADC sums. The oracle restates the whole scheme — encode
+    argmin, LUT, ADC ranking, exact-L2 ground truth — so PQ is hash-gated
+    end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    pq = S.pq_adc_topk(emb, queries, k=5, m=4, n_codes=16)
+    exact = S.l2_topk(emb, queries, k=5).select("query_id", "vec_id")
+    hits = (
+        exact.join(pq.select("query_id", "vec_id"),
+                   ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
+def _pq_recall_sql(m: int = 4, n_codes: int = 16, k: int = 5, dim: int = 64) -> str:
+    sub = dim // m
+    return f"""
+    WITH {_SQL_E},
+    sube AS (SELECT vec_id, (i - 1) // {sub} AS s, i, v FROM e),
+    cb AS (SELECT vec_id AS code, s, i, v FROM sube WHERE vec_id < {n_codes}),
+    encd AS (
+      SELECT x.vec_id, c.s, c.code,
+             CAST(SUM(CAST((x.v - c.v) * (x.v - c.v) AS DECIMAL(18,12)))
+               AS DOUBLE) AS d
+      FROM sube x JOIN cb c ON c.s = x.s AND c.i = x.i
+      GROUP BY 1, 2, 3),
+    enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d, code) AS rk
+        FROM encd) WHERE rk = 1),
+    lut AS (
+      SELECT vec_id AS query_id, s, code, d
+      FROM encd WHERE vec_id < 10),
+    adc AS (
+      SELECT l.query_id, enc.vec_id,
+             CAST(SUM(CAST(l.d AS DECIMAL(18,12))) AS DOUBLE) AS adc_dist
+      FROM enc JOIN lut l ON l.s = enc.s AND l.code = enc.code
+      WHERE l.query_id != enc.vec_id
+      GROUP BY 1, 2),
+    pq AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, vec_id) AS rk
+        FROM adc) WHERE rk <= {k}),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST(SUM(CAST(q.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id != c.vec_id
+      GROUP BY 1, 2),
+    l2s AS (
+      SELECT query_id, d.vec_id,
+             nq.nrm * nq.nrm + nc.nrm * nc.nrm - 2 * dot AS d2
+      FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+                  JOIN norms nc ON nc.vec_id = d.vec_id),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY d2, vec_id) AS rk
+        FROM l2s) WHERE rk <= {k}),
+    hits AS (
+      SELECT x.query_id, COUNT(*) AS n_hits
+      FROM exact x JOIN pq USING (query_id, vec_id) GROUP BY 1)
+    SELECT q.query_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(n_hits, 0) / {float(k)} AS recall_at_5
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+    LEFT JOIN hits ON hits.query_id = q.query_id
+    """
+
+
+_register("similarity_pq_recall_at_5", _q_pq_recall, _pq_recall_sql())
+
+
 # ---------------------------------------------------------------------------
 # gate-window ordering (round 3)
 #

@@ -278,3 +278,48 @@ def test_decode_pixels_is_env_gated(spark):
     df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
     with pytest.raises(NotImplementedError):
         M.decode_pixels(df)
+
+
+# --- continuous rollup, PQ, streaming dedup-within-watermark ---------------
+
+
+def test_continuous_rollup_matches_direct(spark):
+    """Coarse-from-fine must equal coarse-from-raw bit-for-bit (decimal
+    re-summation), and reject non-nesting intervals."""
+    from hbase_taggregator_spark.operators.timeseries import continuous_rollup
+    from hbase_taggregator_spark.queries import QUERIES, T0, T_WEEK
+    from hbase_taggregator_spark.sources.parquet import load_table
+
+    events = load_table(spark, SF, "events")
+    _fine, coarse = continuous_rollup(events, T0, T_WEEK, 3600, 86400)
+    direct_fine, direct = continuous_rollup(events, T0, T_WEEK, 86400, 86400)
+    a = {r["bucket_start_us"]: r.asDict() for r in coarse.collect()}
+    b = {r["bucket_start_us"]: r.asDict() for r in direct.collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="multiple"):
+        continuous_rollup(events, T0, T_WEEK, 3600, 4000)
+
+
+def test_pq_encode_is_map_side(spark):
+    """PQ encoding, like ivf_assign, must be a pure projection — zero
+    Exchange in the plan."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = S.pq_codebooks(emb, m=4, k=16)
+    codes = S.pq_encode(emb, books, m=4)
+    assert P.count_nodes(codes, "Exchange") == 0
+    row = codes.orderBy("vec_id").first()
+    # a codebook vector is its own nearest codeword in every subspace
+    assert [row[f"code_{s}"] for s in range(4)] == [row["vec_id"]] * 4
+
+
+def test_pq_adc_reasonable_recall(spark):
+    """ADC ranking over 4 codes must beat random: recall@5 vs exact L2 on
+    the fixture well above the ~5/N chance level."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    pq = S.pq_adc_topk(emb, queries, k=5)
+    exact = S.l2_topk(emb, queries, k=5).select("query_id", "vec_id")
+    hits = exact.join(
+        pq.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    ).count()
+    assert hits >= 10  # 50 possible; chance is ~0.5 hit at N=500
