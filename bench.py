@@ -100,6 +100,14 @@ HEADLINE = [
     "ts_rollup_hourly_to_daily",
     "streaming_dedup_within_watermark",
     "dedup_jaccard_df_capped",
+    "ts_time_weighted_avg_21600",
+    "ts_counter_rate_21600",
+    "text_bm25_retrieval",
+    "corpus_stratified_mix",
+    # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
+    # (one job per propagation round) is real algorithm cost, but at bench
+    # fixture scale the per-job scheduling floor dominates and would
+    # mis-read as operator throughput
     # similarity_pq_recall_at_5 is gate-only: at fixture scale its cost is
     # ~all Catalyst/codegen compile of the m×k codebook expressions, which
     # a throughput bench would mis-read (the compiled plan is map-side and

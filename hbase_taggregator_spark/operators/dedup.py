@@ -364,3 +364,73 @@ def simhash_table(
             F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)),
         )
     return out
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: collapse pairwise
+    near-duplicate evidence (from :func:`jaccard_pairs` /
+    :func:`dedup_funnel` / :func:`simhash_table` buckets) into duplicate
+    CLUSTERS — the step that turns "A~B, B~C" into one keep-decision for
+    {A, B, C} instead of two independent pair decisions.
+
+    Algorithm: iterative min-label propagation — every node starts labeled
+    with its own id; each round a node takes the minimum of its label and
+    its neighbors' labels; fixpoint = per-component minimum id. Each round
+    is one join + one groupBy (shuffles keyed on node id), and the loop
+    terminates after graph-diameter rounds — for dedup graphs (small, dense
+    clusters) that is a handful. ``localCheckpoint`` truncates the plan
+    lineage per round so the job graph stays flat at any scale; the
+    convergence test reuses the round's aggregate (one extra count per
+    round, the standard Spark CC shape a la GraphX/GraphFrames).
+
+    Returns (node_id, component_id, component_size) for every node that
+    appears in ``pairs`` — singletons never enter the graph.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        nxt = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("id").alias("node_id"),
+            F.col("lbl").alias("component_id"),
+            "component_size",
+        )
+    )

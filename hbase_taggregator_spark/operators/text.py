@@ -245,3 +245,115 @@ def pack_sequences(
         "n_tokens",
         "start_tok",
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BM25 relevance for a fixed term set — the corpus-level
+    keyword-retrieval primitive (quality filtering by topic words, seed-set
+    expansion, contamination checks against eval-suite terms).
+
+    Uses the *rational* Robertson idf, ``idf' = (N - df + 0.5)/(df + 0.5)
+    + 1`` — the exponential of the classic log idf. Per term it is the same
+    monotone document ordering; it is chosen because every operation in the
+    whole score (+, −, ×, ÷ on doubles) is an IEEE-754 correctly-rounded
+    primitive, so the DuckDB oracle restating the identical expression tree
+    is bit-equal — ``ln`` carries no such cross-engine guarantee. The
+    tf side is standard: ``tf·(k1+1) / (tf + k1·((1−b) + b·dl/avgdl))``.
+
+    Physical shape at 100 TB: tokens explode map-side and are FILTERED TO
+    THE QUERY TERMS before any shuffle, so the aggregation state is
+    O(docs × |terms|), never O(corpus tokens); df/N/avgdl are one tiny
+    broadcast row. Output: one row per document with ≥1 matching term —
+    (id, n_terms_matched, bm25).
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "dl", F.size("__toks")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    term_rows = base.select(
+        id_col, "dl", F.explode("__toks").alias("term")
+    ).filter(F.col("term").isin(list(query_terms)))
+    tf = term_rows.groupBy(id_col, "term", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5)) + F.lit(1.0)
+    tfn = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", idf * tfn)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum(F.col("score").cast("decimal(18,12)"))
+            .cast("double")
+            .alias("bm25"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing primitive
+    (up-/down-weight sources or languages when composing a training blend).
+    A document is kept iff ``md5(seed:stratum:id) mod buckets <
+    fraction·buckets``; strata absent from ``fractions`` are dropped.
+    Hash-based (not ``sample()``): stable under reruns, appends, and
+    repartitioning — a document never flips in or out of the blend when the
+    corpus is rebuilt. Pure map-side filter, no shuffle, engine-portable
+    md5 algebra (the oracle restates the same CASE over the same hash).
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(seed),
+                        F.col(strata_col),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    expr = None
+    for stratum, frac in sorted(fractions.items()):
+        t = int(frac * buckets)
+        cond = F.col(strata_col) == stratum
+        expr = F.when(cond, F.lit(t)) if expr is None else expr.when(cond, F.lit(t))
+    threshold = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+    return df.withColumn("mix_bucket", bucket).filter(
+        F.col("mix_bucket") < threshold
+    )

@@ -428,3 +428,161 @@ def continuous_rollup(
         .orderBy("bucket_start_us")
     )
     return fine, coarse
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    t_min: Any,
+    t_max: Any,
+    interval_s: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    series_cols: tuple[str, ...] = ("event_type",),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average per (series, bucket) — the irregular-sampling
+    aggregate (TimescaleDB ``time_weight``-style, last-observation-carried-
+    forward) the reference's row-count AVG cannot express: each observation
+    holds its value from its own timestamp until the next observation of
+    the same series within the bucket, or the bucket end. Holds do not
+    cross bucket boundaries (each bucket is summarized from the samples
+    that land in it — the choice that keeps the operator a single
+    window + groupBy, no inter-bucket carry join).
+
+    Exactness: the value is quantized ONCE to DECIMAL(18,3) — the same
+    raw-column cast class every oracle-green aggregate here uses — and
+    everything after is exact int64 algebra: unscaled(value)·dt_us summed
+    as BIGINT, converted to double only at the end (int64→double and the
+    final divide are IEEE correctly-rounded in both engines). Summing
+    double PRODUCTS through a decimal cast is NOT portable — Spark rounds
+    the exact binary expansion (BigDecimal half-up) while DuckDB scales in
+    double first, and the two disagree on computed products (observed:
+    per-term ±1e-6 at DECIMAL(28,6), final-ulp drift at DECIMAL(38,6)
+    where the unscaled sum exceeds 2^53 and DuckDB double-rounds the
+    conversion). Overflow bound: |value|·interval_us must stay below
+    9.2e15 (int64 / the 10^3 quantization) — at 1-day buckets that is
+    |value| < 1e5. Ties on the timestamp are ordered by ``tiebreak_col``
+    in both engines.
+
+    Physical shape at 100 TB: one shuffle on (series, bucket) for the lead
+    window — the same key the final groupBy uses, so Catalyst reuses the
+    partitioning and the aggregation adds no second exchange.
+    """
+    lo, hi = to_epoch_us(t_min), to_epoch_us(t_max)
+    ival = interval_s * US_PER_SECOND
+    us = F.unix_micros(F.col(ts_col))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*series_cols, "bucket_start_us").orderBy("us", tiebreak_col)
+    d = (
+        events.filter((us >= lo) & (us < hi))
+        .select(
+            *series_cols,
+            tiebreak_col,
+            us.alias("us"),
+            F.col(value_col).alias("v"),
+        )
+        .withColumn(
+            "bucket_start_us",
+            F.expr(f"{lo} + ((us - {lo}) div {ival}) * {ival}"),
+        )
+        .withColumn(
+            "dt_us",
+            F.coalesce(F.lead("us").over(w), F.col("bucket_start_us") + ival)
+            - F.col("us"),
+        )
+    )
+    return (
+        d.groupBy(*series_cols, "bucket_start_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("dt_us").alias("covered_us"),
+            F.sum(
+                F.expr("CAST(CAST(v AS DECIMAL(18,3)) * 1000 AS BIGINT)")
+                * F.col("dt_us")
+            ).alias("__wsum_u"),
+        )
+        .select(
+            *series_cols,
+            "bucket_start_us",
+            "n_points",
+            "covered_us",
+            (
+                F.col("__wsum_u").cast("double")
+                / (F.col("covered_us").cast("double") * F.lit(1000.0))
+            ).alias("twa_value"),
+        )
+        .orderBy(*series_cols, "bucket_start_us")
+    )
+
+
+def counter_rate(
+    events: DataFrame,
+    t_min: Any,
+    t_max: Any,
+    interval_s: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    series_cols: tuple[str, ...] = ("event_type",),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Monotone-counter increase/rate per (series, bucket) with reset
+    handling — Prometheus ``increase()`` semantics: per series ordered by
+    time, each observation contributes ``value - lag(value)``, or just
+    ``value`` when the delta is negative (the counter restarted from zero);
+    the first observation of a series in range has no baseline and
+    contributes nothing. Contributions are attributed to the bucket of the
+    observation. ``rate_per_s`` divides the bucket increase by the interval.
+
+    Exactness: the delta is one IEEE subtract, accumulated in
+    DECIMAL(38,6); reset counting is integer. The lag window partitions by
+    SERIES ONLY (deltas must cross bucket boundaries), so at 100 TB the
+    series key must be fine-grained (host, shard — as in any Prometheus
+    TSDB); the subsequent per-(series, bucket) groupBy is a prefix of that
+    ordering and needs no second sort.
+    """
+    lo, hi = to_epoch_us(t_min), to_epoch_us(t_max)
+    ival = interval_s * US_PER_SECOND
+    us = F.unix_micros(F.col(ts_col))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*series_cols).orderBy("us", tiebreak_col)
+    d = (
+        events.filter((us >= lo) & (us < hi))
+        .select(
+            *series_cols, tiebreak_col, us.alias("us"), F.col(value_col).alias("v")
+        )
+        .withColumn("prev", F.lag("v").over(w))
+        .withColumn("delta", F.col("v") - F.col("prev"))
+        .withColumn(
+            "contrib",
+            F.when(F.col("prev").isNull(), F.lit(None).cast("double"))
+            .when(F.col("delta") < 0, F.col("v"))
+            .otherwise(F.col("delta")),
+        )
+        .withColumn(
+            "bucket_start_us",
+            F.expr(f"{lo} + ((us - {lo}) div {ival}) * {ival}"),
+        )
+    )
+    return (
+        d.groupBy(*series_cols, "bucket_start_us")
+        .agg(
+            F.count("contrib").alias("n_deltas"),
+            F.sum(
+                F.when(F.col("delta") < 0, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_resets"),
+            F.sum(F.col("contrib").cast("decimal(38,6)")).alias("__inc"),
+        )
+        .select(
+            *series_cols,
+            "bucket_start_us",
+            "n_deltas",
+            "n_resets",
+            F.col("__inc").cast("double").alias("increase"),
+            (F.col("__inc").cast("double") / F.lit(float(interval_s))).alias(
+                "rate_per_s"
+            ),
+        )
+        .orderBy(*series_cols, "bucket_start_us")
+    )

@@ -3374,6 +3374,224 @@ def _pq_recall_sql(m: int = 4, n_codes: int = 16, k: int = 5, dim: int = 64) -> 
 _register("similarity_pq_recall_at_5", _q_pq_recall, _pq_recall_sql())
 
 
+
+# ---------------------------------------------------------------------------
+# wave 12 (round 3): TWA / counter rate, BM25 retrieval, duplicate
+# clusters (connected components), stratified data mixing
+# ---------------------------------------------------------------------------
+
+
+def _q_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per (event_type, 6h bucket): irregular-sample
+    LOCF weighting inside the bucket, decimal-exact value*dt accumulation.
+    The oracle restates the identical lead-window algebra."""
+    from hbase_taggregator_spark.operators.timeseries import time_weighted_avg
+
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))
+    return time_weighted_avg(events, T0, T_WEEK, 21600).select(
+        "event_type",
+        F.expr("bucket_start_us div 1000").alias("bucket_ms"),
+        "n_points", "covered_us", "twa_value",
+    )
+
+
+def _twa_sql(interval_s: int = 21600) -> str:
+    lo, hi, ival = T0 * US, T_WEEK * US, interval_s * US
+    return f"""
+    WITH f AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us, value,
+             {lo} + ((epoch_us(ts) - {lo}) // {ival}) * {ival} AS bus
+      FROM events
+      WHERE epoch_us(ts) >= {lo} AND epoch_us(ts) < {hi}),
+    w AS (
+      SELECT event_type, bus, value,
+             COALESCE(LEAD(us) OVER (PARTITION BY event_type, bus
+                                     ORDER BY us, event_id),
+                      bus + {ival}) - us AS dt_us
+      FROM f)
+    SELECT event_type, bus // 1000 AS bucket_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(dt_us) AS BIGINT) AS covered_us,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT)
+                    * dt_us) AS DOUBLE)
+             / (CAST(SUM(dt_us) AS DOUBLE) * 1000.0) AS twa_value
+    FROM w GROUP BY 1, 2
+    """
+
+
+_register("ts_time_weighted_avg_21600", _q_twa, _twa_sql())
+
+
+def _q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style increase()/rate() with counter-reset handling per
+    (event_type, 6h bucket); lag window partitioned by series only so
+    deltas cross bucket boundaries."""
+    from hbase_taggregator_spark.operators.timeseries import counter_rate
+
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))
+    return counter_rate(events, T0, T_WEEK, 21600).select(
+        "event_type",
+        F.expr("bucket_start_us div 1000").alias("bucket_ms"),
+        "n_deltas", "n_resets", "increase", "rate_per_s",
+    )
+
+
+def _counter_rate_sql(interval_s: int = 21600) -> str:
+    lo, hi, ival = T0 * US, T_WEEK * US, interval_s * US
+    return f"""
+    WITH f AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us, value,
+             {lo} + ((epoch_us(ts) - {lo}) // {ival}) * {ival} AS bus
+      FROM events
+      WHERE epoch_us(ts) >= {lo} AND epoch_us(ts) < {hi}),
+    w AS (
+      SELECT event_type, bus, value,
+             LAG(value) OVER (PARTITION BY event_type
+                              ORDER BY us, event_id) AS prev
+      FROM f),
+    c AS (
+      SELECT event_type, bus, value - prev AS delta,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN value - prev < 0 THEN value
+                  ELSE value - prev END AS contrib
+      FROM w)
+    SELECT event_type, bus // 1000 AS bucket_ms,
+           CAST(COUNT(contrib) AS BIGINT) AS n_deltas,
+           CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resets,
+           CAST(SUM(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE) AS increase,
+           CAST(SUM(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE)
+             / {float(interval_s)!r} AS rate_per_s
+    FROM c GROUP BY 1, 2
+    """
+
+
+_register("ts_counter_rate_21600", _q_counter_rate, _counter_rate_sql())
+
+
+_BM25_TERMS = ("spark", "vector", "merge")
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (rational-idf variant — every op an IEEE
+    correctly-rounded primitive, so the oracle is bit-equal): top-20 docs
+    for a fixed 3-term query, deterministic tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        X.bm25_scores(docs, list(_BM25_TERMS))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    base AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+    stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+              FROM base),
+    tr AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, dl, COUNT(*) AS tf FROM tr
+           WHERE term IN ({terms}) GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    sc AS (
+      SELECT tf.doc_id,
+             ((CAST(n_docs - df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+             * ((CAST(tf AS DOUBLE) * {k1 + 1.0!r})
+                / (CAST(tf AS DOUBLE)
+                   + {k1!r} * ({1.0 - b!r} + {b!r}
+                     * (CAST(dl AS DOUBLE)
+                        / (CAST(sum_dl AS DOUBLE) / n_docs))))) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+             CAST(SUM(CAST(score AS DECIMAL(18,12))) AS DOUBLE) AS bm25
+      FROM sc GROUP BY 1)
+    SELECT doc_id, n_terms_matched, bm25 FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+      FROM agg) WHERE rk <= 20
+    """
+
+
+_register("text_bm25_retrieval", _q_bm25, _bm25_sql())
+
+
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: exact-Jaccard pairs at 0.4 collapsed by
+    iterative min-label connected components; the oracle computes the same
+    components with a recursive CTE (min reachable id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.4)
+    return D.duplicate_components(pairs).select(
+        F.col("node_id").alias("doc_id"), "component_id", "component_size"
+    )
+
+
+_register(
+    "dedup_duplicate_clusters",
+    _q_dup_clusters,
+    f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES3}) AS s FROM t),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.4),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl),
+    comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id),
+    csize AS (SELECT component_id, CAST(COUNT(*) AS BIGINT)
+                AS component_size FROM comp GROUP BY 1)
+    SELECT id AS doc_id, component_id, component_size
+    FROM comp JOIN csize USING (component_id)
+    """,
+)
+
+
+_MIX_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.1, "zh": 0.05}
+
+
+def _q_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing sample: per-language keep fractions via
+    md5 bucketing — stable under rebuilds, pure map-side filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.stratified_sample(docs, "lang", _MIX_FRACTIONS).select(
+        "doc_id", "lang", "mix_bucket"
+    )
+
+
+def _mix_sql(buckets: int = 10_000) -> str:
+    whens = " ".join(
+        f"WHEN lang = '{s}' THEN {int(f * buckets)}"
+        for s, f in sorted(_MIX_FRACTIONS.items())
+    )
+    bucket = (
+        "CAST(concat('0x', substr(md5('mix:' || lang || ':' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {buckets}"
+    )
+    return f"""
+    WITH b AS (SELECT doc_id, lang, {bucket} AS mix_bucket FROM documents)
+    SELECT doc_id, lang, mix_bucket FROM b
+    WHERE mix_bucket < CASE {whens} ELSE 0 END
+    """
+
+
+_register("corpus_stratified_mix", _q_stratified_mix, _mix_sql())
+
+
 # ---------------------------------------------------------------------------
 # gate-window ordering (round 3)
 #

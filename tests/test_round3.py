@@ -323,3 +323,118 @@ def test_pq_adc_reasonable_recall(spark):
         pq.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
     ).count()
     assert hits >= 10  # 50 possible; chance is ~0.5 hit at N=500
+
+
+# --- TWA, counter rate, BM25, duplicate clusters, stratified mix -----------
+
+
+def _ts_df(spark, rows):
+    """rows: (event_id, series, epoch_s, value) -> df with TimestampType ts."""
+    return spark.createDataFrame(
+        [(i, s, t * 1_000_000, v) for (i, s, t, v) in rows],
+        "event_id long, event_type string, us long, value double",
+    ).select(
+        "event_id", "event_type",
+        F.timestamp_micros(F.col("us")).alias("ts"), "value",
+    )
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """LOCF weighting inside a bucket: v=10 holds 600s, v=20 holds the
+    remaining 300s of a 900s bucket -> twa = (10*600+20*300)/900 = 40/3."""
+    from hbase_taggregator_spark.operators.timeseries import time_weighted_avg
+
+    base = 1_704_067_200
+    df = _ts_df(spark, [
+        (1, "a", base, 10.0),
+        (2, "a", base + 600, 20.0),
+        (3, "a", base + 900, 7.0),      # second bucket, single point
+    ])
+    out = {
+        (r.event_type, r.bucket_start_us): r
+        for r in time_weighted_avg(df, base, base + 1800, 900).collect()
+    }
+    b0 = out[("a", base * 1_000_000)]
+    assert b0.n_points == 2 and b0.covered_us == 900 * 1_000_000
+    assert b0.twa_value == pytest.approx(40.0 / 3.0, rel=1e-12)
+    b1 = out[("a", (base + 900) * 1_000_000)]
+    assert b1.covered_us == 900 * 1_000_000 and b1.twa_value == 7.0
+
+
+def test_counter_rate_resets_and_buckets(spark):
+    """Deltas 3, -6(reset->2), 5 with the lag crossing a bucket boundary;
+    first observation contributes nothing."""
+    from hbase_taggregator_spark.operators.timeseries import counter_rate
+
+    base = 1_704_067_200
+    df = _ts_df(spark, [
+        (1, "c", base + 10, 5.0),
+        (2, "c", base + 20, 8.0),       # +3
+        (3, "c", base + 30, 2.0),       # reset -> +2
+        (4, "c", base + 910, 7.0),      # next bucket, delta crosses: +5
+    ])
+    out = {
+        r.bucket_start_us: r
+        for r in counter_rate(df, base, base + 1800, 900).collect()
+    }
+    b0 = out[base * 1_000_000]
+    assert (b0.n_deltas, b0.n_resets) == (2, 1)
+    assert b0.increase == 5.0
+    b1 = out[(base + 900) * 1_000_000]
+    assert (b1.n_deltas, b1.n_resets, b1.increase) == (1, 0, 5.0)
+    assert b1.rate_per_s == pytest.approx(5.0 / 900.0)
+
+
+def test_bm25_orders_by_term_frequency(spark):
+    """Same doc length: the doc with more query-term hits scores higher;
+    docs without any query term are absent."""
+    from hbase_taggregator_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark pad pad pad"),
+            (2, "spark pad pad pad pad pad"),
+            (3, "pad pad pad pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bm25_scores(docs, ["spark"]).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].bm25 > rows[2].bm25
+    assert rows[1].n_terms_matched == rows[2].n_terms_matched == 1
+
+
+def test_duplicate_components_transitive_chain(spark):
+    """A 5-node path needs several propagation rounds; min label must
+    reach the far end, and the disjoint pair stays its own component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (9, 8)], "id_a long, id_b long"
+    )
+    out = {
+        r.node_id: (r.component_id, r.component_size)
+        for r in D.duplicate_components(pairs).collect()
+    }
+    assert {out[i] for i in (1, 2, 3, 4, 5)} == {(1, 5)}
+    assert out[8] == out[9] == (8, 2)
+
+
+def test_stratified_sample_deterministic(spark):
+    """fraction 1.0 keeps the whole stratum, 0.0/absent drops it, and the
+    selection is rebuild-stable."""
+    from hbase_taggregator_spark.operators.text import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "drop") for i in range(40)],
+        "doc_id long, lang string",
+    )
+    kept = stratified_sample(docs, "lang", {"keep": 1.0, "drop": 0.0})
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [i for i in range(40) if i % 2]
+    again = sorted(
+        r.doc_id
+        for r in stratified_sample(docs, "lang", {"keep": 1.0, "drop": 0.0})
+        .collect()
+    )
+    assert again == ids
+    half = stratified_sample(docs, "lang", {"keep": 0.5}).collect()
+    assert 0 < len(half) < 20
