@@ -104,6 +104,9 @@ HEADLINE = [
     "ts_counter_rate_21600",
     "text_bm25_retrieval",
     "corpus_stratified_mix",
+    "merge_upsert_customers",
+    "text_top_terms_per_lang",
+    "layout_zorder_values",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

@@ -204,3 +204,35 @@ def range_band_join(
     return j.filter(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     ).drop("__bucket")
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+    broadcast_updates: bool = False,
+) -> DataFrame:
+    """Batch MERGE INTO semantics over immutable storage: updates win on
+    key match, unmatched base rows survive, and (optionally) update rows
+    flagged in ``delete_col`` tombstone their key instead of inserting —
+    the copy-on-write upsert every parquet-lake table format implements,
+    expressed as ``updates ∪ (base ⟕̸ updates)``. Complements the engine's
+    multi-version reads (:func:`latest_versions` keeps N historical
+    versions; ``merge_upsert`` collapses to the single current version).
+
+    Physical shape at 100 TB: one left-anti join on the merge key — set
+    ``broadcast_updates=True`` when the delta is bounded (the common CDC
+    case: daily delta ≪ base) and the anti join becomes a broadcast hash
+    join, so the base table never shuffles; otherwise both sides shuffle
+    once on the key. Deletes cost nothing extra: the tombstone filter is
+    applied to the (small) update side before the union.
+    """
+    upd_keys = updates.select(keys).distinct()
+    if broadcast_updates:
+        upd_keys = F.broadcast(upd_keys)
+    survivors = base.join(upd_keys, keys, "left_anti")
+    incoming = updates
+    if delete_col is not None:
+        incoming = updates.filter(~F.col(delete_col)).drop(delete_col)
+    return survivors.unionByName(incoming)

@@ -357,3 +357,32 @@ def stratified_sample(
     return df.withColumn("mix_bucket", bucket).filter(
         F.col("mix_bucket") < threshold
     )
+
+
+def top_terms(
+    df: DataFrame,
+    k: int = 10,
+    group_cols: tuple[str, ...] = (),
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact heavy hitters: the top-k most frequent tokens, overall or per
+    group (vocabulary heads per language/source — the frequency profile
+    step of corpus analysis). Map-side explode feeds a partial/final count
+    aggregation (shuffle carries one row per distinct (group, term) per
+    partition, never raw tokens), then one row_number window per group.
+    Deterministic: ties break on the term itself.
+    """
+    from pyspark.sql import Window
+
+    t = df.select(*group_cols, F.explode(tokens(text_col)).alias("term"))
+    counts = t.groupBy(*group_cols, "term").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("n_occurrences"), F.col("term")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, "rank", "term", "n_occurrences")
+    )

@@ -3592,6 +3592,110 @@ def _mix_sql(buckets: int = 10_000) -> str:
 _register("corpus_stratified_mix", _q_stratified_mix, _mix_sql())
 
 
+
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (copy-on-write upsert + tombstone deletes) as
+    updates-union-anti-join; the delta is broadcast so the base never
+    shuffles. Update/new/delete sets are derived deterministically from
+    the base table so the oracle restates them exactly."""
+    from hbase_taggregator_spark.operators.relational import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    upd = (
+        cust.filter((k % 7 == 0) | (k % 13 == 0))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+        .withColumn("__del", k % 13 == 0)
+    )
+    new = (
+        cust.filter(k % 97 == 0)
+        .withColumn("c_custkey", k + 1000000)
+        .withColumn("__del", F.lit(False))
+    )
+    merged = merge_upsert(
+        cust, upd.unionByName(new), ["c_custkey"],
+        delete_col="__del", broadcast_updates=True,
+    )
+    return merged.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+_register(
+    "merge_upsert_customers",
+    _q_merge_upsert,
+    """
+    WITH upd AS (
+      SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal, c_mktsegment,
+             c_custkey % 13 = 0 AS del
+      FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0),
+    newr AS (
+      SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal,
+             c_mktsegment, FALSE AS del
+      FROM customer WHERE c_custkey % 97 = 0),
+    updates AS (SELECT * FROM upd UNION ALL SELECT * FROM newr)
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM updates u
+                      WHERE u.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM updates WHERE NOT del
+    """,
+)
+
+
+def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language heavy hitters (vocabulary heads): partial/final
+    counted, deterministic term tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.top_terms(docs, k=5, group_cols=("lang",))
+
+
+_register(
+    "text_top_terms_per_lang",
+    _q_top_terms,
+    f"""
+    WITH t AS (SELECT lang, unnest({_SQL_TOKENS}) AS term FROM documents),
+    c AS (SELECT lang, term, COUNT(*) AS n_occurrences FROM t GROUP BY 1, 2)
+    SELECT lang, CAST(rk AS INT) AS rank, term, n_occurrences FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY n_occurrences DESC, term) AS rk
+      FROM c) WHERE rk <= 5
+    """,
+)
+
+
+def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, floor(value)) — the
+    multi-dimension data-skipping layout; the oracle restates the exact
+    bit interleave."""
+    from hbase_taggregator_spark.sources.layout import zvalue
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.floor("value").cast("long").alias("vbucket"),
+        )
+        .withColumn("zval", zvalue(["user_id", "vbucket"], n_bits=9))
+        .select("event_id", "user_id", "vbucket", "zval")
+    )
+
+
+def _zorder_sql() -> str:
+    from hbase_taggregator_spark.sources.layout import zvalue_sql
+
+    z = zvalue_sql(["user_id", "vbucket"], n_bits=9)
+    return f"""
+    WITH b AS (SELECT event_id, user_id,
+                      CAST(floor(value) AS BIGINT) AS vbucket FROM events)
+    SELECT event_id, user_id, vbucket, {z} AS zval FROM b
+    """
+
+
+_register("layout_zorder_values", _q_zorder, _zorder_sql())
+
+
 # ---------------------------------------------------------------------------
 # gate-window ordering (round 3)
 #

@@ -438,3 +438,84 @@ def test_stratified_sample_deterministic(spark):
     assert again == ids
     half = stratified_sample(docs, "lang", {"keep": 0.5}).collect()
     assert 0 < len(half) < 20
+
+
+# --- merge upsert, heavy hitters, z-order layout ---------------------------
+
+
+def test_merge_upsert_semantics_and_broadcast(spark):
+    """Updates win on key, unmatched base survives, tombstones delete,
+    new keys insert; with broadcast_updates the anti join must be a
+    broadcast join (base never shuffles)."""
+    from hbase_taggregator_spark.operators.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", False), (3, "c", True), (4, "d", False)],
+        "k long, v string, del boolean",
+    )
+    merged = merge_upsert(base, updates, ["k"], delete_col="del",
+                          broadcast_updates=True)
+    assert {(r.k, r.v) for r in merged.collect()} == {(1, "a"), (2, "b2"), (4, "d")}
+    assert P.count_nodes(merged, "BroadcastHashJoin") >= 1
+
+
+def test_top_terms_ties_and_k(spark):
+    """Equal counts break on the term; k limits per group."""
+    from hbase_taggregator_spark.operators.text import top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "x", "b b a a c"), (2, "y", "z z z q")],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        (r.lang, r.rank): (r.term, r.n_occurrences)
+        for r in top_terms(docs, k=2, group_cols=("lang",)).collect()
+    }
+    assert got == {
+        ("x", 1): ("a", 2), ("x", 2): ("b", 2),
+        ("y", 1): ("z", 3), ("y", 2): ("q", 1),
+    }
+
+
+def test_zvalue_hand_computed(spark):
+    """a=3 (11b), b=1 (01b) -> interleaved 0111b = 7; zero maps to zero."""
+    from hbase_taggregator_spark.sources.layout import zvalue
+
+    df = spark.createDataFrame([(3, 1), (0, 0)], "a long, b long")
+    vals = sorted(
+        r[0] for r in df.select(zvalue(["a", "b"], n_bits=2)).collect()
+    )
+    assert vals == [0, 7]
+    with pytest.raises(ValueError, match="int64"):
+        zvalue(["a", "b"], n_bits=32)
+
+
+def test_zorder_files_have_disjoint_z_ranges(spark, tmp_path):
+    """Range partitioning on the Morton key must yield per-file z ranges
+    that do not overlap — the property min/max file skipping relies on."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from hbase_taggregator_spark.sources.layout import zorder_repartition
+
+    df = spark.createDataFrame(
+        [(i, i % 37, (i * 7) % 53) for i in range(4000)],
+        "id long, a long, b long",
+    )
+    out = str(tmp_path / "z")
+    zorder_repartition(df, ["a", "b"], n_bits=6, num_partitions=4).write.parquet(out)
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        zi = md.schema.names.index("zval")
+        stats = [md.row_group(g).column(zi).statistics for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
