@@ -107,6 +107,9 @@ HEADLINE = [
     "merge_upsert_customers",
     "text_top_terms_per_lang",
     "layout_zorder_values",
+    "asof_nearest_click",
+    "corpus_negative_pairs",
+    "streaming_continuous_rollup",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

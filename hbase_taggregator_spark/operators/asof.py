@@ -28,15 +28,27 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     tolerance_us: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join (pandas ``merge_asof`` semantics: match at equal
-    timestamps allowed, latest predecessor wins).
+    """As-of join (pandas ``merge_asof`` semantics: match at equal
+    timestamps allowed in every direction).
+
+    ``direction``: 'backward' (latest right with ``r.ts <= l.ts`` — the
+    default), 'forward' (earliest right with ``r.ts >= l.ts``; the same
+    union+window linear scan, ordered descending), or 'nearest' (closer of
+    the two, ties to backward like pandas — computed as both scans over
+    the one shuffled+sorted union, then a per-column CASE; still
+    shuffle(|L|+|R|), never a theta product).
 
     ``right_cols`` defaults to all non-key, non-ts columns of ``right``.
-    With ``tolerance_us``, matches older than the tolerance are nulled out.
-    Output: all left columns + matched right columns (suffixed) +
-    ``{right_ts}{suffix}`` (the matched right timestamp).
+    With ``tolerance_us``, matches farther than the tolerance are nulled
+    out (absolute distance for 'nearest' — the closer side is chosen
+    first, then the tolerance applies, matching pandas). Output: all left
+    columns + matched right columns (suffixed) + ``{right_ts}{suffix}``
+    (the matched right timestamp).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     right_cols = right_cols or [
         c for c in right.columns if c not in on and c != right_ts
     ]
@@ -60,22 +72,59 @@ def asof_join(
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
         F.col(right_ts).alias(f"{right_ts}{suffix}"),
     )
-    # right rows sort before left rows at equal __t (0 < 1) → equal-ts match
-    w = (
+    # right rows sort before left rows at equal __t (0 < 1) → equal-ts
+    # match in the backward scan; the forward scan orders __t descending
+    # with the same tiebreak so equal-ts still matches
+    w_back = (
         W.partitionBy(*on)
         .orderBy("__t", "__is_left")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    w_fwd = (
+        W.partitionBy(*on)
+        .orderBy(F.col("__t").desc(), "__is_left")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     filled = rhs.unionByName(lhs)
-    for c in carried:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = filled.filter(F.col("__is_left") == 1)
-    if tolerance_us is not None:
-        matched_ts = F.col(f"{right_ts}{suffix}")
-        in_tol = (
-            F.unix_micros(F.col("__t")) - F.unix_micros(matched_ts)
-            <= F.lit(tolerance_us)
-        )
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
         for c in carried:
-            out = out.withColumn(c, F.when(in_tol, F.col(c)))
-    return out.withColumnRenamed("__t", left_ts).drop("__is_left")
+            filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        out = filled.filter(F.col("__is_left") == 1)
+        if tolerance_us is not None:
+            matched_ts = F.col(f"{right_ts}{suffix}")
+            dist = F.unix_micros(F.col("__t")) - F.unix_micros(matched_ts)
+            if direction == "forward":
+                dist = -dist
+            in_tol = dist <= F.lit(tolerance_us)
+            for c in carried:
+                out = out.withColumn(c, F.when(in_tol, F.col(c)))
+        return out.withColumnRenamed("__t", left_ts).drop("__is_left")
+
+    # nearest: both scans over the same shuffled union (Catalyst plans the
+    # two window sorts over one exchange on the key), then per-row choice
+    for c in carried:
+        filled = filled.withColumn(f"__b_{c}", F.last(c, ignorenulls=True).over(w_back))
+    for c in carried:
+        filled = filled.withColumn(f"__f_{c}", F.last(c, ignorenulls=True).over(w_fwd))
+    out = filled.filter(F.col("__is_left") == 1)
+    t_us = F.unix_micros(F.col("__t"))
+    b_ts = F.col(f"__b_{right_ts}{suffix}")
+    f_ts = F.col(f"__f_{right_ts}{suffix}")
+    b_dist = t_us - F.unix_micros(b_ts)
+    f_dist = F.unix_micros(f_ts) - t_us
+    use_back = b_ts.isNotNull() & (f_ts.isNull() | (b_dist <= f_dist))
+    for c in carried:
+        picked = F.when(use_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
+        out = out.withColumn(c, picked)
+    if tolerance_us is not None:
+        chosen_dist = F.when(use_back, b_dist).otherwise(f_dist)
+        for c in carried:
+            out = out.withColumn(
+                c, F.when(chosen_dist <= F.lit(tolerance_us), F.col(c))
+            )
+    return (
+        out.withColumnRenamed("__t", left_ts)
+        .drop("__is_left", *[f"__b_{c}" for c in carried],
+              *[f"__f_{c}" for c in carried])
+    )

@@ -640,3 +640,61 @@ def pq_adc_topk(
     return top_k_per_group(
         scored, [query_id_col], "adc_dist", k, descending=False, tiebreak=[id_col]
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    k: int = 4,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic pseudo-random negative sampling — ``k`` negatives per
+    anchor for contrastive training (embedding / reranker data prep),
+    WITHOUT a global index or a cross join: candidates are md5-bucketed,
+    each (anchor, i) probes one pseudo-random bucket, and the winning
+    negative is the md5-argmin inside that bucket. Rebuild-stable (pure
+    hash algebra, restated by the oracle) and shuffle-bounded: the probe
+    join fans out to the bucket size, so set ``n_buckets ≈ N / 64`` at
+    scale to keep per-probe work constant — never O(N²).
+
+    Output: (anchor, neg_idx, neg_id). Anchors whose probed bucket
+    contains only themselves yield no row for that index (rare for
+    n_buckets ≪ N; acceptable for negative sampling).
+    """
+    from hbase_taggregator_spark.operators.dedup import _hash60
+
+    sid = F.col(id_col).cast("string")
+    cand = df.select(
+        F.col(id_col).alias("neg_id"),
+        (_hash60(F.concat(F.lit(f"{seed}b:"), sid)) % n_buckets).alias("__bkt"),
+    )
+    anchors = df.select(F.col(id_col).alias("anchor")).select(
+        "anchor", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_idx")
+    )
+    sa = F.col("anchor").cast("string")
+    probes = anchors.withColumn(
+        "__bkt",
+        _hash60(
+            F.concat(F.lit(f"{seed}p:"), sa, F.lit(":"), F.col("neg_idx").cast("string"))
+        )
+        % n_buckets,
+    )
+    scored = (
+        probes.join(cand, "__bkt")
+        .filter(F.col("neg_id") != F.col("anchor"))
+        .withColumn(
+            "__rnd",
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}c:"), sa, F.lit(":"),
+                    F.col("neg_idx").cast("string"), F.lit(":"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+        )
+    )
+    return top_k_per_group(
+        scored.select("anchor", "neg_idx", "neg_id", "__rnd"),
+        ["anchor", "neg_idx"], "__rnd", 1, descending=False, tiebreak=["neg_id"],
+    ).drop("__rnd")

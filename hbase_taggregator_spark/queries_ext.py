@@ -3696,6 +3696,182 @@ def _zorder_sql() -> str:
 _register("layout_zorder_values", _q_zorder, _zorder_sql())
 
 
+
+def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas semantics: closer of backward/
+    forward, ties backward): each purchase matched to the temporally
+    nearest click of the same user. Right side pre-deduped to one click
+    per (user, ts) so both engines choose identically at duplicate
+    timestamps."""
+    from hbase_taggregator_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    joined = asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts",
+        right_cols=["click_id"], direction="nearest",
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        "event_id",
+        "click_id_right",
+        F.unix_micros("ts_right").alias("click_ts_us"),
+    )
+
+
+_register(
+    "asof_nearest_click",
+    _q_asof_nearest,
+    """
+    WITH p AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, MIN(event_id) AS click_id FROM events
+          WHERE event_type = 'click' GROUP BY 1, 2),
+    b AS (
+      SELECT p.user_id, p.ts, p.event_id, c.click_id, c.ts AS cts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+    f AS (
+      SELECT p.user_id, p.ts, p.event_id, c.click_id, c.ts AS cts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts)
+    SELECT b.user_id, epoch_us(b.ts) AS purchase_ts_us, b.event_id,
+           CASE WHEN b.cts IS NOT NULL AND (f.cts IS NULL OR
+                     epoch_us(b.ts) - epoch_us(b.cts)
+                       <= epoch_us(f.cts) - epoch_us(f.ts))
+                THEN b.click_id ELSE f.click_id END AS click_id_right,
+           CASE WHEN b.cts IS NOT NULL AND (f.cts IS NULL OR
+                     epoch_us(b.ts) - epoch_us(b.cts)
+                       <= epoch_us(f.cts) - epoch_us(f.ts))
+                THEN epoch_us(b.cts) ELSE epoch_us(f.cts) END AS click_ts_us
+    FROM b JOIN f ON f.event_id = b.event_id
+    """,
+)
+
+
+def _q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bucket-probed negative sampling: 2 negatives per
+    anchor document, md5-argmin inside a pseudo-random md5 bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    return S.negative_pairs(docs, k=2, n_buckets=16)
+
+
+def _negative_pairs_sql(k: int = 2, n_buckets: int = 16) -> str:
+    h = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+    hb = h.format(x="'negb:' || CAST(doc_id AS VARCHAR)")
+    hp = h.format(x="'negp:' || CAST(anchor AS VARCHAR) || ':' || CAST(neg_idx AS VARCHAR)")
+    return f"""
+    WITH cand AS (SELECT doc_id AS neg_id, {hb} % {n_buckets} AS bkt
+                  FROM documents),
+    anchors AS (SELECT doc_id AS anchor, unnest(generate_series(0, {k - 1}))
+                  AS neg_idx FROM documents),
+    probes AS (SELECT anchor, neg_idx, {hp} % {n_buckets} AS bkt FROM anchors),
+    scored AS (
+      SELECT anchor, neg_idx, neg_id,
+             md5('negc:' || CAST(anchor AS VARCHAR) || ':'
+                 || CAST(neg_idx AS VARCHAR) || ':'
+                 || CAST(neg_id AS VARCHAR)) AS rnd
+      FROM probes JOIN cand USING (bkt) WHERE neg_id != anchor)
+    SELECT anchor, neg_idx, neg_id FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor, neg_idx
+                                   ORDER BY rnd, neg_id) AS rk
+      FROM scored) WHERE rk = 1
+    """
+
+
+_register("corpus_negative_pairs", _q_negative_pairs, _negative_pairs_sql())
+
+
+def _q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous rollup: the HOURLY fine rollup is maintained by
+    a watermarked streaming aggregation over real microbatches (4-file
+    replay), then the DAILY answer is re-aggregated from the sink —
+    max-of-max / decimal sum-of-sum / count-of-count, bit-identical to a
+    raw daily scan (which is what the oracle computes)."""
+    import tempfile
+
+    from hbase_taggregator_spark.streaming.timeseries_stream import (
+        replay_parquet_stream,
+        state_partitions,
+    )
+
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        events.write.parquet(src, mode="overwrite")
+        stream = replay_parquet_stream(spark, src, max_files_per_trigger=1)
+        us = F.unix_micros(F.col("ts"))
+        fine = (
+            stream.filter((us >= T0 * US) & (us < T_WEEK * US))
+            .withWatermark("ts", "30 days")
+            .groupBy(F.window("ts", "3600 seconds").alias("w"))
+            .agg(
+                F.max("value").alias("max_value"),
+                F.min("value").alias("min_value"),
+                F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_dec"),
+                F.count("value").alias("count_value"),
+            )
+            .select(
+                F.unix_micros(F.col("w.start")).alias("fine_us"),
+                "max_value", "min_value", "sum_dec", "count_value",
+            )
+        )
+        with state_partitions(spark, 4):
+            q = (
+                fine.writeStream.format("memory")
+                .queryName("stream_rollup_fine")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(240)
+        if q.isActive:  # pragma: no cover
+            q.stop()
+            raise TimeoutError("streaming rollup did not finish")
+        coarse = (
+            spark.table("stream_rollup_fine")
+            .withColumn(
+                "bucket_ms",
+                F.expr(f"({T0 * US} + ((fine_us - {T0 * US}) div {86400 * US})"
+                       f" * {86400 * US}) div 1000"),
+            )
+            .groupBy("bucket_ms")
+            .agg(
+                F.max("max_value").alias("max_value"),
+                F.min("min_value").alias("min_value"),
+                F.sum("sum_dec").alias("sum_dec"),
+                F.sum("count_value").alias("count_value"),
+            )
+            .select(
+                "bucket_ms", "max_value", "min_value",
+                F.col("sum_dec").cast("double").alias("sum_value"),
+                F.col("count_value").cast("long").alias("count_value"),
+            )
+        )
+        out = spark.createDataFrame(coarse.collect(), coarse.schema)
+    return out
+
+
+_register(
+    "streaming_continuous_rollup",
+    _q_streaming_rollup,
+    f"""
+    SELECT {{bucket}} AS bucket_ms,
+           MAX(value) AS max_value, MIN(value) AS min_value,
+           {{dsum}} AS sum_value, COUNT(value) AS count_value
+    FROM events
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}
+    GROUP BY 1
+    """.format(bucket=_bucket_sql(T0, 86400), dsum=_sql_dsum("value")),
+)
+
+
 # ---------------------------------------------------------------------------
 # gate-window ordering (round 3)
 #

@@ -519,3 +519,50 @@ def test_zorder_files_have_disjoint_z_ranges(spark, tmp_path):
     assert len(ranges) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+# --- as-of directions, negative sampling -----------------------------------
+
+
+def test_asof_directions_and_nearest_tie(spark):
+    from hbase_taggregator_spark.operators.asof import asof_join
+
+    left = _ts_df(spark, [(1, "u", 100, 0.0)]).select("event_id", "event_type", "ts")
+    right = _ts_df(
+        spark, [(91, "u", 97, 0.0), (92, "u", 102, 0.0)]
+    ).select("event_type", "ts", F.col("event_id").alias("rid"))
+
+    def match(direction, tol=None):
+        out = asof_join(
+            left, right, ["event_type"], "ts", "ts",
+            right_cols=["rid"], direction=direction, tolerance_us=tol,
+        ).collect()[0]
+        return out["rid_right"]
+
+    assert match("backward") == 91
+    assert match("forward") == 92
+    assert match("nearest") == 92          # 2s forward beats 3s backward
+    assert match("nearest", tol=1_000_000) is None  # 2s > 1s tolerance
+    # exact tie -> backward, like pandas
+    right_tie = _ts_df(
+        spark, [(91, "u", 98, 0.0), (92, "u", 102, 0.0)]
+    ).select("event_type", "ts", F.col("event_id").alias("rid"))
+    out = asof_join(
+        left, right_tie, ["event_type"], "ts", "ts",
+        right_cols=["rid"], direction="nearest",
+    ).collect()[0]
+    assert out["rid_right"] == 91
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, ["event_type"], "ts", "ts", direction="sideways")
+
+
+def test_negative_pairs_deterministic_no_self(spark):
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    a = S.negative_pairs(docs, k=3, n_buckets=4).collect()
+    b = S.negative_pairs(docs, k=3, n_buckets=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(r.neg_id != r.anchor for r in a)
+    assert {r.neg_idx for r in a} == {0, 1, 2}
+    # one winner per (anchor, idx)
+    keys = [(r.anchor, r.neg_idx) for r in a]
+    assert len(keys) == len(set(keys))
