@@ -110,6 +110,7 @@ HEADLINE = [
     "asof_nearest_click",
     "corpus_negative_pairs",
     "streaming_continuous_rollup",
+    "multimodal_frame_sample",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

@@ -3872,6 +3872,40 @@ _register(
 )
 
 
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over the Arrow boundary: synthetic byte-real
+    containers demuxed by actual header parsing + offset math; every-2nd
+    frame fingerprinted. The oracle regenerates the same frames from the
+    construction algebra — a parsing bug cannot hash-match."""
+    from hbase_taggregator_spark.operators.multimodal import (
+        sample_frames,
+        synth_video_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    vids = docs.withColumn("payload", synth_video_payload(F.col("doc_id")))
+    return sample_frames(vids, every_n=2)
+
+
+_register(
+    "multimodal_frame_sample",
+    _q_frame_sample,
+    """
+    WITH n AS (SELECT doc_id, 4 + doc_id % 5 AS nf FROM documents),
+    idx AS (SELECT doc_id,
+                   unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2))
+                     AS frame_idx
+            FROM n)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(16 AS INT) AS frame_len,
+           md5(upper(md5('frame:' || CAST(doc_id AS VARCHAR) || ':'
+                         || CAST(frame_idx AS VARCHAR)))) AS frame_fp
+    FROM idx
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # gate-window ordering (round 3)
 #

@@ -566,3 +566,22 @@ def test_negative_pairs_deterministic_no_self(spark):
     # one winner per (anchor, idx)
     keys = [(r.anchor, r.neg_idx) for r in a]
     assert len(keys) == len(set(keys))
+
+
+def test_sample_frames_demux_and_magic_guard(spark):
+    """Every-2nd-frame sampling demuxes the right offsets (doc 3 -> 7
+    frames -> idx 0,2,4,6) and foreign containers fail loudly."""
+    from hbase_taggregator_spark.operators.multimodal import (
+        sample_frames,
+        synth_video_payload,
+    )
+
+    df = spark.createDataFrame([(3,)], "doc_id long").withColumn(
+        "payload", synth_video_payload(F.col("doc_id"))
+    )
+    rows = sample_frames(df, every_n=2).collect()
+    assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 2, 4, 6]
+    assert all(r.frame_len == 16 for r in rows)
+    bad = spark.createDataFrame([(1, b"RIFFxxxx")], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="magic"):
+        sample_frames(bad, every_n=2).collect()
