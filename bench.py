@@ -111,6 +111,8 @@ HEADLINE = [
     "corpus_negative_pairs",
     "streaming_continuous_rollup",
     "multimodal_frame_sample",
+    "bloom_runtime_filter_orders",
+    "sketch_count_min_estimates",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

@@ -3906,6 +3906,85 @@ _register(
 )
 
 
+
+def _q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom join-pruning: BUILDING-segment customer keys build an
+    8192-bit filter; orders are pruned MAP-SIDE (zero shuffle, no join
+    node) before any exact join would run. Deterministic md5 bit algebra —
+    the oracle reproduces the exact survivor set including false
+    positives."""
+    from hbase_taggregator_spark.operators.sketch import bloom_filter_semi
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    kept = bloom_filter_semi(orders, cust, "o_custkey", "c_custkey")
+    return kept.select("o_orderkey", "o_custkey")
+
+
+def _bloom_sql(m: int = 8192, k: int = 3) -> str:
+    from hbase_taggregator_spark.operators.sketch import bloom_sql_positions
+
+    bpos = ", ".join(bloom_sql_positions("c_custkey", m, k))
+    ppos = ", ".join(bloom_sql_positions("o_custkey", m, k))
+    return f"""
+    WITH bpos AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([{bpos}]) AS pos
+        FROM customer WHERE c_mktsegment = 'BUILDING')),
+    ppos AS (
+      SELECT o_orderkey, o_custkey, unnest([{ppos}]) AS pos FROM orders),
+    ok AS (
+      SELECT o_orderkey FROM ppos JOIN bpos USING (pos)
+      GROUP BY o_orderkey HAVING COUNT(*) = {k})
+    SELECT o_orderkey, o_custkey FROM orders JOIN ok USING (o_orderkey)
+    """
+
+
+_register("bloom_runtime_filter_orders", _q_bloom_filter, _bloom_sql())
+
+
+_CMS_TERMS = ("spark", "table", "zebra")
+
+
+def _q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates over corpus token occurrences
+    (m=64 buckets forces real collisions — overcounts are part of the
+    deterministic semantics and the oracle reproduces them)."""
+    from hbase_taggregator_spark.operators.sketch import (
+        count_min_lookup,
+        count_min_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.tokens("text")).alias("term"))
+    sk = count_min_sketch(toks, "term", m=64, d=4)
+    keys = spark.createDataFrame([(t,) for t in _CMS_TERMS], "term string")
+    return count_min_lookup(sk, keys, "term", m=64, d=4)
+
+
+def _cms_sql(m: int = 64, d: int = 4) -> str:
+    terms = ", ".join(f"('{t}')" for t in _CMS_TERMS)
+    h = ("CAST(concat('0x', substr(md5('cms:' || CAST(i AS VARCHAR) || ':' "
+         "|| term), 1, 15)) AS BIGINT)")
+    return f"""
+    WITH occ AS (SELECT unnest({_SQL_TOKENS}) AS term FROM documents),
+    ii AS (SELECT unnest(generate_series(0, {d - 1})) AS i),
+    counters AS (
+      SELECT i, {h} % {m} AS b, COUNT(*) AS counter
+      FROM occ, ii GROUP BY 1, 2),
+    q(term) AS (VALUES {terms}),
+    qpos AS (SELECT term, i, {h} % {m} AS b FROM q, ii)
+    SELECT term, MIN(COALESCE(counter, 0)) AS cm_estimate
+    FROM qpos LEFT JOIN counters USING (i, b)
+    GROUP BY term
+    """
+
+
+_register("sketch_count_min_estimates", _q_count_min, _cms_sql())
+
+
 # ---------------------------------------------------------------------------
 # gate-window ordering (round 3)
 #

@@ -585,3 +585,40 @@ def test_sample_frames_demux_and_magic_guard(spark):
     bad = spark.createDataFrame([(1, b"RIFFxxxx")], "doc_id long, payload binary")
     with pytest.raises(Exception, match="magic"):
         sample_frames(bad, every_n=2).collect()
+
+
+# --- sketches: bloom runtime filter, count-min -----------------------------
+
+
+def test_bloom_filter_no_false_negatives_map_side(spark):
+    """Every true member survives; the probe plan has no join and no
+    exchange (pure map-side runtime filter); m validation fails loudly."""
+    from hbase_taggregator_spark.operators.sketch import bloom_filter_semi
+
+    build = spark.createDataFrame([(i,) for i in range(0, 100, 7)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    kept = bloom_filter_semi(probe, build, "k", "k", m=1024, k=3)
+    got = {r.k for r in kept.collect()}
+    assert set(range(0, 100, 7)) <= got          # no false negatives
+    assert len(got) < 100                        # actually filters
+    assert P.count_nodes(kept, "Exchange") == 0
+    assert P.count_nodes(kept, "Join") == 0
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_filter_semi(probe, build, "k", "k", m=100)
+
+
+def test_count_min_overcounts_only_exact_when_wide(spark):
+    """Estimates never undercount; with m large vs keys they are exact."""
+    from hbase_taggregator_spark.operators.sketch import (
+        count_min_lookup,
+        count_min_sketch,
+    )
+
+    occ = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)], "term string"
+    )
+    sk = count_min_sketch(occ, "term", m=4096, d=4)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "term string")
+    got = {r.term: r.cm_estimate for r in count_min_lookup(sk, keys, "term", m=4096, d=4).collect()}
+    assert got["a"] == 5 and got["b"] == 3 and got["c"] == 1
+    assert got["zz"] >= 0
