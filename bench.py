@@ -113,6 +113,9 @@ HEADLINE = [
     "multimodal_frame_sample",
     "bloom_runtime_filter_orders",
     "sketch_count_min_estimates",
+    "udaf_weighted_mean_cents",
+    "ts_linear_trend_per_type",
+    "ts_rolling_zscore_outliers",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

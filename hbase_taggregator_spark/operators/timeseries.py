@@ -586,3 +586,111 @@ def counter_rate(
         )
         .orderBy(*series_cols, "bucket_start_us")
     )
+
+
+def linear_trend(
+    events: DataFrame,
+    t_min: Any,
+    t_max: Any,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    series_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Per-series least-squares trend (slope per second + fit size) — the
+    drift/degradation detector over metric series. Closed form
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` evaluated ENTIRELY in
+    exact int64 sums: x = seconds since t_min (int), y = value quantized
+    to cents (the same DECIMAL portability boundary as
+    :func:`time_weighted_avg`). The moment SUMS are exact int64 (bound:
+    Σx² ≤ 9.2e18 — holds through ~1e6 rows/series over a week; decimal
+    sums when beyond); the CROSS terms (n·Σxy − Σx·Σy, …) are evaluated
+    in double — int64→double is one correctly-rounded conversion and
+    ·,−,÷ are IEEE correctly rounded, so the result is engine-portable
+    where int64 cross products would silently wrap (n·Σx² overflows at
+    ~100k rows/series) and big-decimal→double conversions diverge
+    cross-engine. One partial/final aggregation — the moments are the
+    classic distributive aggregate, no window, no second pass. Output
+    slope is in VALUE UNITS per second (cents rescaled)."""
+    lo, hi = to_epoch_us(t_min), to_epoch_us(t_max)
+    us = F.unix_micros(F.col(ts_col))
+    x = F.expr(f"(unix_micros(`{ts_col}`) - {lo}) div {US_PER_SECOND}")
+    y = F.expr(f"CAST(CAST(`{value_col}` AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    d = (
+        events.filter((us >= lo) & (us < hi))
+        .select(*series_cols, x.alias("x"), y.alias("y"))
+        .groupBy(*series_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    dn = F.col("n").cast("double")
+    dsx = F.col("sx").cast("double")
+    dsy = F.col("sy").cast("double")
+    num = dn * F.col("sxy").cast("double") - dsx * dsy
+    den = dn * F.col("sxx").cast("double") - dsx * dsx
+    return d.select(
+        *series_cols,
+        "n",
+        (num / den / F.lit(100.0)).alias("slope_per_s"),
+    ).orderBy(*series_cols)
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    t_min: Any,
+    t_max: Any,
+    window_rows: int = 20,
+    threshold: float = 2.0,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    series_cols: tuple[str, ...] = ("event_type",),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Rolling z-score outlier detection per series: each observation is
+    scored against the mean/stddev of its trailing ``window_rows``-row
+    frame (population variance, the frame includes the row itself);
+    |z| ≥ threshold rows are flagged. The moment sums run over
+    cent-quantized int64 (exact, order-free under the deterministic
+    (ts, tiebreak) frame ordering), and the z expression uses only
+    correctly-rounded double ops (÷, −, ·, sqrt) — restated verbatim by
+    the oracle. One shuffle on the series key; rows with zero frame
+    variance are not flagged (z undefined)."""
+    lo, hi = to_epoch_us(t_min), to_epoch_us(t_max)
+    us = F.unix_micros(F.col(ts_col))
+    from pyspark.sql import Window as W
+
+    y = F.expr(f"CAST(CAST(`{value_col}` AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    w = (
+        W.partitionBy(*series_cols)
+        .orderBy("us", tiebreak_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    d = (
+        events.filter((us >= lo) & (us < hi))
+        .select(
+            *series_cols, tiebreak_col, us.alias("us"), y.alias("cy"),
+            F.col(value_col).alias("v"),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("sy", F.sum("cy").over(w))
+        .withColumn("syy", F.sum(F.col("cy") * F.col("cy")).over(w))
+    )
+    n, sy, syy, cy = F.col("n"), F.col("sy"), F.col("syy"), F.col("cy")
+    var_num = (n * syy - sy * sy).cast("double")
+    z = (cy.cast("double") - sy.cast("double") / n) / F.sqrt(
+        var_num / (n.cast("double") * n)
+    )
+    return (
+        d.withColumn("zscore", z)
+        .filter(
+            ((n * syy - sy * sy) > 0)
+            & (F.abs(F.col("zscore")) >= F.lit(threshold))
+        )
+        .select(
+            *series_cols, tiebreak_col, "us", "v", "n", "zscore"
+        )
+    )

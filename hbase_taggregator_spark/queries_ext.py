@@ -3985,6 +3985,126 @@ def _cms_sql(m: int = 64, d: int = 4) -> str:
 _register("sketch_count_min_estimates", _q_count_min, _cms_sql())
 
 
+
+def _q_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow grouped-agg UDAF surface: pandas Series -> int64 weighted
+    cents sum inside groupBy().agg(), mean derived JVM-side. Integer
+    accumulation keeps the Python-side sum order-free."""
+    from hbase_taggregator_spark.functions.udafs import (
+        int_sum,
+        weighted_cents_sum,
+    )
+
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))
+    d = events.withColumn("w", (F.col("event_id") % 5 + 1).cast("long"))
+    agg = d.groupBy("event_type").agg(
+        weighted_cents_sum("value", "w").alias("wsum_cents"),
+        int_sum("w").alias("total_w"),
+    )
+    return agg.select(
+        "event_type", "wsum_cents", "total_w",
+        (F.col("wsum_cents").cast("double") / F.lit(100.0)
+         / F.col("total_w")).alias("weighted_mean"),
+    )
+
+
+_register(
+    "udaf_weighted_mean_cents",
+    _q_udaf_weighted_mean,
+    f"""
+    SELECT event_type,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                    * (event_id % 5 + 1)) AS BIGINT) AS wsum_cents,
+           CAST(SUM(event_id % 5 + 1) AS BIGINT) AS total_w,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                    * (event_id % 5 + 1)) AS BIGINT)
+             / 100.0 / CAST(SUM(event_id % 5 + 1) AS BIGINT) AS weighted_mean
+    FROM events
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}
+    GROUP BY 1
+    """,
+)
+
+
+def _q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares slope from exact int64 moments, cross
+    terms in deterministic double arithmetic."""
+    from hbase_taggregator_spark.operators.timeseries import linear_trend
+
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))
+    return linear_trend(events, T0, T_WEEK)
+
+
+_register(
+    "ts_linear_trend_per_type",
+    _q_linear_trend,
+    f"""
+    WITH d AS (
+      SELECT event_type,
+             (epoch_us(ts) - {T0 * US}) // 1000000 AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM events
+      WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}),
+    mo AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM d GROUP BY 1)
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / 100.0 AS slope_per_s
+    FROM mo
+    """,
+)
+
+
+def _q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-row z-score outliers per series (population variance
+    over cent-quantized int64 frame sums; |z| >= 2 flagged)."""
+    from hbase_taggregator_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))
+    return rolling_zscore_anomalies(events, T0, T_WEEK).select(
+        "event_type", "event_id", "us", "v", "n", "zscore"
+    )
+
+
+_register(
+    "ts_rolling_zscore_outliers",
+    _q_rolling_zscore,
+    f"""
+    WITH d AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us, value AS v,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cy
+      FROM events
+      WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}),
+    w AS (
+      SELECT event_type, event_id, us, v, cy,
+             COUNT(*) OVER fr AS n,
+             CAST(SUM(cy) OVER fr AS BIGINT) AS sy,
+             CAST(SUM(cy * cy) OVER fr AS BIGINT) AS syy
+      FROM d
+      WINDOW fr AS (PARTITION BY event_type ORDER BY us, event_id
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT event_type, event_id, us, v, n,
+           (CAST(cy AS DOUBLE) - CAST(sy AS DOUBLE) / n)
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * n)) AS zscore
+    FROM w
+    WHERE n * syy - sy * sy > 0
+      AND abs((CAST(cy AS DOUBLE) - CAST(sy AS DOUBLE) / n)
+              / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * n))) >= 2.0
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # gate-window ordering (round 3)
 #

@@ -622,3 +622,47 @@ def test_count_min_overcounts_only_exact_when_wide(spark):
     got = {r.term: r.cm_estimate for r in count_min_lookup(sk, keys, "term", m=4096, d=4).collect()}
     assert got["a"] == 5 and got["b"] == 3 and got["c"] == 1
     assert got["zz"] >= 0
+
+
+# --- pandas UDAF, linear trend, rolling z-score ----------------------------
+
+
+def test_udaf_weighted_cents_order_free(spark):
+    from hbase_taggregator_spark.functions.udafs import int_sum, weighted_cents_sum
+
+    df = spark.createDataFrame(
+        [("g", 1.10, 2), ("g", 2.25, 3), ("g", 0.05, 1)],
+        "g string, v double, w long",
+    ).repartition(3)
+    r = df.groupBy("g").agg(
+        weighted_cents_sum("v", "w").alias("s"), int_sum("w").alias("tw")
+    ).collect()[0]
+    assert r.s == 110 * 2 + 225 * 3 + 5 * 1
+    assert r.tw == 6
+
+
+def test_linear_trend_recovers_known_slope(spark):
+    """y = 0.5*x + 3 exactly (cents-exact values) -> slope 0.5/s."""
+    from hbase_taggregator_spark.operators.timeseries import linear_trend
+
+    base = 1_704_067_200
+    rows = [(i, "s", base + i, 3.0 + 0.5 * i) for i in range(0, 100, 7)]
+    df = _ts_df(spark, rows)
+    out = linear_trend(df, base, base + 1000).collect()[0]
+    assert out.n == len(rows)
+    assert out.slope_per_s == pytest.approx(0.5, rel=1e-9)
+
+
+def test_rolling_zscore_flags_spike(spark):
+    """A flat series with one spike flags exactly the spike."""
+    from hbase_taggregator_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    base = 1_704_067_200
+    rows = [(i, "s", base + i, 10.0) for i in range(30)]
+    rows[20] = (20, "s", base + 20, 90.0)
+    df = _ts_df(spark, rows)
+    got = rolling_zscore_anomalies(df, base, base + 100, threshold=2.0).collect()
+    assert [r.event_id for r in got] == [20]
+    assert got[0].zscore > 2
