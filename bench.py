@@ -116,6 +116,7 @@ HEADLINE = [
     "udaf_weighted_mean_cents",
     "ts_linear_trend_per_type",
     "ts_rolling_zscore_outliers",
+    "ts_lttb_downsample_50",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

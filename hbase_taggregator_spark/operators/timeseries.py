@@ -694,3 +694,90 @@ def rolling_zscore_anomalies(
             *series_cols, tiebreak_col, "us", "v", "n", "zscore"
         )
     )
+
+
+def lttb_downsample(
+    events: DataFrame,
+    n_out: int = 100,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    series_cols: tuple[str, ...] = ("event_type",),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per series — the
+    visualization/profiling reducer (Steinarsson 2013, public method) that
+    keeps the n_out points preserving the series' shape: endpoints always
+    survive; each interior bucket keeps the point forming the largest
+    triangle with the PREVIOUSLY SELECTED point and the next bucket's
+    centroid. That backward dependency makes the selection inherently
+    sequential, so this is the grouped-map (``applyInPandas``) corner of
+    the UDF surface: one Python pass per series, Arrow-batched, series
+    partitioned by the groupBy key — at 100 TB each series downsamples
+    independently in parallel and the output is n_out rows/series
+    regardless of input size.
+
+    Determinism: areas compare as exact INTEGER cross products (x in µs
+    int64, y in cents int64 — doubled-triangle area, no float), centroids
+    as exact rational sums (compared via cross-multiplication), ties
+    broken toward the earliest (ts, tiebreak) point.
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{c} string" for c in series_cols]
+        + [f"{tiebreak_col} long", "ts_us long", "value double"]
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__us", tiebreak_col]).reset_index(drop=True)
+        n = len(pdf)
+        xs = pdf["__us"].to_numpy()
+        ys = pdf["__cy"].to_numpy()
+        if n <= n_out:
+            idx = list(range(n))
+        else:
+            # bucket boundaries over the interior points (exact int math)
+            interior = n - 2
+            nb = n_out - 2
+            bounds = [1 + (interior * b) // nb for b in range(nb + 1)]
+            idx = [0]
+            prev = 0
+            for b in range(nb):
+                lo, hi = bounds[b], bounds[b + 1]
+                nlo, nhi = (bounds[b + 1], bounds[b + 2]) if b + 1 < nb else (n - 1, n)
+                # next bucket centroid as exact rationals (sx/m, sy/m)
+                m = nhi - nlo
+                csx = int(xs[nlo:nhi].sum())
+                csy = int(ys[nlo:nhi].sum())
+                best, best_area = lo, -1
+                ax, ay = int(xs[prev]), int(ys[prev])
+                for i in range(lo, hi):
+                    # |(ax-cx)(by-ay) - (ax-bx)(cy-ay)| with centroid
+                    # multiplied through by m to stay integral
+                    bx, by = int(xs[i]), int(ys[i])
+                    area = abs(
+                        (ax * m - csx) * (by - ay) - (ax - bx) * (csy - ay * m)
+                    )
+                    if area > best_area:
+                        best, best_area = i, area
+                idx.append(best)
+                prev = best
+            idx.append(n - 1)
+        out = pdf.iloc[idx]
+        cols = {c: out[c] for c in series_cols}
+        cols[tiebreak_col] = out[tiebreak_col]
+        cols["ts_us"] = out["__us"]
+        cols["value"] = out["__v"]
+        return pd.DataFrame(cols)
+
+    us = F.unix_micros(F.col(ts_col))
+    prepped = events.select(
+        *series_cols,
+        F.col(tiebreak_col),
+        us.alias("__us"),
+        F.expr(
+            f"CAST(CAST(`{value_col}` AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("__cy"),
+        F.col(value_col).alias("__v"),
+    )
+    return prepped.groupBy(*series_cols).applyInPandas(pick, out_schema)

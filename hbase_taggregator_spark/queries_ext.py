@@ -4105,6 +4105,25 @@ _register(
 )
 
 
+
+def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB shape-preserving downsampling to 50 points/series via
+    applyInPandas (grouped map). Rows-only by nature: the interior
+    selection is sequential (each bucket's pick depends on the previous
+    pick), i.e. genuinely non-SQL-expressible — correctness is pinned by
+    unit tests (known-shape fixtures, endpoint/count/spike properties)
+    with exact integer area math making the pick deterministic."""
+    from hbase_taggregator_spark.operators.timeseries import lttb_downsample
+
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))
+    return lttb_downsample(events, n_out=50).select(
+        "event_type", "event_id", "ts_us", "value"
+    )
+
+
+_register("ts_lttb_downsample_50", _q_lttb, None)
+
+
 # ---------------------------------------------------------------------------
 # gate-window ordering (round 3)
 #

@@ -666,3 +666,29 @@ def test_rolling_zscore_flags_spike(spark):
     got = rolling_zscore_anomalies(df, base, base + 100, threshold=2.0).collect()
     assert [r.event_id for r in got] == [20]
     assert got[0].zscore > 2
+
+
+def test_lttb_endpoints_counts_and_spike(spark):
+    """LTTB keeps both endpoints, emits exactly n_out points per series,
+    passes short series through untouched, and a prominent spike always
+    survives downsampling."""
+    from hbase_taggregator_spark.operators.timeseries import lttb_downsample
+
+    base = 1_704_067_200
+    rows = [(i, "s", base + i * 10, 10.0 + (i % 3)) for i in range(200)]
+    rows[77] = (77, "s", base + 770, 500.0)        # spike
+    short = [(1000 + i, "t", base + i * 10, 1.0) for i in range(5)]
+    df = _ts_df(spark, rows + short)
+
+    out = lttb_downsample(df, n_out=20).collect()
+    s_pts = sorted([r for r in out if r.event_type == "s"], key=lambda r: r.ts_us)
+    t_pts = [r for r in out if r.event_type == "t"]
+    assert len(s_pts) == 20 and len(t_pts) == 5   # downsampled / passthrough
+    assert s_pts[0].event_id == 0 and s_pts[-1].event_id == 199
+    assert any(r.event_id == 77 for r in s_pts)   # spike survives
+    # deterministic across runs
+    again = sorted(
+        [r for r in lttb_downsample(df, n_out=20).collect()
+         if r.event_type == "s"], key=lambda r: r.ts_us,
+    )
+    assert [r.event_id for r in again] == [r.event_id for r in s_pts]

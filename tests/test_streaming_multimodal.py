@@ -69,8 +69,9 @@ def test_binary_features_match_python(spark):
 
 def test_media_decode_stubs_raise(spark):
     """decode_image is real as of round 3 (pure-Python header parse — text
-    payloads classify as 'unknown'); only pixel decode and frame sampling
-    remain env-gated codec seams."""
+    payloads classify as 'unknown'), and frame sampling is a real demux
+    (it REJECTS foreign payloads rather than stubbing out); only pixel
+    decode remains the env-gated codec seam."""
     from hbase_taggregator_spark.operators.multimodal import decode_pixels
 
     docs = with_binary_payload(load_table(spark, SF, "documents").limit(1))
@@ -78,8 +79,8 @@ def test_media_decode_stubs_raise(spark):
     assert len(meta) == 1 and meta[0]["fmt"] == "unknown"
     with pytest.raises(NotImplementedError, match="codec"):
         decode_pixels(docs)
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
-        sample_frames(docs)
+    with pytest.raises(Exception, match="magic"):
+        sample_frames(docs).collect()
 
 
 def test_watermark_drops_late_data(spark):
