@@ -117,6 +117,10 @@ HEADLINE = [
     "ts_linear_trend_per_type",
     "ts_rolling_zscore_outliers",
     "ts_lttb_downsample_50",
+    "ts_rollup_incremental_merge",
+    "reshape_pivot_unpivot_roundtrip",
+    "feature_quantile_bins_decile",
+    "feature_winsorize_p05_p95",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

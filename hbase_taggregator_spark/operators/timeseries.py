@@ -781,3 +781,31 @@ def lttb_downsample(
         F.col(value_col).alias("__v"),
     )
     return prepped.groupBy(*series_cols).applyInPandas(pick, out_schema)
+
+
+def merge_rollups(rollups: list[DataFrame]) -> DataFrame:
+    """Merge partial fine rollups (the incremental-maintenance step of
+    :func:`continuous_rollup`): rollups built from disjoint slices of the
+    raw table — yesterday's materialized state plus today's delta — merge
+    by bucket with the same partial-state algebra (max-of-max, min-of-min,
+    decimal sum-of-sum, count-of-count), so maintaining the continuous
+    aggregate never rescans history. All inputs must share the fine grain
+    and a common bucket grid (t_min values congruent modulo the interval);
+    decimal re-summation keeps the merged state bit-identical to a
+    from-scratch rollup. Shuffle: one partial/final aggregation over
+    bucket-count rows — independent of raw data size."""
+    if not rollups:
+        raise ValueError("merge_rollups needs at least one rollup")
+    merged = rollups[0]
+    for r in rollups[1:]:
+        merged = merged.unionByName(r)
+    return (
+        merged.groupBy("bucket_start_us")
+        .agg(
+            F.max("max_value").alias("max_value"),
+            F.min("min_value").alias("min_value"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.sum("count_value").alias("count_value"),
+        )
+        .orderBy("bucket_start_us")
+    )

@@ -4124,6 +4124,164 @@ def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("ts_lttb_downsample_50", _q_lttb, None)
 
 
+
+def _q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: hourly rollups of two DISJOINT
+    half-week slices merged by partial-state algebra, then re-aggregated
+    daily — bit-identical to a raw daily scan of the whole week (the
+    oracle), proving state mergeability without history rescans."""
+    from hbase_taggregator_spark.operators.timeseries import (
+        continuous_rollup,
+        merge_rollups,
+    )
+
+    t_mid = T0 + 84 * 3600  # 3.5 days — hour-aligned split
+    ev1 = load_table(spark, sf_dir, "events", time_range=(T0 * US, t_mid * US))
+    ev2 = load_table(spark, sf_dir, "events", time_range=(t_mid * US, T_WEEK * US))
+    fine1, _ = continuous_rollup(ev1, T0, t_mid, 3600, 3600)
+    fine2, _ = continuous_rollup(ev2, t_mid, T_WEEK, 3600, 3600)
+    merged = merge_rollups([fine1, fine2])
+    day_us = 86400 * US
+    return (
+        merged.withColumn(
+            "bucket_ms",
+            F.expr(f"({T0 * US} + ((bucket_start_us - {T0 * US}) div {day_us})"
+                   f" * {day_us}) div 1000"),
+        )
+        .groupBy("bucket_ms")
+        .agg(
+            F.max("max_value").alias("max_value"),
+            F.min("min_value").alias("min_value"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.sum("count_value").alias("count_value"),
+        )
+        .select(
+            "bucket_ms", "max_value", "min_value",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+            F.col("count_value").cast("long").alias("count_value"),
+        )
+    )
+
+
+_register(
+    "ts_rollup_incremental_merge",
+    _q_rollup_merge,
+    f"""
+    SELECT {{bucket}} AS bucket_ms,
+           MAX(value) AS max_value, MIN(value) AS min_value,
+           {{dsum}} AS sum_value, COUNT(value) AS count_value
+    FROM events
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}
+    GROUP BY 1
+    """.format(bucket=_bucket_sql(T0, 86400), dsum=_sql_dsum("value")),
+)
+
+
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshape round-trip: daily counts pivoted WIDE by event type, then
+    unpivoted back to long (nulls dropped) — Spark's unpivot/melt API; the
+    oracle is the long form computed directly."""
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))
+    day_us = 86400 * US
+    wide = (
+        events.withColumn(
+            "day_ms",
+            F.expr(f"({T0 * US} + ((unix_micros(ts) - {T0 * US}) div {day_us})"
+                   f" * {day_us}) div 1000"),
+        )
+        .groupBy("day_ms")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        wide.unpivot(
+            ["day_ms"],
+            ["click", "view", "purchase", "signup", "error"],
+            "event_type",
+            "n_events",
+        )
+        .filter(F.col("n_events").isNotNull())
+        .select("day_ms", "event_type", F.col("n_events").cast("long").alias("n_events"))
+    )
+
+
+_register(
+    "reshape_pivot_unpivot_roundtrip",
+    _q_unpivot,
+    f"""
+    SELECT {_bucket_sql(T0, 86400)} AS day_ms, event_type,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}
+      AND event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+    GROUP BY 1, 2
+    """,
+)
+
+
+def _q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height decile binning per series (ntile with deterministic
+    tiebreak) — the feature-binning prep op."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_type", "event_id", "value",
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+_register(
+    "feature_quantile_bins_decile",
+    _q_quantile_bins,
+    f"""
+    SELECT event_type, event_id, value,
+           CAST(NTILE(10) OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS INT) AS decile
+    FROM events
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}
+    """,
+)
+
+
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each series at its exact interpolated p05/p95
+    (the outlier-capping prep op); percentile bounds broadcast back."""
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))
+    bounds = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    return (
+        events.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type", "event_id",
+            F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+            .alias("clipped"),
+        )
+    )
+
+
+_register(
+    "feature_winsorize_p05_p95",
+    _q_winsorize,
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events
+      WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}
+      GROUP BY 1)
+    SELECT e.event_type, e.event_id,
+           least(greatest(e.value, b.p05), b.p95) AS clipped
+    FROM events e JOIN b USING (event_type)
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # gate-window ordering (round 3)
 #

@@ -692,3 +692,32 @@ def test_lttb_endpoints_counts_and_spike(spark):
          if r.event_type == "s"], key=lambda r: r.ts_us,
     )
     assert [r.event_id for r in again] == [r.event_id for r in s_pts]
+
+
+def test_merge_rollups_equals_from_scratch(spark):
+    """Merging disjoint-slice rollups is bit-identical to one full rollup;
+    empty input rejected."""
+    from hbase_taggregator_spark.operators.timeseries import (
+        continuous_rollup,
+        merge_rollups,
+    )
+    from hbase_taggregator_spark.sources.parquet import load_table
+
+    T0, T_MID, T_END = 1_704_067_200, 1_704_067_200 + 84 * 3600, 1_704_067_200 + 7 * 86400
+    ev = load_table(spark, SF, "events")
+    f1, _ = continuous_rollup(ev, T0, T_MID, 3600, 3600)
+    f2, _ = continuous_rollup(ev, T_MID, T_END, 3600, 3600)
+    full, _ = continuous_rollup(ev, T0, T_END, 3600, 3600)
+    merged = merge_rollups([f1, f2]).select(
+        "bucket_start_us", "max_value", "min_value", "sum_dec", "count_value"
+    )
+    a = {r.bucket_start_us: r.asDict() for r in merged.collect()}
+    b = {
+        r.bucket_start_us: r.asDict()
+        for r in full.select(
+            "bucket_start_us", "max_value", "min_value", "sum_dec", "count_value"
+        ).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="at least one"):
+        merge_rollups([])
