@@ -4287,12 +4287,15 @@ _register(
 #
 # The verification driver snapshots the FIRST 50 registered queries into
 # CORRECTNESS_r{N}. Rounds 1-2 gated the same first-50; every other query
-# only had the local tools/check_oracle.py log. This round the window
-# rotates: the 40 round-2 additions that never had a driver row, the 9
-# round-3 additions, and dedup_minhash_lsh_candidates (its oracle changed
-# with the LSH bucket cap — needs re-gating) come FIRST; the 49 queries
-# pushed out all carry green rows in CORRECTNESS_r01/r02 plus the committed
-# full-catalog oracle log (tools/check_oracle.py, every round).
+# only had the local tools/check_oracle.py log. The round-3 window
+# allocates the 50 slots to queries with NO prior hard signal: the round-2
+# additions that never had a driver row AND were not in the r2 judge's own
+# 20-query DuckDB re-run, dedup_minhash_lsh_candidates (oracle changed with
+# the LSH bucket cap — re-gate), and the round-3 additions (late-round ones
+# displace the r2-judge-verified queries, which keep judge re-run + the
+# committed full-catalog oracle log + pytest as their evidence). Every
+# query pushed out is green in CORRECTNESS_r01/r02, VERDICT r2's re-run
+# list, or tools/oracle_full_r3.log.
 # ---------------------------------------------------------------------------
 
 _GATE_WINDOW = [
@@ -4300,21 +4303,12 @@ _GATE_WINDOW = [
     "ts_resample_interpolate_7200", "text_bpe_token_count",
     "corpus_pipeline_stats", "percentiles_per_event_type",
     "argmax_event_per_type", "stats_moments_per_type", "json_props_extract",
-    "ts_qualifier_offset_900", "decoder_registry_decimal_be",
-    "decoder_registry_double_be", "dedup_funnel_survivors",
-    "similarity_ann_recall_at_5", "similarity_ivf_recall_at_5",
-    "similarity_lsh_neardup_pairs", "streaming_dedup_exact",
+    "streaming_dedup_exact",
     "q2_min_cost_supplier", "q9_profit_by_nation_year",
-    "text_repetition_features", "text_pattern_counts",
-    "corpus_train_val_split", "funnel_click_to_purchase_1h",
+    "funnel_click_to_purchase_1h",
     "q18_large_orders", "sink_partitioned_roundtrip", "histogram_value_25",
     "q4_order_priority", "q13_customer_distribution",
-    "q16_parts_supplier_counts", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q22_idle_customer_balance",
-    "corpus_doc_chunks", "corpus_pack_sequences", "embedding_quantize_int8",
-    "skew_salted_distinct_users", "range_band_join_value",
-    "grouping_sets_status_priority", "dedup_keep_best_quality",
-    "streaming_foreachbatch_sink", "streaming_static_join_segments",
+    "streaming_static_join_segments",
     "streaming_stream_join_pairs",
     # round-3 additions
     "q8_market_share", "q11_important_stock", "q12_shipmode_priority",
@@ -4323,6 +4317,18 @@ _GATE_WINDOW = [
     "dedup_exact_survivor_rows",
     # oracle changed this round (LSH bucket cap) — re-gate
     "dedup_minhash_lsh_candidates",
+    # late round-3 additions (never gated, not in the r2 judge re-run)
+    "dedup_jaccard_df_capped", "ts_rollup_hourly_to_daily",
+    "streaming_dedup_within_watermark", "similarity_pq_recall_at_5",
+    "ts_time_weighted_avg_21600", "ts_counter_rate_21600",
+    "text_bm25_retrieval", "dedup_duplicate_clusters",
+    "corpus_stratified_mix", "merge_upsert_customers",
+    "text_top_terms_per_lang", "layout_zorder_values",
+    "asof_nearest_click", "corpus_negative_pairs",
+    "streaming_continuous_rollup", "multimodal_frame_sample",
+    "bloom_runtime_filter_orders", "sketch_count_min_estimates",
+    "udaf_weighted_mean_cents", "ts_linear_trend_per_type",
+    "ts_rolling_zscore_outliers", "ts_rollup_incremental_merge",
 ]
 
 
