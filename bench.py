@@ -121,6 +121,7 @@ HEADLINE = [
     "reshape_pivot_unpivot_roundtrip",
     "feature_quantile_bins_decile",
     "feature_winsorize_p05_p95",
+    "ts_calendar_rollup_weekly",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

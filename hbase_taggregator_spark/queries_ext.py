@@ -4282,6 +4282,43 @@ _register(
 )
 
 
+
+def _q_calendar_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-grain rollup (ISO week via date_trunc — Monday start, UTC
+    pinned by session.configure) — the variable-width bucket family the
+    fixed-interval engine core cannot express."""
+    from hbase_taggregator_spark.queries import T_MONTH
+
+    events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_MONTH * US))
+    wk = F.date_trunc("week", F.col("ts"))
+    return (
+        events.groupBy(F.unix_millis(wk).alias("week_start_ms"))
+        .agg(
+            F.count("value").alias("n_events"),
+            _dsum("value", "sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("week_start_ms")
+    )
+
+
+def _calendar_weekly_sql() -> str:
+    from hbase_taggregator_spark.queries import T_MONTH
+
+    return f"""
+    SELECT CAST(epoch_ms(date_trunc('week', ts)) AS BIGINT) AS week_start_ms,
+           COUNT(value) AS n_events,
+           {_sql_dsum('value')} AS sum_value,
+           MAX(value) AS max_value
+    FROM events
+    WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_MONTH * US}
+    GROUP BY 1
+    """
+
+
+_register("ts_calendar_rollup_weekly", _q_calendar_weekly, _calendar_weekly_sql())
+
+
 # ---------------------------------------------------------------------------
 # gate-window ordering (round 3)
 #

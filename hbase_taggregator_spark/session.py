@@ -22,6 +22,10 @@ RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for pandas_udf / applyInPandas exchanges.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Calendar-grain operators (date_trunc week/month) must agree with the
+    # TZ-naive oracle engine regardless of who built the session; epoch-int
+    # outputs elsewhere are TZ-independent, date_trunc is not.
+    "spark.sql.session.timeZone": "UTC",
 }
 
 
