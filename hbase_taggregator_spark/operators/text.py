@@ -386,3 +386,106 @@ def top_terms(
         .filter(F.col("rank") <= k)
         .select(*group_cols, "rank", "term", "n_occurrences")
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    min_df: int = 1,
+    max_terms: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary build: one row per surviving term with its document
+    frequency, total occurrence count, and a dense contiguous ``term_id``
+    assigned by ``(df DESC, term ASC)`` — the deterministic term→id mapping
+    a tokenizer-training or feature-hashing pipeline needs (reference has no
+    text surface; north-star training-pipeline op).
+
+    Physical shape at 100 TB: tokens explode map-side and feed ONE
+    partial/final aggregation keyed on term (shuffle carries per-partition
+    (term, df, tf) partials, never raw tokens). The ``term_id`` ranking is
+    a single-partition window — over the *vocabulary*, which is bounded by
+    distinct terms (millions), not corpus size; with ``max_terms`` the cap
+    applies after the rank so the id space is a stable prefix: growing the
+    corpus can reorder ids only where counts actually change.
+    """
+    from pyspark.sql import Window
+
+    t = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    per_doc = t.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+    ).filter(F.col("df") >= min_df)
+    w = Window.orderBy(F.desc("df"), F.col("term"))
+    out = stats.withColumn("term_id", F.row_number().over(w).cast("long"))
+    if max_terms is not None:
+        out = out.filter(F.col("term_id") <= max_terms)
+    return out.select("term_id", "term", "df", "total_tf")
+
+
+def posting_lists(
+    df: DataFrame,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Secondary-index build: per term, the sorted posting list of
+    ``(doc_id, tf)`` pairs — emitted as the canonical string
+    ``"id:tf,id:tf,..."`` (doc_id ascending) so the result is plain
+    hashable rows for the correctness gate; a production variant would keep
+    the ``array<struct>`` column and write it bucketed by term.
+
+    Physical shape at 100 TB: map-side explode → partial/final count on
+    (term, doc) → one ``collect_list`` aggregation per term. The posting
+    string for a term is O(df) — for web-scale stopword terms pair this
+    with a ``min_df``/``max_df`` band or the df-cap guard used by
+    ``jaccard_pairs``; ``array_sort`` bounds the per-group memory to the
+    already-aggregated list, and nothing ever shuffles raw tokens.
+    """
+    t = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    per_doc = t.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    lists = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col).alias("d"), "tf"))
+                ),
+                lambda s: F.concat_ws(":", s["d"], s["tf"]),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return lists.filter(F.col("df") >= min_df).select(
+        "term", "df", "total_tf", "postings"
+    )
+
+
+def conjunctive_search(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """AND-query over the inverted index: documents containing EVERY query
+    term, scored by total matched-term occurrences. This is the posting-
+    list-intersection read path of a secondary index, expressed
+    relationally: explode → filter to the query terms BEFORE any shuffle
+    (state is O(docs_with_a_term × |terms|), never corpus tokens) →
+    group-by-doc HAVING distinct-term count == |terms|. Catalyst keeps the
+    term filter map-side; the single shuffle is keyed on doc id.
+    """
+    n = len(terms)
+    t = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    hits = t.filter(F.col("term").isin(list(terms)))
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count_distinct(F.col("term")).alias("n_terms"),
+            F.count(F.lit(1)).alias("total_tf"),
+        )
+        .filter(F.col("n_terms") == n)
+        .select(id_col, "total_tf")
+    )

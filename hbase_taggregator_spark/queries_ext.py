@@ -4320,6 +4320,74 @@ _register("ts_calendar_rollup_weekly", _q_calendar_weekly, _calendar_weekly_sql(
 
 
 # ---------------------------------------------------------------------------
+# inverted index: vocabulary, posting lists, conjunctive search
+# ---------------------------------------------------------------------------
+
+
+def _q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with deterministic term_id (df DESC, term ASC) —
+    the term→id mapping of a tokenizer/feature pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.vocabulary(docs, min_df=2)
+
+
+_register(
+    "text_vocabulary",
+    _q_vocabulary,
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    pd AS (SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    s AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(SUM(tf) AS BIGINT) AS total_tf
+          FROM pd GROUP BY 1 HAVING COUNT(*) >= 2)
+    SELECT ROW_NUMBER() OVER (ORDER BY df DESC, term) AS term_id,
+           term, df, total_tf
+    FROM s
+    """,
+)
+
+
+def _q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index build: per-term sorted (doc_id:tf) posting string."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.posting_lists(docs, min_df=2)
+
+
+_register(
+    "text_posting_lists",
+    _q_posting_lists,
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    pd AS (SELECT term, doc_id AS d, COUNT(*) AS tf FROM t GROUP BY 1, 2)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           string_agg(d || ':' || tf, ',' ORDER BY d) AS postings
+    FROM pd GROUP BY term HAVING COUNT(*) >= 2
+    """,
+)
+
+
+def _q_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-query over the inverted index: docs containing every query term
+    (same fixed term set as the BM25 gate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.conjunctive_search(docs, list(_BM25_TERMS))
+
+
+_register(
+    "text_conjunctive_search",
+    _q_conjunctive,
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    h AS (SELECT doc_id, term FROM t
+          WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)}))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_tf
+    FROM h GROUP BY doc_id HAVING COUNT(DISTINCT term) = {len(_BM25_TERMS)}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # gate-window ordering (round 3)
 #
 # The verification driver snapshots the FIRST 50 registered queries into
