@@ -20,6 +20,11 @@ RUNTIME_CONFS = {
     # vectorized parquet reader rejects; read it as raw int64 nanos and let
     # the source layer widen to TimestampType (micros).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive (isAdjustedToUTC=false) parquet timestamps otherwise surface as
+    # TIMESTAMP_NTZ, which unix_micros/window() reject. With the session
+    # pinned to UTC, reading them as instants is value-identical to the
+    # oracle engine's naive interpretation.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Arrow for pandas_udf / applyInPandas exchanges.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Calendar-grain operators (date_trunc week/month) must agree with the

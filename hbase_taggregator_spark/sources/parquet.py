@@ -48,6 +48,13 @@ def _normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """
     if ts_col in df.columns and isinstance(df.schema[ts_col].dataType, T.LongType):
         return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    if ts_col in df.columns and isinstance(
+        df.schema[ts_col].dataType, T.TimestampNTZType
+    ):
+        # Session TZ is pinned UTC (session.RUNTIME_CONFS), so NTZ→LTZ is a
+        # pure re-tag: same micros value, now accepted by unix_micros et al.
+        # Hit only when the host session locked inferTimestampNTZ=true.
+        return df.withColumn(ts_col, F.col(ts_col).cast(T.TimestampType()))
     return df
 
 
@@ -69,6 +76,15 @@ def load_table(
         if time_range is not None and isinstance(df.schema["ts"].dataType, T.LongType):
             lo_ns, hi_ns = time_range[0] * 1000, time_range[1] * 1000
             df = df.filter((F.col("ts") >= lo_ns) & (F.col("ts") < hi_ns))
+        elif time_range is not None:
+            # Native timestamp storage: comparing the stored column against
+            # foldable timestamp literals still reaches the scan as a
+            # PushedFilter (no unix_micros wrapper on the storage column).
+            lo_us, hi_us = time_range
+            df = df.filter(
+                (F.col("ts") >= F.timestamp_micros(F.lit(lo_us)))
+                & (F.col("ts") < F.timestamp_micros(F.lit(hi_us)))
+            )
         df = _normalize_event_ts(df)
     return df
 
