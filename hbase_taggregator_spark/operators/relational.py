@@ -236,3 +236,61 @@ def merge_upsert(
     if delete_col is not None:
         incoming = updates.filter(~F.col(delete_col)).drop(delete_col)
     return survivors.unionByName(incoming)
+
+
+def scd2_from_events(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from an event log: per
+    key, collapse CONSECUTIVE runs of the same attribute value into one
+    validity interval [valid_from_us, valid_to_us) — the standard
+    dimension-build a warehouse runs over a change feed (Kimball SCD2 via
+    gaps-and-islands). The open (current) interval has valid_to_us NULL.
+
+    Islands are found with the classic marker-cumsum: a row starts a new
+    run when its attribute differs from the previous row's (or has no
+    previous row); the running sum of markers labels the run. Pure integer
+    /string algebra — portable to any SQL engine verbatim.
+
+    Physical shape at 100 TB: all three windows and the final groupBy use
+    the same ``key_col`` partitioning (one shuffle, in-partition sorts);
+    a change feed is naturally fine-grained on key, so no skew guard is
+    needed here.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    order_w = W.partitionBy(key_col).orderBy("us", tiebreak_col)
+    runs_w = W.partitionBy(key_col).orderBy("us", tiebreak_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    next_w = W.partitionBy(key_col).orderBy("run_id")
+    d = (
+        events.select(
+            F.col(key_col), F.col(attr_col), F.col(tiebreak_col), us.alias("us")
+        )
+        .withColumn(
+            "chg",
+            F.when(
+                F.lag(attr_col).over(order_w).isNull()
+                | (F.lag(attr_col).over(order_w) != F.col(attr_col)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("run_id", F.sum("chg").over(runs_w))
+        .groupBy(key_col, "run_id")
+        .agg(
+            F.min(attr_col).alias(attr_col),
+            F.min("us").alias("valid_from_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        d.withColumn("valid_to_us", F.lead("valid_from_us").over(next_w))
+        .select(
+            key_col, "run_id", attr_col, "valid_from_us", "valid_to_us", "n_events"
+        )
+        .orderBy(key_col, "run_id")
+    )

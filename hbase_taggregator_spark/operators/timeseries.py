@@ -809,3 +809,147 @@ def merge_rollups(rollups: list[DataFrame]) -> DataFrame:
         )
         .orderBy("bucket_start_us")
     )
+
+
+def ewma_truncated(
+    events: DataFrame,
+    t_min: Any,
+    t_max: Any,
+    interval_s: int,
+    alpha: float = 0.3,
+    k: int = 8,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    series_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Exponentially-weighted moving average over bucketed series,
+    truncated to the last ``k`` buckets — the smoothing pass a metrics
+    pipeline runs after rollup (monitoring dashboards, trend baselines).
+
+    The recursive EWMA ``y_t = a·x_t + (1-a)·y_{t-1}`` accumulates history
+    without bound, which is (a) unbounded state for a relational engine and
+    (b) FP-order-dependent, hence not engine-portable. The truncated form
+    is the standard finite-impulse restatement (pandas ``ewm(...,
+    adjust=True)`` over a length-k window):
+
+        y_t = sum_{j<k} (1-a)^j · x_{t-j}  /  sum_{j<k, lag exists} (1-a)^j
+
+    Exactness: a chained double multiply-add is NOT engine-portable even
+    with identical expression text (observed: DuckDB evaluates the same
+    ``a + b*c`` chain one ulp off Spark/CPython's left-to-right order), so
+    the combination runs in exact int64 fixed point: each bucket mean is
+    quantized to micro-units by INTEGER division of the exact decimal sum
+    (positive values, so truncate == floor in every engine), weights are
+    1e6-scaled integer literals, and the weighted sum/normalizer are exact
+    int64; only the final division happens in double (two int64→double
+    conversions + two divides, each IEEE correctly rounded). Missing
+    history (first k-1 buckets of a series) renormalizes over the weights
+    present — no warmup rows are dropped, matching pandas'
+    ``adjust=True``. The reported ``bucket_avg`` stays the exact-sum /
+    count double; ``ewma`` smooths the micro-quantized means.
+
+    Physical shape at 100 TB: one shuffle for the per-(series, bucket)
+    aggregation, then the lag chain rides a single window sorted on the
+    SAME key prefix — Catalyst reuses the partitioning; k stays a literal
+    column count, never a per-row array.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    lo, hi = to_epoch_us(t_min), to_epoch_us(t_max)
+    ival = interval_s * US_PER_SECOND
+    us = F.unix_micros(F.col(ts_col))
+    from pyspark.sql import Window as W
+
+    buckets = (
+        events.filter((us >= lo) & (us < hi))
+        .withColumn(
+            "bucket_start_us",
+            F.expr(
+                f"{lo} + ((unix_micros(`{ts_col}`) - {lo}) div {ival}) * {ival}"
+            ),
+        )
+        .groupBy(*series_cols, "bucket_start_us")
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(28,6)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            *series_cols,
+            "bucket_start_us",
+            (F.col("_s").cast("double") / F.col("_n").cast("double")).alias("x"),
+            F.expr("CAST(_s * 1000000 AS BIGINT) div _n").alias("xq"),
+        )
+    )
+    w = W.partitionBy(*series_cols).orderBy("bucket_start_us")
+    lagged = buckets.select(
+        *series_cols,
+        "bucket_start_us",
+        "x",
+        "xq",
+        *[F.lag("xq", j).over(w).alias(f"_xq{j}") for j in range(1, k)],
+    )
+    wq = [int(round((1.0 - alpha) ** j * 1_000_000)) for j in range(k)]
+    num: Column = F.col("xq") * F.lit(wq[0])
+    den: Column = F.lit(wq[0])
+    for j in range(1, k):
+        num = num + F.coalesce(F.col(f"_xq{j}") * F.lit(wq[j]), F.lit(0))
+        den = den + F.when(
+            F.col(f"_xq{j}").isNotNull(), F.lit(wq[j])
+        ).otherwise(F.lit(0))
+    return lagged.select(
+        *series_cols,
+        "bucket_start_us",
+        F.col("x").alias("bucket_avg"),
+        (
+            num.cast("double") / den.cast("double") / F.lit(1_000_000.0)
+        ).alias("ewma"),
+    ).orderBy(*series_cols, "bucket_start_us")
+
+
+def largest_gaps(
+    events: DataFrame,
+    t_min: Any,
+    t_max: Any,
+    n: int = 3,
+    ts_col: str = "ts",
+    series_cols: tuple[str, ...] = ("event_type",),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top-n largest inter-arrival gaps per series — the liveness /
+    missing-data detector (a feed that went quiet shows up as one huge
+    gap). Pure integer algebra: gap_us = us - lag(us) over (series; us,
+    tiebreak) ordering, then a per-series top-n with deterministic
+    tiebreaks (longer gap first, then earlier start, then ``tiebreak_col``).
+
+    Physical shape: both windows share the series partitioning key — one
+    shuffle, two in-partition sorts, no global sort.
+    """
+    lo, hi = to_epoch_us(t_min), to_epoch_us(t_max)
+    us = F.unix_micros(F.col(ts_col))
+    from pyspark.sql import Window as W
+
+    order_w = W.partitionBy(*series_cols).orderBy("us", tiebreak_col)
+    d = (
+        events.filter((us >= lo) & (us < hi))
+        .select(*series_cols, tiebreak_col, us.alias("us"))
+        .withColumn("gap_start_us", F.lag("us").over(order_w))
+        .filter(F.col("gap_start_us").isNotNull())
+        .withColumn("gap_us", F.col("us") - F.col("gap_start_us"))
+    )
+    rank_w = W.partitionBy(*series_cols).orderBy(
+        F.col("gap_us").desc(), F.col("gap_start_us").asc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        d.withColumn("gap_rank", F.row_number().over(rank_w))
+        .filter(F.col("gap_rank") <= n)
+        .select(
+            *series_cols,
+            "gap_rank",
+            "gap_us",
+            "gap_start_us",
+            F.col("us").alias("gap_end_us"),
+        )
+        .orderBy(*series_cols, "gap_rank")
+    )

@@ -4450,3 +4450,6 @@ def _apply_gate_window() -> None:
 
 
 _apply_gate_window()
+
+# late-wave round-3 queries register after the gate window on purpose
+import hbase_taggregator_spark.queries_r3  # noqa: E402,F401

@@ -721,3 +721,105 @@ def test_merge_rollups_equals_from_scratch(spark):
     assert a == b
     with pytest.raises(ValueError, match="at least one"):
         merge_rollups([])
+
+
+# --- truncated EWMA / largest gaps / SCD2 (round-3 late wave) --------------
+
+
+def _mk_events(spark, rows):
+    """rows: (event_id, us, user_id, event_type, value)."""
+    return spark.createDataFrame(
+        [(i, _us_ts(us), u, t, v) for i, us, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def _us_ts(us):
+    import datetime as dt
+
+    return dt.datetime.fromtimestamp(us / 1_000_000, dt.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+def test_ewma_truncated_matches_hand_fixed_point(spark):
+    from hbase_taggregator_spark.operators.timeseries import ewma_truncated
+
+    t0 = 1_704_067_200  # 2024-01-01
+    us0 = t0 * 1_000_000
+    # one series, three hourly buckets with means 10, 20, 40
+    rows = [
+        (1, us0 + 10, 1, "a", 10.0),
+        (2, us0 + 3_600_000_000 + 10, 1, "a", 20.0),
+        (3, us0 + 2 * 3_600_000_000 + 10, 1, "a", 40.0),
+    ]
+    got = (
+        ewma_truncated(_mk_events(spark, rows), t0, t0 + 3 * 3600, 3600,
+                       alpha=0.3, k=3)
+        .orderBy("bucket_start_us")
+        .collect()
+    )
+    # fixed-point weights: 1e6, 7e5, 49e4; means in micro-units
+    def fp(xs):  # newest first
+        wq = [1_000_000, 700_000, 490_000]
+        num = sum(x * w for x, w in zip(xs, wq))
+        den = sum(w for x, w in zip(xs, wq))
+        return num / den / 1_000_000.0
+    assert [round(r.ewma, 12) for r in got] == [
+        round(e, 12)
+        for e in (fp([10_000_000]), fp([20_000_000, 10_000_000]),
+                  fp([40_000_000, 20_000_000, 10_000_000]))
+    ]
+    assert [r.bucket_avg for r in got] == [10.0, 20.0, 40.0]
+
+
+def test_ewma_validates_params(spark):
+    from hbase_taggregator_spark.operators.timeseries import ewma_truncated
+
+    df = _mk_events(spark, [])
+    with pytest.raises(ValueError):
+        ewma_truncated(df, 0, 10, 1, alpha=1.5)
+    with pytest.raises(ValueError):
+        ewma_truncated(df, 0, 10, 1, k=0)
+
+
+def test_largest_gaps_ranks_and_bounds(spark):
+    from hbase_taggregator_spark.operators.timeseries import largest_gaps
+
+    t0 = 1_704_067_200
+    us0 = t0 * 1_000_000
+    # series 'a': arrivals at +0s, +10s, +100s, +101s -> gaps 10s, 90s, 1s
+    rows = [
+        (1, us0, 1, "a", 1.0),
+        (2, us0 + 10_000_000, 1, "a", 1.0),
+        (3, us0 + 100_000_000, 1, "a", 1.0),
+        (4, us0 + 101_000_000, 1, "a", 1.0),
+    ]
+    got = (
+        largest_gaps(_mk_events(spark, rows), t0, t0 + 3600, n=2)
+        .select("gap_rank", "gap_us")
+        .collect()
+    )
+    assert [(r.gap_rank, r.gap_us) for r in got] == [
+        (1, 90_000_000), (2, 10_000_000)
+    ]
+
+
+def test_scd2_runs_and_open_interval(spark):
+    from hbase_taggregator_spark.operators.relational import scd2_from_events
+
+    t0 = 1_704_067_200
+    us0 = t0 * 1_000_000
+    # user 1: a a b a  -> runs (a,2) (b,1) (a,1); last interval open
+    rows = [
+        (1, us0 + 0, 1, "a", 1.0),
+        (2, us0 + 1_000_000, 1, "a", 1.0),
+        (3, us0 + 2_000_000, 1, "b", 1.0),
+        (4, us0 + 3_000_000, 1, "a", 1.0),
+    ]
+    got = scd2_from_events(_mk_events(spark, rows)).collect()
+    assert [(r.run_id, r.event_type, r.n_events) for r in got] == [
+        (1, "a", 2), (2, "b", 1), (3, "a", 1)
+    ]
+    assert got[0].valid_to_us == got[1].valid_from_us
+    assert got[-1].valid_to_us is None
