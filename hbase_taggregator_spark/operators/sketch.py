@@ -176,3 +176,46 @@ def count_min_lookup(
             F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("cm_estimate")
         )
     )
+
+
+def kmv_distinct(
+    df: DataFrame, key_col: str, k: int = 64, seed: str = "kmv"
+) -> DataFrame:
+    """K-minimum-values distinct-count estimator (Bar-Yossef et al. 2002;
+    the Theta-sketch base case): keep the k smallest DISTINCT 60-bit hash
+    values; estimate |D| as (k-1) / (h_k / 2^60). Unlike HLL++ this sketch
+    is pure md5 + order algebra, so a SQL oracle reproduces the ESTIMATE
+    bit-for-bit — an approximate operator with an exact correctness gate.
+
+    Output: one row {k, kth_hash, estimate_distinct}. If fewer than k
+    distinct keys exist the estimate IS the exact distinct count.
+
+    Physical shape at 100 TB: map-side hash → partial MIN-k per partition
+    via one partial/final distinct-agg on the hash (60-bit ints, so the
+    shuffle carries ≤ one long per distinct key), then a global top-k
+    (TakeOrdered, no full sort). Sketches from shards union + re-top-k —
+    the standard mergeable-sketch shape.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = _hash60(F.concat(F.lit(f"{seed}#"), F.col(key_col).cast("string")))
+    mins = (
+        df.select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.count(F.lit(1)).alias("n_tracked"), F.max("h").alias("kth_hash"))
+    )
+    two60 = float(2**60)
+    return mins.select(
+        F.lit(k).alias("k"),
+        "n_tracked",
+        "kth_hash",
+        F.when(
+            F.col("n_tracked") < k, F.col("n_tracked").cast("double")
+        )
+        .otherwise(
+            F.lit(float(k - 1)) / (F.col("kth_hash").cast("double") / F.lit(two60))
+        )
+        .alias("estimate_distinct"),
+    )

@@ -171,3 +171,110 @@ _register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# one-scan column profiler (operators/profile.py::profile_columns)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "lang", "n_chars", "source"]
+
+
+def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.profile import profile_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(docs, _PROFILE_COLS)
+
+
+_register(
+    "profile_documents_columns",
+    _q_profile,
+    "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_repr,
+               CAST(MAX({c}) AS VARCHAR) AS max_repr
+        FROM documents
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch (operators/sketch.py::kmv_distinct) — approximate
+# count whose estimate is exact md5 algebra, so the oracle gates the
+# ESTIMATE itself (unlike HLL++, which is rows-only by nature)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def _q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.sketch import kmv_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv_distinct(events, "user_id", k=_KMV_K)
+
+
+_register(
+    "sketch_kmv_distinct_users",
+    _q_kmv,
+    f"""
+    WITH h AS (
+        SELECT DISTINCT CAST(concat('0x', substr(md5(concat('kmv#',
+                   CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        FROM events
+    ), mins AS (
+        SELECT h FROM h ORDER BY h LIMIT {_KMV_K}
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tracked, MAX(h) AS kth_hash
+        FROM mins
+    )
+    SELECT {_KMV_K} AS k, n_tracked, kth_hash,
+           CASE WHEN n_tracked < {_KMV_K} THEN CAST(n_tracked AS DOUBLE)
+                ELSE {float(_KMV_K - 1)!r}
+                     / (CAST(kth_hash AS DOUBLE) / {float(2**60)!r})
+           END AS estimate_distinct
+    FROM agg
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# approx_percentile accuracy gate — the approximate median must land
+# within 1% of the exact interquartile spread; the oracle pins the
+# PASS/FAIL verdict (recall-gate pattern: the approximation is checked,
+# not reproduced)
+# ---------------------------------------------------------------------------
+
+
+def _q_pctl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("_apx"),
+        F.expr("percentile(value, 0.5)").alias("_ext"),
+        F.expr("percentile(value, 0.75) - percentile(value, 0.25)").alias(
+            "_iqr"
+        ),
+    )
+    return g.select(
+        "event_type",
+        (F.abs(F.col("_apx") - F.col("_ext")) <= F.col("_iqr") * 0.01).alias(
+            "median_within_tol"
+        ),
+    ).orderBy("event_type")
+
+
+_register(
+    "percentile_approx_accuracy_gate",
+    _q_pctl_gate,
+    """
+    SELECT event_type, TRUE AS median_within_tol
+    FROM events GROUP BY event_type
+    """,
+)

@@ -823,3 +823,31 @@ def test_scd2_runs_and_open_interval(spark):
     ]
     assert got[0].valid_to_us == got[1].valid_from_us
     assert got[-1].valid_to_us is None
+
+
+def test_profile_columns_one_scan_counts(spark):
+    from hbase_taggregator_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None)], "id long, s string"
+    )
+    got = {r.column_name: r for r in profile_columns(df, ["id", "s"]).collect()}
+    assert got["id"].n_rows == 3 and got["id"].n_nonnull == 3
+    assert got["id"].n_distinct == 3 and got["id"].min_repr == "1"
+    assert got["s"].n_nonnull == 2 and got["s"].n_distinct == 1
+    assert got["s"].max_repr == "a"
+    with pytest.raises(ValueError):
+        profile_columns(df, [])
+
+
+def test_kmv_exact_below_k_and_estimate_close(spark):
+    from hbase_taggregator_spark.operators.sketch import kmv_distinct
+
+    small = spark.createDataFrame([(i % 7,) for i in range(50)], "k long")
+    r = kmv_distinct(small, "k", k=64).collect()[0]
+    assert r.n_tracked == 7 and r.estimate_distinct == 7.0
+    big = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    e = kmv_distinct(big, "k", k=256).collect()[0].estimate_distinct
+    assert abs(e - 5000) / 5000 < 0.2  # ~1/sqrt(k) expected error
+    with pytest.raises(ValueError):
+        kmv_distinct(small, "k", k=1)
