@@ -434,3 +434,45 @@ def duplicate_components(
             "component_size",
         )
     )
+
+
+def fuzzy_match_candidates(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    prefix_len: int = 16,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance near-match candidates via prefix blocking — the
+    entity-resolution primitive (record linkage on names/titles/SKUs).
+    Rows sharing a ``prefix_len``-character prefix form a block; pairs
+    within a block are verified with exact Levenshtein ≤ ``max_dist``.
+    Blocking is part of the CONTRACT (like every LSH family here): pairs
+    whose edits fall inside the prefix are by-design missed, and the gate
+    oracle restates the same block+verify algebra.
+
+    Physical shape at 100 TB: one shuffle on the block key, quadratic only
+    WITHIN a block — choose ``prefix_len`` so blocks stay small (same skew
+    discipline as the capped LSH buckets; a degenerate all-equal prefix
+    needs the bucket-cap guard first).
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        F.substring(F.col(name_col), 1, prefix_len).alias("blk"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, on="blk")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            "dist",
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -489,3 +489,38 @@ def conjunctive_search(
         .filter(F.col("n_terms") == n)
         .select(id_col, "total_tf")
     )
+
+
+def feature_hash_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    seed: str = "fh",
+) -> DataFrame:
+    """Hashing-trick token features (Weinberger et al. 2009): each token
+    maps to ``hash60(seed # token) mod dim``; output is the sparse
+    (id, bucket, tf) representation every linear/NB text model consumes.
+    No vocabulary pass, no driver state — the property that makes the
+    trick the 100 TB featurizer (a vocabulary build is itself a full
+    shuffle; this is explode + one partial/final count on (id, bucket)).
+    md5 bucketing keeps the exact feature values oracle-reproducible."""
+    # local import: dedup imports this module (tokens/fingerprint)
+    from hbase_taggregator_spark.operators.dedup import _hash60
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = tokens(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(
+            id_col,
+            (_hash60(F.concat(F.lit(f"{seed}#"), F.col("tok"))) % dim).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(id_col, "bucket")
+    )

@@ -278,3 +278,173 @@ _register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick features (operators/text.py::feature_hash_counts)
+# ---------------------------------------------------------------------------
+
+
+def _q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.text import feature_hash_counts
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return feature_hash_counts(docs, dim=64)
+
+
+_register(
+    "text_feature_hashing_64",
+    _q_feature_hash,
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(concat('fh#', tok)), 1, 15)) AS BIGINT)
+               % 64 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM t WHERE tok <> ''
+    GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance entity resolution (operators/dedup.py::fuzzy_match_candidates)
+# ---------------------------------------------------------------------------
+
+
+def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.dedup import fuzzy_match_candidates
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_match_candidates(
+        cust, "c_name", "c_custkey", prefix_len=16, max_dist=1
+    )
+
+
+_register(
+    "fuzzy_customer_name_candidates",
+    _q_fuzzy,
+    """
+    WITH b AS (
+        SELECT c_custkey AS id, c_name AS name,
+               substr(c_name, 1, 16) AS blk
+        FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+    FROM b a JOIN b b ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF via SQL LATERAL (functions/udtfs.py::SplitSentences)
+# ---------------------------------------------------------------------------
+
+
+def _q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 25 == 0
+    )
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.sent_idx, s.sentence
+        FROM _udtf_docs d,
+        LATERAL split_sentences(d.doc_id, d.text) s
+        """
+    )
+
+
+_register(
+    "udtf_sentence_split",
+    _q_udtf_sentences,
+    r"""
+    WITH p AS (
+        SELECT doc_id, string_split_regex(text, '\.\s+') AS parts
+        FROM documents WHERE doc_id % 25 = 0
+    ), u AS (
+        SELECT doc_id,
+               unnest(parts) AS sentence,
+               generate_subscripts(parts, 1) AS sent_idx
+        FROM p
+    )
+    SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, sentence
+    FROM u WHERE trim(sentence) <> ''
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# CSV + JSON sink/source round-trip with content checksum
+# ---------------------------------------------------------------------------
+
+
+def _q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format sink gate: write the corpus to CSV and JSON, read each
+    back, and aggregate per (format, lang) — count, char total, and an
+    md5-derived content checksum. Any quoting/escaping corruption in
+    either codec path breaks the checksum against the parquet-sourced
+    oracle."""
+    import tempfile
+
+    from hbase_taggregator_spark.sources.sinks import write_csv, write_json
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    from hbase_taggregator_spark.operators.dedup import _hash60
+
+    def agg(df: DataFrame, fmt: str) -> DataFrame:
+        ck = _hash60(F.concat(F.lit("ck#"), F.col("text"))) % 1_000_003
+        return df.groupBy("lang").agg(
+            F.lit(fmt).alias("fmt"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(ck).alias("text_checksum"),
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        write_csv(docs, f"{d}/csv")
+        write_json(docs, f"{d}/json")
+        back_csv = (
+            spark.read.schema(docs.schema)
+            .option("header", True)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .csv(f"{d}/csv")
+        )
+        back_json = spark.read.schema(docs.schema).json(f"{d}/json")
+        out = agg(back_csv, "csv").unionByName(agg(back_json, "json"))
+        res = spark.createDataFrame(out.collect(), out.schema)
+    return res.select(
+        "lang", "fmt", "n_docs", "sum_chars", "text_checksum"
+    ).orderBy("lang", "fmt")
+
+
+_register(
+    "sink_csv_json_roundtrip",
+    _q_csv_json_roundtrip,
+    """
+    WITH a AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(CAST(concat('0x', substr(md5(concat('ck#', text)),
+                        1, 15)) AS BIGINT) % 1000003) AS BIGINT)
+                   AS text_checksum
+        FROM documents GROUP BY 1
+    )
+    SELECT lang, fmt, n_docs, sum_chars, text_checksum
+    FROM a CROSS JOIN (VALUES ('csv'), ('json')) AS f(fmt)
+    """,
+)

@@ -851,3 +851,62 @@ def test_kmv_exact_below_k_and_estimate_close(spark):
     assert abs(e - 5000) / 5000 < 0.2  # ~1/sqrt(k) expected error
     with pytest.raises(ValueError):
         kmv_distinct(small, "k", k=1)
+
+
+def test_feature_hash_buckets_bounded_and_deterministic(spark):
+    from hbase_taggregator_spark.operators.text import feature_hash_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a")], "doc_id long, text string"
+    )
+    r1 = feature_hash_counts(df, dim=8).collect()
+    r2 = feature_hash_counts(df, dim=8).collect()
+    assert r1 == r2
+    assert all(0 <= r.bucket < 8 for r in r1)
+    # 'a' hashes identically across docs; doc 1 has tf=2 on that bucket
+    by_doc = {(r.doc_id, r.bucket): r.tf for r in r1}
+    (b_a,) = [b for (d, b), tf in by_doc.items() if d == 2]
+    assert by_doc[(1, b_a)] == 2
+    with pytest.raises(ValueError):
+        feature_hash_counts(df, dim=0)
+
+
+def test_fuzzy_match_blocking_and_distance(spark):
+    from hbase_taggregator_spark.operators.dedup import fuzzy_match_candidates
+
+    df = spark.createDataFrame(
+        [
+            (1, "block-aaaa"),
+            (2, "block-aaab"),   # dist 1 from id 1, same block
+            (3, "block-accc"),   # same block, dist 3 -> dropped
+            (4, "other-aaaa"),   # different block -> never compared
+        ],
+        "id long, name string",
+    )
+    got = [
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_match_candidates(df, "name", "id", prefix_len=6).collect()
+    ]
+    assert got == [(1, 2, 1)]
+
+
+def test_udtf_sentence_split_indices_skip_blanks(spark):
+    from hbase_taggregator_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "One. Two.  Three"), (2, "Dot.   .  tail")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("_udtf_t")
+    got = sorted(
+        (r.doc_id, r.sent_idx, r.sentence)
+        for r in spark.sql(
+            "SELECT s.* FROM _udtf_t d, LATERAL split_sentences(d.doc_id, d.text) s"
+        ).collect()
+    )
+    # doc 2: segments 'Dot', '', 'tail' -> blank keeps its index slot
+    assert got == [
+        (1, 1, "One"), (1, 2, "Two"), (1, 3, "Three"),
+        (2, 1, "Dot"), (2, 3, "tail"),
+    ]
