@@ -294,3 +294,68 @@ def scd2_from_events(
         )
         .orderBy(key_col, "run_id")
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    grid: int,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+    a_lo: str = "a_lo",
+    a_hi: str = "a_hi",
+    b_lo: str = "b_lo",
+    b_hi: str = "b_hi",
+) -> DataFrame:
+    """Interval × interval overlap join (half-open: a_lo < b_hi AND
+    b_lo < a_hi) as an equi-join — the temporal-algebra workhorse
+    (validity intervals × sessions, downtime × deploys). Generalizes
+    :func:`range_band_join` from point×interval to interval×interval.
+
+    Both sides explode to the grid buckets their interval covers
+    (floor(lo/grid) .. ceil(hi/grid)-1, the boundary-correct cover), the
+    join runs on (keys, bucket), duplicates from multi-bucket overlaps
+    collapse on (keys, a_id, b_id), and the exact overlap predicate stays
+    as a residual. Intervals must be non-degenerate (hi > lo) and CLOSED
+    (no NULL bounds — coalesce open SCD2 intervals to a horizon first).
+
+    Physical shape at 100 TB: shuffle on (keys, bucket) — both explode
+    factors are interval_length/grid, so pick ``grid`` near the median
+    interval length; the dedup groupBy reuses the same key prefix. No
+    broadcast requirement: unlike range_band_join, both sides may be huge.
+    """
+    if grid <= 0:
+        raise ValueError(f"grid must be positive, got {grid}")
+
+    def cover(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        # top covered bucket = ceil(hi/grid)-1; Spark's `div` TRUNCATES, so
+        # the ceiling must be (hi+grid-1) div grid (nonneg bounds) — the
+        # negate-divide-negate idiom silently floors here and would drop
+        # pairs whose only overlap lies in the top partial bucket
+        return df.filter(F.col(hi) > F.col(lo)).withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"`{lo}` div {grid}"),
+                    F.expr(f"(`{hi}` + {grid - 1}) div {grid} - 1"),
+                )
+            ),
+        )
+
+    ea = cover(a, a_lo, a_hi)
+    eb = cover(b, b_lo, b_hi)
+    joined = ea.join(eb, on=[*keys, "__bucket"]).filter(
+        (F.col(a_lo) < F.col(b_hi)) & (F.col(b_lo) < F.col(a_hi))
+    )
+    return (
+        joined.dropDuplicates([*keys, a_id, b_id])
+        .select(
+            *keys, a_id, b_id, a_lo, a_hi, b_lo, b_hi,
+            (
+                F.least(F.col(a_hi), F.col(b_hi))
+                - F.greatest(F.col(a_lo), F.col(b_lo))
+            ).alias("overlap_us"),
+        )
+        .orderBy(*keys, a_id, b_id)
+    )

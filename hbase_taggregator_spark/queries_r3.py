@@ -448,3 +448,143 @@ _register(
     FROM a CROSS JOIN (VALUES ('csv'), ('json')) AS f(fmt)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# interval × interval overlap join
+# (operators/relational.py::interval_overlap_join): which SCD2 attribute
+# regime was active during each activity session
+# ---------------------------------------------------------------------------
+
+from hbase_taggregator_spark.queries import T_MONTH  # noqa: E402
+
+_OVL_GRID_US = 86_400 * US  # daily grid ~ median regime length
+
+
+def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.relational import (
+        interval_overlap_join,
+        scd2_from_events,
+    )
+    from hbase_taggregator_spark.operators.windows import session_agg
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 20 == 0
+    )
+    regimes = (
+        scd2_from_events(events)
+        .select(
+            "user_id",
+            F.col("run_id").alias("a_id"),
+            F.col("valid_from_us").alias("a_lo"),
+            F.coalesce(F.col("valid_to_us"), F.lit(T_MONTH * US)).alias(
+                "a_hi"
+            ),
+        )
+    )
+    sessions = session_agg(
+        events, "ts", 21_600, ["user_id"], [F.count(F.lit(1)).alias("n")]
+    ).select(
+        "user_id",
+        F.col("session_start_us").alias("b_id"),
+        F.col("session_start_us").alias("b_lo"),
+        F.col("session_end_us").alias("b_hi"),
+    )
+    return interval_overlap_join(
+        regimes, sessions, ["user_id"], _OVL_GRID_US
+    )
+
+
+_register(
+    "interval_overlap_regimes_sessions",
+    _q_interval_overlap,
+    f"""
+    WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        FROM events WHERE user_id % 20 = 0
+    ), m AS (
+        SELECT *,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), runs AS (
+        SELECT *,
+               CAST(SUM(chg) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS run_id
+        FROM m
+    ), regimes AS (
+        SELECT user_id, run_id AS a_id, MIN(us) AS a_lo,
+               COALESCE(
+                   lead(MIN(us)) OVER (
+                       PARTITION BY user_id ORDER BY run_id),
+                   {T_MONTH * US}) AS a_hi
+        FROM runs GROUP BY user_id, run_id
+    ), sm AS (
+        SELECT user_id, us,
+               CASE WHEN us - lag(us) OVER sw >= {21_600 * US}
+                         OR lag(us) OVER sw IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW sw AS (PARTITION BY user_id ORDER BY us)
+    ), sg AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM sm
+    ), sessions AS (
+        SELECT user_id, MIN(us) AS b_id, MIN(us) AS b_lo,
+               MAX(us) + {21_600 * US} AS b_hi
+        FROM sg GROUP BY user_id, sid
+    )
+    SELECT r.user_id, r.a_id, s.b_id, r.a_lo, r.a_hi, s.b_lo, s.b_hi,
+           LEAST(r.a_hi, s.b_hi) - GREATEST(r.a_lo, s.b_lo) AS overlap_us
+    FROM regimes r JOIN sessions s
+      ON r.user_id = s.user_id AND r.a_lo < s.b_hi AND s.b_lo < r.a_hi
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# analytic-function breadth: ntile / percent_rank / cume_dist (exact
+# rank-ratio doubles — single divisions, engine-portable)
+# ---------------------------------------------------------------------------
+
+
+def _q_rank_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 45)
+    w = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").asc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.dense_rank().over(w).alias("drank"),
+        )
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+_register(
+    "window_rank_functions_showcase",
+    _q_rank_showcase,
+    """
+    SELECT p_brand, p_partkey, p_retailprice,
+           CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(dense_rank() OVER w AS INTEGER) AS drank
+    FROM part
+    WHERE p_size >= 45
+    WINDOW w AS (PARTITION BY p_brand
+                 ORDER BY p_retailprice ASC, p_partkey ASC)
+    """,
+)

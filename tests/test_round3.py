@@ -910,3 +910,35 @@ def test_udtf_sentence_split_indices_skip_blanks(spark):
         (1, 1, "One"), (1, 2, "Two"), (1, 3, "Three"),
         (2, 1, "Dot"), (2, 3, "tail"),
     ]
+
+
+def test_interval_overlap_join_partial_top_bucket(spark):
+    from hbase_taggregator_spark.operators.relational import interval_overlap_join
+
+    # a's only overlap with b lies inside b's top PARTIAL grid bucket:
+    # grid=10, b=[5,12) covers buckets 0,1; a=[10,11) lives in bucket 1
+    a = spark.createDataFrame(
+        [(1, 101, 10, 11), (1, 102, 30, 40)],
+        "k long, a_id long, a_lo long, a_hi long",
+    )
+    b = spark.createDataFrame(
+        [(1, 201, 5, 12), (1, 202, 35, 36), (2, 203, 10, 11)],
+        "k long, b_id long, b_lo long, b_hi long",
+    )
+    got = [
+        (r.a_id, r.b_id, r.overlap_us)
+        for r in interval_overlap_join(a, b, ["k"], 10).collect()
+    ]
+    assert got == [(101, 201, 1), (102, 202, 1)]
+    with pytest.raises(ValueError):
+        interval_overlap_join(a, b, ["k"], 0)
+
+
+def test_interval_overlap_join_no_duplicate_pairs(spark):
+    from hbase_taggregator_spark.operators.relational import interval_overlap_join
+
+    # overlap spans 3 buckets -> must still emit exactly one pair row
+    a = spark.createDataFrame([(1, 1, 0, 30)], "k long, a_id long, a_lo long, a_hi long")
+    b = spark.createDataFrame([(1, 9, 0, 30)], "k long, b_id long, b_lo long, b_hi long")
+    rows = interval_overlap_join(a, b, ["k"], 10).collect()
+    assert len(rows) == 1 and rows[0].overlap_us == 30
