@@ -122,6 +122,20 @@ HEADLINE = [
     "feature_quantile_bins_decile",
     "feature_winsorize_p05_p95",
     "ts_calendar_rollup_weekly",
+    # round-3 late wave: smoothing/gaps/SCD2, profiling + KMV, feature
+    # hashing, entity resolution, UDTF, text sinks, interval join, ranks
+    "ts_ewma_smoothed_3600",
+    "ts_largest_gaps_per_type",
+    "scd2_user_event_history",
+    "profile_documents_columns",
+    "sketch_kmv_distinct_users",
+    "percentile_approx_accuracy_gate",
+    "text_feature_hashing_64",
+    "fuzzy_customer_name_candidates",
+    "udtf_sentence_split",
+    "sink_csv_json_roundtrip",
+    "interval_overlap_regimes_sessions",
+    "window_rank_functions_showcase",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

@@ -694,7 +694,12 @@ def negative_pairs(
             ),
         )
     )
-    return top_k_per_group(
-        scored.select("anchor", "neg_idx", "neg_id", "__rnd"),
-        ["anchor", "neg_idx"], "__rnd", 1, descending=False, tiebreak=["neg_id"],
-    ).drop("__rnd")
+    # argmin as min(struct(rnd, neg_id)) — lexicographic struct ordering
+    # equals the (rnd ASC, neg_id ASC) sort, but aggregates PARTIALLY on
+    # the map side instead of window-sorting the whole probe join output
+    # (a k=1 top-k through row_number shuffles+sorts every scored row)
+    return (
+        scored.groupBy("anchor", "neg_idx")
+        .agg(F.min(F.struct("__rnd", "neg_id")).alias("__w"))
+        .select("anchor", "neg_idx", F.col("__w.neg_id").alias("neg_id"))
+    )
