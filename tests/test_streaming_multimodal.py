@@ -146,3 +146,72 @@ def test_watermark_drops_late_data(spark):
     # the two on-time rows; the late value 100.0 is absent everywhere
     assert got[b0] == (2, 3.0)
     assert all(abs(s - 100.0) > 1e-9 and s < 100.0 for (_, s) in got.values())
+
+
+def test_transform_with_state_profile_or_env_gate(spark):
+    """State-V2 stateful streaming (transformWithStateInPandas): per-user
+    ValueState count + MapState bucket set must equal the batch aggregate
+    after an availableNow drain. The runner needs google.protobuf + RocksDB
+    state store — absent here, the probe gates the run (documented seam)."""
+    import tempfile
+
+    from hbase_taggregator_spark.streaming.timeseries_stream import (
+        replay_parquet_stream,
+        state_partitions,
+    )
+    from hbase_taggregator_spark.streaming.transform_state import (
+        tws_available,
+        user_activity_profile_stream,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable: TWS runner cannot start")
+
+    from hbase_taggregator_spark.sources.parquet import load_table
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+            F.col("user_id") % 10 == 0
+        )
+        with tempfile.TemporaryDirectory() as d:
+            ev.repartition(2).write.parquet(f"{d}/src")
+            stream = replay_parquet_stream(spark, f"{d}/src", max_files_per_trigger=1)
+            with state_partitions(spark, 2):
+                q = (
+                    user_activity_profile_stream(stream)
+                    .writeStream.format("memory")
+                    .queryName("tws_gate")
+                    .outputMode("update")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(180)
+            got = {
+                r.user_id: (r.n_events, r.n_value_buckets)
+                for r in spark.sql(
+                    """SELECT user_id, n_events, n_value_buckets FROM (
+                         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY n_events DESC) rk
+                         FROM tws_gate) WHERE rk = 1"""
+                ).collect()
+            }
+        want = {
+            r.user_id: (r.n, r.b)
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count("value").alias("n"),
+                F.countDistinct(F.floor(F.col("value") / 50.0)).alias("b"),
+            )
+            .collect()
+        }
+        assert got == want
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
