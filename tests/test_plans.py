@@ -98,3 +98,34 @@ def test_topk_has_no_global_sort_before_limit(q):
     df = q("window_topk_parts_per_brand")
     # row_number needs one sort within partitions, not a global range sort
     assert P.count_nodes(df, "Exchange rangepartitioning") == 0
+
+
+def test_round3_late_wave_no_python_hot_paths(q):
+    """The late-wave operators are JVM-expression plans except the UDTF
+    (Python by definition) and the materializing sink gates."""
+    for name in (
+        "ts_ewma_smoothed_3600",
+        "ts_largest_gaps_per_type",
+        "scd2_user_event_history",
+        "profile_documents_columns",
+        "sketch_kmv_distinct_users",
+        "text_feature_hashing_64",
+        "fuzzy_customer_name_candidates",
+        "interval_overlap_regimes_sessions",
+        "window_rank_functions_showcase",
+    ):
+        assert P.python_eval_count(q(name)) == 0, name
+
+
+def test_ewma_lag_chain_reuses_agg_partitioning(q):
+    """The EWMA lag window partitions on the same key the bucket agg
+    grouped by — no extra Exchange between aggregation and window."""
+    df = q("ts_ewma_smoothed_3600")
+    # bucket agg + final orderBy = 2 exchanges; the window must not add one
+    assert P.count_nodes(df, "Exchange hashpartitioning") <= 2
+
+
+def test_profile_is_single_scan(q):
+    """One scan feeds every per-column aggregate (no per-column rescans)."""
+    df = q("profile_documents_columns")
+    assert len(P.scan_schemas(df)) == 1
