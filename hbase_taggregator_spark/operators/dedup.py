@@ -476,3 +476,62 @@ def fuzzy_match_candidates(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check — the decontamination pass every
+    pretraining pipeline runs before training (does a training document
+    contain n-grams from an evaluation set?). Per corpus document: how
+    many of its distinct word n-gram shingles appear in ANY benchmark
+    document, and the contamination ratio.
+
+    Physical shape at 100 TB: the benchmark shingle set (distinct 60-bit
+    hashes — eval suites are tiny next to the corpus) broadcasts; the
+    corpus side is explode → map-side semi probe → one partial/final count
+    per doc. The corpus never shuffles on shingles. Documents shorter than
+    the shingle width report 0 shingles.
+    """
+    bench = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s")
+        )
+        .select(_hash60(F.concat(F.lit("ct#"), F.col("s"))).alias("h"))
+        .distinct()
+    )
+    corp = corpus.select(
+        F.col(id_col),
+        F.explode_outer(word_shingles(F.col(text_col), n_shingle)).alias("s"),
+    ).select(
+        id_col,
+        _hash60(F.concat(F.lit("ct#"), F.col("s"))).alias("h"),
+    )
+    hits = (
+        corp.join(F.broadcast(bench), "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = corp.groupBy(id_col).agg(
+        F.count(F.col("h")).alias("n_shingles")
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
+                "n_contaminated"
+            ),
+            F.when(F.col("n_shingles") > 0,
+                   F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                   / F.col("n_shingles").cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("contamination_ratio"),
+        )
+        .orderBy(id_col)
+    )

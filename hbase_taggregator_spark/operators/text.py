@@ -524,3 +524,52 @@ def feature_hash_counts(
         .agg(F.count(F.lit(1)).alias("tf"))
         .orderBy(id_col, "bucket")
     )
+
+
+def rare_token_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 2,
+) -> DataFrame:
+    """Perplexity-proxy quality signal in exact integer algebra: the
+    fraction of a document's token OCCURRENCES whose corpus document
+    frequency is ≤ ``max_df`` (rare/garbled tokens → high ratio; real
+    log-prob scoring is libm-dependent and not engine-portable, this is
+    the standard integer-exact stand-in). Two passes over the tokens:
+    a df build (distinct (token, doc) → count per token) and an
+    occurrence join.
+
+    Physical shape at 100 TB: both passes shuffle on the token — the df
+    side collapses to vocabulary size first, so the join's build side is
+    the (small) rare-token subset and broadcasts; the occurrence side
+    probes map-side.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    dfreq = (
+        toks.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    rare = dfreq.filter(F.col("__df") <= max_df).select("tok")
+    hits = (
+        toks.join(F.broadcast(rare), "tok", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+    )
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_rare"), F.lit(0)).alias("n_rare"),
+            (
+                F.coalesce(F.col("n_rare"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("rare_ratio"),
+        )
+        .orderBy(id_col)
+    )

@@ -588,3 +588,97 @@ _register(
                  ORDER BY p_retailprice ASC, p_partkey ASC)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (operators/dedup.py::contamination_overlap)
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES5 = (
+    r"list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4,"
+    r" 0)), i -> array_to_string(toks[i:i+4], ' ')))"
+)
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.dedup import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    return contamination_overlap(corpus, bench, n_shingle=5)
+
+
+_register(
+    "corpus_contamination_overlap",
+    _q_contamination,
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, {_SQL_SHINGLES5} AS shingles FROM t
+    ), bench AS (
+        SELECT DISTINCT CAST(concat('0x', substr(md5(concat('ct#', s)), 1, 15))
+                   AS BIGINT) AS h
+        FROM (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 37 = 0)
+    ), corp AS (
+        SELECT doc_id, CAST(concat('0x', substr(md5(concat('ct#', s)), 1, 15))
+                   AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+              WHERE doc_id % 37 <> 0)
+    ), hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        FROM corp WHERE h IN (SELECT h FROM bench) GROUP BY 1
+    )
+    SELECT sh.doc_id,
+           CAST(len(shingles) AS BIGINT) AS n_shingles,
+           COALESCE(n_contaminated, 0) AS n_contaminated,
+           CASE WHEN len(shingles) > 0
+                THEN CAST(COALESCE(n_contaminated, 0) AS DOUBLE)
+                     / CAST(len(shingles) AS DOUBLE)
+                ELSE 0.0 END AS contamination_ratio
+    FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id
+    WHERE sh.doc_id % 37 <> 0
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# rare-token quality ratio (operators/text.py::rare_token_ratio)
+# ---------------------------------------------------------------------------
+
+
+def _q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.text import rare_token_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rare_token_ratio(docs, max_df=2)
+
+
+_register(
+    "text_rare_token_ratio",
+    _q_rare_tokens,
+    r"""
+    WITH tk AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), tk2 AS (
+        SELECT * FROM tk WHERE tok <> ''
+    ), dfq AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS dfc FROM tk2 GROUP BY 1
+    ), totals AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM tk2 GROUP BY 1
+    ), hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rare
+        FROM tk2 WHERE tok IN (SELECT tok FROM dfq WHERE dfc <= 2)
+        GROUP BY 1
+    )
+    SELECT t.doc_id, n_tokens, COALESCE(n_rare, 0) AS n_rare,
+           CAST(COALESCE(n_rare, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS rare_ratio
+    FROM totals t LEFT JOIN hits ON t.doc_id = hits.doc_id
+    """,
+)

@@ -105,3 +105,46 @@ def test_fingerprint_normalization(spark, docs):
     fps = {r["doc_id"]: r["fp"] for r in X.fingerprint(docs).collect()}
     assert fps[0] == fps[1]
     assert fps[0] != fps[2]
+
+
+def test_contamination_overlap_detects_benchmark_ngrams(spark):
+    from hbase_taggregator_spark.operators.dedup import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 5-gram "alpha beta gamma delta epsilon"
+            (1, "xx alpha beta gamma delta epsilon yy"),
+            (2, "totally unrelated words go here now then"),
+            (3, "shrt"),  # < 5 tokens -> 0 shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination_ratio)
+        for r in contamination_overlap(corpus, bench, n_shingle=5).collect()
+    }
+    assert got[1][1] > 0 and got[1][2] > 0.0
+    assert got[2] == (3, 0, 0.0)
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_rare_token_ratio_counts_occurrences(spark):
+    from hbase_taggregator_spark.operators.text import rare_token_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare1 common rare1"),  # rare1 df=1 but 2 occurrences
+            (2, "common common"),
+            (3, "common onlyhere"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_rare) for r in rare_token_ratio(df, max_df=1).collect()
+    }
+    # 'common' df=3 (not rare); rare1 df=1, onlyhere df=1
+    assert got == {1: (4, 2), 2: (2, 0), 3: (2, 1)}
