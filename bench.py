@@ -136,6 +136,8 @@ HEADLINE = [
     "sink_csv_json_roundtrip",
     "interval_overlap_regimes_sessions",
     "window_rank_functions_showcase",
+    "corpus_contamination_overlap",
+    "text_rare_token_ratio",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would
@@ -167,6 +169,10 @@ SF1_SUBSET = [
     "similarity_lsh_neardup_pairs",
     "embedding_quantize_int8",
     "streaming_foreachbatch_sink",
+    # round-3 late wave: the new join/dedup families at 10×
+    "scd2_user_event_history",
+    "interval_overlap_regimes_sessions",
+    "corpus_contamination_overlap",
 ]
 
 

@@ -458,12 +458,16 @@ def fuzzy_match_candidates(
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    from hbase_taggregator_spark.util import ensure_parallelism
+
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(name_col).alias("name"),
         F.substring(F.col(name_col), 1, prefix_len).alias("blk"),
     )
-    a, b = base.alias("a"), base.alias("b")
+    # the probe side carries the quadratic in-block verify — a single-file
+    # input would run every Levenshtein on one core
+    a, b = ensure_parallelism(base).alias("a"), base.alias("b")
     return (
         a.join(b, on="blk")
         .filter(F.col("a.id") < F.col("b.id"))
