@@ -138,6 +138,8 @@ HEADLINE = [
     "window_rank_functions_showcase",
     "corpus_contamination_overlap",
     "text_rare_token_ratio",
+    "cohort_weekly_retention",
+    "funnel_three_step_ordered",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

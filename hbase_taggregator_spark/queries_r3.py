@@ -682,3 +682,121 @@ _register(
     FROM totals t LEFT JOIN hits ON t.doc_id = hits.doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# weekly cohort retention — the classic product-analytics matrix
+# (cohort week × week offset → distinct active users); exact integer
+# bucket algebra on the same t_min-aligned grid as the ts operators
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86_400 * US
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wk = F.expr(f"(unix_micros(ts) - {T0 * US}) div {_WEEK_US}")
+    activity = events.select("user_id", wk.alias("week")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_register(
+    "cohort_weekly_retention",
+    _q_cohort_retention,
+    f"""
+    WITH a AS (
+        SELECT DISTINCT user_id,
+               (epoch_us(ts) - {T0 * US}) // {_WEEK_US} AS week
+        FROM events
+    ), c AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM a GROUP BY 1
+    )
+    SELECT cohort_week, week - cohort_week AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM a JOIN c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# three-step ordered funnel (view → click → purchase, each within 24h,
+# earliest-next-step semantics so the chain is deterministic and
+# restatable) — extends the 2-step banded-semi-join funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_BAND_US = 86_400 * US
+
+
+def _q_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros("ts").alias("vt"), "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.unix_micros("ts").alias("ct")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("pt")
+    )
+    # earliest click within the band after each view
+    stage2 = (
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("ct") > F.col("vt"))
+            & (F.col("ct") <= F.col("vt") + _FUNNEL_BAND_US),
+        )
+        .groupBy("user_id", "vt", "event_id")
+        .agg(F.min("ct").alias("first_ct"))
+    )
+    stage3 = stage2.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pt") > F.col("first_ct"))
+        & (F.col("pt") <= F.col("first_ct") + _FUNNEL_BAND_US),
+        "left_semi",
+    )
+    return (
+        views.agg(F.count(F.lit(1)).alias("n_views"))
+        .crossJoin(stage2.agg(F.count(F.lit(1)).alias("n_viewed_then_clicked")))
+        .crossJoin(stage3.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+_register(
+    "funnel_three_step_ordered",
+    _q_funnel3,
+    f"""
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS vt, event_id FROM events
+        WHERE event_type = 'view'
+    ), c AS (
+        SELECT user_id AS c_user, epoch_us(ts) AS ct FROM events
+        WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id AS p_user, epoch_us(ts) AS pt FROM events
+        WHERE event_type = 'purchase'
+    ), s2 AS (
+        SELECT v.user_id, v.vt, v.event_id, MIN(c.ct) AS first_ct
+        FROM v JOIN c ON v.user_id = c.c_user
+              AND c.ct > v.vt AND c.ct <= v.vt + {_FUNNEL_BAND_US}
+        GROUP BY 1, 2, 3
+    ), s3 AS (
+        SELECT * FROM s2 WHERE EXISTS (
+            SELECT 1 FROM p WHERE p.p_user = s2.user_id
+              AND p.pt > s2.first_ct AND p.pt <= s2.first_ct + {_FUNNEL_BAND_US})
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_views,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_viewed_then_clicked,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_full_funnel
+    """,
+)
