@@ -140,6 +140,7 @@ HEADLINE = [
     "text_rare_token_ratio",
     "cohort_weekly_retention",
     "funnel_three_step_ordered",
+    "sketch_kmv_set_ops_users",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

@@ -219,3 +219,70 @@ def kmv_distinct(
         )
         .alias("estimate_distinct"),
     )
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Set-operation estimates from two mergeable KMV sketches — the
+    Theta-sketch use case (Dasgupta et al., DataSketches): estimated
+    distinct union, Jaccard, and intersection WITHOUT co-shuffling the two
+    inputs on the key. Both sides hash with the SAME seed so shared keys
+    collide; the union sketch is the min-k of the merged hash sets;
+    Jaccard is the fraction of the union's k minima present in both sides
+    (each membership check is a broadcast semi-join of a ≤k-row set).
+
+    When the union has fewer than k distinct hashes everything is exact.
+    All estimate arithmetic is int64 → a fixed chain of IEEE divisions, so
+    the oracle reproduces the ESTIMATES bit-for-bit.
+
+    Physical shape at 100 TB: each input collapses map-side+one shuffle to
+    its distinct-hash set (bounded by distinct keys, not rows); the top-k
+    is a TakeOrdered; the semi probes broadcast k longs. Sharded sketches
+    union + re-top-k like any mergeable sketch.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def hashes(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                _hash60(
+                    F.concat(F.lit(f"{seed}#"), F.col(key_col).cast("string"))
+                ).alias("h")
+            )
+            .distinct()
+        )
+
+    ha, hb = hashes(a), hashes(b)
+    union_topk = ha.union(hb).distinct().orderBy("h").limit(k)
+    in_both = union_topk.join(F.broadcast(ha), "h", "left_semi").join(
+        F.broadcast(hb), "h", "left_semi"
+    )
+    stats = union_topk.agg(
+        F.count(F.lit(1)).alias("n_tracked"), F.max("h").alias("kth_hash")
+    ).crossJoin(in_both.agg(F.count(F.lit(1)).alias("n_shared")))
+    two60 = float(2**60)
+    est_union = F.when(
+        F.col("n_tracked") < k, F.col("n_tracked").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth_hash").cast("double") / F.lit(two60))
+    )
+    return stats.select(
+        F.lit(k).alias("k"),
+        "n_tracked",
+        "n_shared",
+        est_union.alias("est_union"),
+        (
+            F.col("n_shared").cast("double") / F.col("n_tracked").cast("double")
+        ).alias("est_jaccard"),
+        (
+            est_union
+            * F.col("n_shared").cast("double")
+            / F.col("n_tracked").cast("double")
+        ).alias("est_intersection"),
+    )

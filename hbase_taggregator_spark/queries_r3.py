@@ -800,3 +800,59 @@ _register(
            (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_full_funnel
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates (operators/sketch.py::kmv_set_ops) —
+# distinct union / Jaccard / intersection of click-users vs
+# purchase-users, estimates bit-reproduced by the oracle
+# ---------------------------------------------------------------------------
+
+_KMVS_K = 256
+
+
+def _q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.sketch import kmv_set_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return kmv_set_ops(clicks, purchases, "user_id", k=_KMVS_K)
+
+
+_register(
+    "sketch_kmv_set_ops_users",
+    _q_kmv_setops,
+    f"""
+    WITH ha AS (
+        SELECT DISTINCT CAST(concat('0x', substr(md5(concat('kmv#',
+                   CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        FROM events WHERE event_type = 'click'
+    ), hb AS (
+        SELECT DISTINCT CAST(concat('0x', substr(md5(concat('kmv#',
+                   CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        FROM events WHERE event_type = 'purchase'
+    ), u AS (
+        SELECT DISTINCT h FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)
+        ORDER BY h LIMIT {_KMVS_K}
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tracked, MAX(h) AS kth_hash
+        FROM u
+    ), sh AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_shared FROM u
+        WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)
+    )
+    SELECT {_KMVS_K} AS k, n_tracked, n_shared,
+           CASE WHEN n_tracked < {_KMVS_K} THEN CAST(n_tracked AS DOUBLE)
+                ELSE {float(_KMVS_K - 1)!r}
+                     / (CAST(kth_hash AS DOUBLE) / {float(2**60)!r})
+           END AS est_union,
+           CAST(n_shared AS DOUBLE) / CAST(n_tracked AS DOUBLE) AS est_jaccard,
+           (CASE WHEN n_tracked < {_KMVS_K} THEN CAST(n_tracked AS DOUBLE)
+                 ELSE {float(_KMVS_K - 1)!r}
+                      / (CAST(kth_hash AS DOUBLE) / {float(2**60)!r})
+            END) * CAST(n_shared AS DOUBLE) / CAST(n_tracked AS DOUBLE)
+               AS est_intersection
+    FROM s CROSS JOIN sh
+    """,
+)

@@ -942,3 +942,20 @@ def test_interval_overlap_join_no_duplicate_pairs(spark):
     b = spark.createDataFrame([(1, 9, 0, 30)], "k long, b_id long, b_lo long, b_hi long")
     rows = interval_overlap_join(a, b, ["k"], 10).collect()
     assert len(rows) == 1 and rows[0].overlap_us == 30
+
+
+def test_kmv_set_ops_exact_below_k_and_estimates(spark):
+    from hbase_taggregator_spark.operators.sketch import kmv_set_ops
+
+    a = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(50, 150)], "k long")
+    # union 150 < k=256 -> everything exact
+    r = kmv_set_ops(a, b, "k", k=256).collect()[0]
+    assert r.n_tracked == 150 and r.est_union == 150.0
+    assert r.n_shared == 50 and r.est_intersection == 50.0
+    # k=32 -> estimates within ~1/sqrt(k) of truth
+    r2 = kmv_set_ops(a, b, "k", k=32).collect()[0]
+    assert abs(r2.est_union - 150) / 150 < 0.5
+    assert 0.0 < r2.est_jaccard < 1.0
+    with pytest.raises(ValueError):
+        kmv_set_ops(a, b, "k", k=1)
