@@ -1,0 +1,43 @@
+"""Plan audit: dump scale-relevant physical-plan properties for every
+catalog query at sf0.001 (plan shape is sf-independent) — the evidence
+file behind the 100 TB design claims: Python-eval node count (0 on hot
+paths), exchange counts, broadcast-join usage, and parquet pushdown.
+
+Usage: python tools/plan_audit.py [sf_dir] > tools/plan_audit_r3.txt
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from hbase_taggregator_spark import plans as P  # noqa: E402
+from hbase_taggregator_spark.queries import QUERIES  # noqa: E402
+from hbase_taggregator_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="plan-audit", master="local[8]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"# plan audit @ {sf_dir}")
+    print("# query | python_eval | exchanges | broadcast_joins | pushed_filters")
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf_dir)
+            py = P.python_eval_count(df)
+            ex = P.count_nodes(df, "Exchange")
+            bc = P.broadcast_join_count(df)
+            pf = "yes" if P.pushed_filters(df) else "-"
+            print(f"{name} | py={py} | ex={ex} | bcast={bc} | pushed={pf}")
+        except Exception as e:  # pragma: no cover - audit robustness
+            print(f"{name} | ERROR {type(e).__name__}: {str(e)[:80]}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
