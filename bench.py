@@ -141,6 +141,8 @@ HEADLINE = [
     "cohort_weekly_retention",
     "funnel_three_step_ordered",
     "sketch_kmv_set_ops_users",
+    "ts_mad_outliers_per_type",
+    "ts_seasonal_baseline_error",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

@@ -953,3 +953,69 @@ def largest_gaps(
         )
         .orderBy(*series_cols, "gap_rank")
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    value_col: str = "value",
+    series_cols: tuple[str, ...] = ("event_type",),
+    tiebreak_col: str = "event_id",
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Robust anomaly counting via Median Absolute Deviation — the
+    outlier detector that survives the outliers it hunts (mean/stddev
+    z-scores get dragged by the very spikes being flagged; Hampel/MAD is
+    the standard robust form). Per series: lower-median of the values,
+    lower-median of |x - med|, and the count of points with
+    |x - med| > n_sigma · 1.4826 · MAD (1.4826 = 1/Φ⁻¹(3/4), the
+    Gaussian-consistency constant).
+
+    Exactness: both medians are DISCRETE order statistics selected by
+    row_number at position (n+1) div 2 under a deterministic (value,
+    tiebreak) order — actual data values, no interpolation, so there is
+    no cross-engine FP-formula risk; the deviation is one IEEE subtract
+    and the threshold compare is a fixed three-factor product.
+
+    Physical shape at 100 TB: two window sorts and the final count all
+    partition on the series key — one shuffle, reused. Exact medians
+    need a per-series sort; at extreme per-series cardinality swap in
+    approx_percentile and keep the same contract (gate drops to
+    rows-only, like HLL++).
+    """
+    from pyspark.sql import Window as W
+
+    base = events.select(
+        *series_cols,
+        F.col(value_col).alias("v"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    counts = base.groupBy(*series_cols).agg(F.count(F.lit(1)).alias("__n"))
+    w_v = W.partitionBy(*series_cols).orderBy("v", "tb")
+    med = (
+        base.withColumn("__rn", F.row_number().over(w_v))
+        .join(F.broadcast(counts), list(series_cols))
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(*series_cols, F.col("v").alias("med"))
+    )
+    dev = base.join(F.broadcast(med), list(series_cols)).withColumn(
+        "__dev", F.abs(F.col("v") - F.col("med"))
+    )
+    w_d = W.partitionBy(*series_cols).orderBy("__dev", "tb")
+    mad = (
+        dev.withColumn("__rn", F.row_number().over(w_d))
+        .join(F.broadcast(counts), list(series_cols))
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(*series_cols, F.col("__dev").alias("mad"))
+    )
+    thresh = F.col("mad") * F.lit(1.4826) * F.lit(n_sigma)
+    return (
+        dev.join(F.broadcast(mad), list(series_cols))
+        .groupBy(*series_cols, "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(
+                F.when(F.col("__dev") > thresh, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy(*series_cols)
+    )

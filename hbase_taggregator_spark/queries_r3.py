@@ -856,3 +856,123 @@ _register(
     FROM s CROSS JOIN sh
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers (operators/timeseries.py::mad_outliers) — discrete
+# order-statistic medians, no interpolation formula to disagree on
+# ---------------------------------------------------------------------------
+
+
+def _q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.timeseries import mad_outliers
+
+    return mad_outliers(load_table(spark, sf_dir, "events"))
+
+
+_register(
+    "ts_mad_outliers_per_type",
+    _q_mad,
+    """
+    WITH base AS (
+        SELECT event_type, value AS v, event_id AS tb FROM events
+    ), c AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY 1
+    ), med AS (
+        SELECT event_type, v AS med FROM (
+            SELECT event_type, v,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY v, tb) AS rn
+            FROM base) r JOIN c USING (event_type)
+        WHERE rn = (n + 1) // 2
+    ), dev AS (
+        SELECT base.event_type, v, tb, med, abs(v - med) AS d
+        FROM base JOIN med ON base.event_type = med.event_type
+    ), mad AS (
+        SELECT event_type, d AS mad FROM (
+            SELECT event_type, d,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY d, tb) AS rn
+            FROM dev) r JOIN c USING (event_type)
+        WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.event_type, med, mad,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CASE WHEN d > mad * 1.4826 * 3.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY 1, 2, 3
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive baseline error: |hourly mean - mean 24h earlier| per
+# series — the forecast-evaluation primitive (is yesterday a good
+# predictor?). Micro-quantized means (exact int64, as in the EWMA) so
+# the mean absolute error is engine-exact.
+# ---------------------------------------------------------------------------
+
+
+def _q_seasonal_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(
+        spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US)
+    )
+    lo, ival, day = T0 * US, 3600 * US, 86_400 * US
+    b = (
+        events.withColumn(
+            "bucket_start_us",
+            F.expr(f"{lo} + ((unix_micros(ts) - {lo}) div {ival}) * {ival}"),
+        )
+        .groupBy("event_type", "bucket_start_us")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)"
+                " div COUNT(*)"
+            ).alias("xq")
+        )
+    )
+    prev = b.select(
+        "event_type",
+        (F.col("bucket_start_us") + day).alias("bucket_start_us"),
+        F.col("xq").alias("xq_prev"),
+    )
+    return (
+        b.join(prev, ["event_type", "bucket_start_us"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.sum(F.abs(F.col("xq") - F.col("xq_prev"))).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1_000_000.0))
+            ).alias("seasonal_mae"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_register(
+    "ts_seasonal_baseline_error",
+    _q_seasonal_err,
+    f"""
+    WITH b AS (
+        SELECT event_type,
+               {T0 * US} + ((epoch_us(ts) - {T0 * US}) // {3600 * US})
+                   * {3600 * US} AS bucket_start_us,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+                   // COUNT(*) AS xq
+        FROM events
+        WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}
+        GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CAST(SUM(abs(a.xq - p.xq)) AS BIGINT) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS seasonal_mae
+    FROM b a JOIN b p
+      ON a.event_type = p.event_type
+     AND p.bucket_start_us + {86_400 * US} = a.bucket_start_us
+    GROUP BY 1
+    """,
+)

@@ -959,3 +959,15 @@ def test_kmv_set_ops_exact_below_k_and_estimates(spark):
     assert 0.0 < r2.est_jaccard < 1.0
     with pytest.raises(ValueError):
         kmv_set_ops(a, b, "k", k=1)
+
+
+def test_mad_outliers_flags_spike_robustly(spark):
+    from hbase_taggregator_spark.operators.timeseries import mad_outliers
+
+    # 9 values near 10 plus one huge spike; MAD ignores the spike
+    rows = [(i, "a", 10.0 + (i % 3) * 0.1) for i in range(9)] + [(9, "a", 1e6)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = mad_outliers(df).collect()[0]
+    assert r.med == pytest.approx(10.1) and r.n_points == 10
+    assert r.n_outliers == 1  # only the spike exceeds 3*1.4826*MAD
+    assert 0.0 < r.mad < 0.2
