@@ -653,8 +653,10 @@ def negative_pairs(
     anchor for contrastive training (embedding / reranker data prep),
     WITHOUT a global index or a cross join: candidates are md5-bucketed,
     each (anchor, i) probes one pseudo-random bucket, and the winning
-    negative is the md5-argmin inside that bucket. Rebuild-stable (pure
-    hash algebra, restated by the oracle) and shuffle-bounded: the probe
+    negative is the argmin of a Kirsch–Mitzenmacher pair score
+    (probe hash + candidate hash mod 2^60 — per-row md5s combined with
+    two int ops, never a per-pair md5). Rebuild-stable (pure hash
+    algebra, restated by the oracle) and shuffle-bounded: the probe
     join fans out to the bucket size, so set ``n_buckets ≈ N / 64`` at
     scale to keep per-probe work constant — never O(N²).
 
@@ -663,43 +665,49 @@ def negative_pairs(
     n_buckets ≪ N; acceptable for negative sampling).
     """
     from hbase_taggregator_spark.operators.dedup import _hash60
+    from hbase_taggregator_spark.util import ensure_parallelism
 
     sid = F.col(id_col).cast("string")
-    cand = df.select(
+    # the candidate side streams through the bucket join and fans out to
+    # the bucket size — from a single-file input that whole expansion
+    # would run in ONE task
+    cand = ensure_parallelism(df.select(F.col(id_col))).select(
         F.col(id_col).alias("neg_id"),
         (_hash60(F.concat(F.lit(f"{seed}b:"), sid)) % n_buckets).alias("__bkt"),
+        _hash60(F.concat(F.lit(f"{seed}r:"), sid)).alias("__hr"),
     )
     anchors = df.select(F.col(id_col).alias("anchor")).select(
         "anchor", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_idx")
     )
     sa = F.col("anchor").cast("string")
-    probes = anchors.withColumn(
-        "__bkt",
-        _hash60(
-            F.concat(F.lit(f"{seed}p:"), sa, F.lit(":"), F.col("neg_idx").cast("string"))
-        )
-        % n_buckets,
+    hp = _hash60(
+        F.concat(F.lit(f"{seed}p:"), sa, F.lit(":"), F.col("neg_idx").cast("string"))
     )
+    probes = anchors.withColumn("__hp", hp).withColumn(
+        "__bkt", F.col("__hp") % n_buckets
+    )
+    # per-pair score = (probe hash + candidate hash) mod 2^60 — the
+    # Kirsch–Mitzenmacher combination used by the MinHash family. Each md5
+    # is computed ONCE PER ROW (probe / candidate side); the per-pair work
+    # inside a bucket is two int ops, not an md5 over a concatenated string
+    # (that md5 was ~all of the operator's runtime at bucket fan-out).
     scored = (
         probes.join(cand, "__bkt")
         .filter(F.col("neg_id") != F.col("anchor"))
-        .withColumn(
-            "__rnd",
-            F.md5(
-                F.concat(
-                    F.lit(f"{seed}c:"), sa, F.lit(":"),
-                    F.col("neg_idx").cast("string"), F.lit(":"),
-                    F.col("neg_id").cast("string"),
-                )
-            ),
-        )
+        .withColumn("__rnd", (F.col("__hp") + F.col("__hr")) % F.lit(1 << 60))
     )
-    # argmin as min(struct(rnd, neg_id)) — lexicographic struct ordering
-    # equals the (rnd ASC, neg_id ASC) sort, but aggregates PARTIALLY on
-    # the map side instead of window-sorting the whole probe join output
-    # (a k=1 top-k through row_number shuffles+sorts every scored row)
+    # argmin by (rnd, neg_id) PACKED into one decimal so the aggregate is
+    # a plain hash-aggregable MIN: a struct-min falls back to
+    # SortAggregate (sorts every scored row), a window top-k shuffles and
+    # sorts them — the packed min aggregates partially map-side with no
+    # sort anywhere. neg_id must fit 12 decimal digits (1e12 ids).
+    packed = F.expr("CAST(__rnd AS DECIMAL(38,0)) * 1000000000000 + neg_id")
     return (
         scored.groupBy("anchor", "neg_idx")
-        .agg(F.min(F.struct("__rnd", "neg_id")).alias("__w"))
-        .select("anchor", "neg_idx", F.col("__w.neg_id").alias("neg_id"))
+        .agg(F.min(packed).alias("__p"))
+        .select(
+            "anchor",
+            "neg_idx",
+            F.expr("CAST(__p % 1000000000000 AS BIGINT)").alias("neg_id"),
+        )
     )

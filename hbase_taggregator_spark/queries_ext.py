@@ -3765,18 +3765,18 @@ def _q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _negative_pairs_sql(k: int = 2, n_buckets: int = 16) -> str:
     h = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
     hb = h.format(x="'negb:' || CAST(doc_id AS VARCHAR)")
+    hr = h.format(x="'negr:' || CAST(doc_id AS VARCHAR)")
     hp = h.format(x="'negp:' || CAST(anchor AS VARCHAR) || ':' || CAST(neg_idx AS VARCHAR)")
     return f"""
-    WITH cand AS (SELECT doc_id AS neg_id, {hb} % {n_buckets} AS bkt
+    WITH cand AS (SELECT doc_id AS neg_id, {hb} % {n_buckets} AS bkt,
+                         {hr} AS hr
                   FROM documents),
     anchors AS (SELECT doc_id AS anchor, unnest(generate_series(0, {k - 1}))
                   AS neg_idx FROM documents),
-    probes AS (SELECT anchor, neg_idx, {hp} % {n_buckets} AS bkt FROM anchors),
+    probes AS (SELECT anchor, neg_idx, {hp} AS hp, {hp} % {n_buckets} AS bkt
+               FROM anchors),
     scored AS (
-      SELECT anchor, neg_idx, neg_id,
-             md5('negc:' || CAST(anchor AS VARCHAR) || ':'
-                 || CAST(neg_idx AS VARCHAR) || ':'
-                 || CAST(neg_id AS VARCHAR)) AS rnd
+      SELECT anchor, neg_idx, neg_id, (hp + hr) % {1 << 60} AS rnd
       FROM probes JOIN cand USING (bkt) WHERE neg_id != anchor)
     SELECT anchor, neg_idx, neg_id FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor, neg_idx
