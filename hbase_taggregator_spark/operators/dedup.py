@@ -501,6 +501,8 @@ def contamination_overlap(
     per doc. The corpus never shuffles on shingles. Documents shorter than
     the shingle width report 0 shingles.
     """
+    from hbase_taggregator_spark.util import ensure_parallelism
+
     bench = (
         benchmark.select(
             F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s")
@@ -508,7 +510,9 @@ def contamination_overlap(
         .select(_hash60(F.concat(F.lit("ct#"), F.col("s"))).alias("h"))
         .distinct()
     )
-    corp = corpus.select(
+    # the corpus side carries the shingle explode + hash — spread a
+    # narrow (single-file) input before the compute-heavy projection
+    corp = ensure_parallelism(corpus.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode_outer(word_shingles(F.col(text_col), n_shingle)).alias("s"),
     ).select(

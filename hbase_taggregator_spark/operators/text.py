@@ -106,7 +106,11 @@ def repetition_features(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    exploded = df.select(F.col("doc_id"), F.explode(grams).alias("g"))
+    from hbase_taggregator_spark.util import ensure_parallelism
+
+    exploded = ensure_parallelism(df.select("doc_id", text_col)).select(
+        F.col("doc_id"), F.explode(grams).alias("g")
+    )
     per_gram = exploded.groupBy("doc_id", "g").agg(
         F.count(F.lit(1)).alias("c")
     )
