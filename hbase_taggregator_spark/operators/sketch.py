@@ -286,3 +286,53 @@ def kmv_set_ops(
             / F.col("n_tracked").cast("double")
         ).alias("est_intersection"),
     )
+
+
+def kmv_grouped_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int = 64,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV distinct estimates — the grouped form of
+    :func:`kmv_distinct` (per-segment cardinality dashboards). HLL++ gives
+    Spark a grouped approximate distinct but its estimate is opaque; the
+    KMV estimate is md5 + order algebra, so every GROUP's estimate is
+    oracle-reproducible.
+
+    Physical shape at 100 TB: distinct (group, hash) pairs collapse with
+    one partial/final aggregation, then a per-group window keeps the k
+    minima — both shuffles on the group key prefix. State per group is k
+    longs, mergeable across shards like any KMV sketch.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window as W
+
+    h = _hash60(F.concat(F.lit(f"{seed}#"), F.col(key_col).cast("string")))
+    hashes = df.select(*group_cols, h.alias("h")).distinct()
+    w = W.partitionBy(*group_cols).orderBy("h")
+    topk = hashes.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    two60 = float(2**60)
+    return (
+        topk.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_tracked"), F.max("h").alias("kth_hash"))
+        .select(
+            *group_cols,
+            F.lit(k).alias("k"),
+            "n_tracked",
+            "kth_hash",
+            F.when(
+                F.col("n_tracked") < k, F.col("n_tracked").cast("double")
+            )
+            .otherwise(
+                F.lit(float(k - 1))
+                / (F.col("kth_hash").cast("double") / F.lit(two60))
+            )
+            .alias("estimate_distinct"),
+        )
+        .orderBy(*group_cols)
+    )

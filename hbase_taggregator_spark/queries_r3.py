@@ -976,3 +976,43 @@ _register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# grouped KMV distinct (operators/sketch.py::kmv_grouped_distinct) —
+# per-event-type distinct-user estimates, each gated bit-for-bit
+# ---------------------------------------------------------------------------
+
+
+def _q_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.sketch import kmv_grouped_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_grouped_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+_register(
+    "sketch_kmv_grouped_distinct",
+    _q_kmv_grouped,
+    f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5(concat('kmv#',
+                   CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        FROM events
+    ), r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+    ), t AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_tracked,
+               MAX(h) AS kth_hash
+        FROM r WHERE rn <= 64 GROUP BY 1
+    )
+    SELECT event_type, 64 AS k, n_tracked, kth_hash,
+           CASE WHEN n_tracked < 64 THEN CAST(n_tracked AS DOUBLE)
+                ELSE {63.0!r} / (CAST(kth_hash AS DOUBLE) / {float(2**60)!r})
+           END AS estimate_distinct
+    FROM t
+    """,
+)

@@ -971,3 +971,15 @@ def test_mad_outliers_flags_spike_robustly(spark):
     assert r.med == pytest.approx(10.1) and r.n_points == 10
     assert r.n_outliers == 1  # only the spike exceeds 3*1.4826*MAD
     assert 0.0 < r.mad < 0.2
+
+
+def test_kmv_grouped_exact_below_k(spark):
+    from hbase_taggregator_spark.operators.sketch import kmv_grouped_distinct
+
+    df = spark.createDataFrame(
+        [("a", i % 5) for i in range(40)] + [("b", i) for i in range(500)],
+        "g string, k long",
+    )
+    got = {r.g: r for r in kmv_grouped_distinct(df, ["g"], "k", k=64).collect()}
+    assert got["a"].estimate_distinct == 5.0  # below k -> exact
+    assert abs(got["b"].estimate_distinct - 500) / 500 < 0.4
