@@ -1016,3 +1016,66 @@ _register(
     FROM t
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (operators/relational.py::table_diff) — audit the MERGE
+# from the merge_upsert gate: added = new keys, removed = tombstones,
+# changed = balance updates
+# ---------------------------------------------------------------------------
+
+
+def _q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.relational import (
+        merge_upsert,
+        table_diff,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    upd = (
+        cust.filter((k % 7 == 0) | (k % 13 == 0))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+        .withColumn("__del", k % 13 == 0)
+    )
+    new = (
+        cust.filter(k % 97 == 0)
+        .withColumn("c_custkey", k + 1000000)
+        .withColumn("__del", F.lit(False))
+    )
+    merged = merge_upsert(
+        cust, upd.unionByName(new), ["c_custkey"],
+        delete_col="__del", broadcast_updates=True,
+    )
+    return table_diff(
+        cust, merged, ["c_custkey"], ["c_name", "c_acctbal", "c_mktsegment"]
+    )
+
+
+_register(
+    "table_diff_after_merge",
+    _q_table_diff,
+    """
+    WITH merged AS (
+        SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 97 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE c_custkey % 7 <> 0 AND c_custkey % 13 <> 0
+    )
+    SELECT diff_class, CAST(COUNT(*) AS BIGINT) AS n_keys FROM (
+        SELECT CASE WHEN b.c_custkey IS NULL THEN 'added'
+                    WHEN m.c_custkey IS NULL THEN 'removed'
+                    WHEN b.c_acctbal <> m.c_acctbal OR b.c_name <> m.c_name
+                         OR b.c_mktsegment <> m.c_mktsegment THEN 'changed'
+                    ELSE 'unchanged' END AS diff_class
+        FROM customer b FULL OUTER JOIN merged m
+          ON b.c_custkey = m.c_custkey
+    ) GROUP BY 1
+    """,
+)

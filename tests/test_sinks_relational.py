@@ -71,3 +71,19 @@ def test_cube_includes_all_grouping_sets(spark):
     assert "(all)" in labels and len(labels) >= 3
     total = next(r["n"] for r in out if r["o_orderstatus"] == "(all)")
     assert total == orders.count()
+
+
+def test_table_diff_classifies_all_four(spark):
+    from hbase_taggregator_spark.operators.relational import table_diff
+
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0)],
+        "k long, s string, v double",
+    )
+    rev = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    got = {r.diff_class: r.n_keys for r in table_diff(base, rev, ["k"], ["s", "v"]).collect()}
+    # 1 unchanged, 2 changed (NULL -> 2.0: null-safe compare), 3 removed, 4 added
+    assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
