@@ -111,3 +111,68 @@ def test_per_bucket_invariants(spark, golden_cells, interval, span_h):
         assert r["mn"] <= r["av"] <= r["mx"]
         assert r["sm"] == pytest.approx(r["av"] * r["ct"])
         assert r["ct"] > 0  # empty buckets must be absent
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(1, 25)),  # (lo, length)
+        min_size=1, max_size=8,
+    ),
+    grid=st.sampled_from([1, 3, 7, 10]),
+)
+def test_interval_overlap_matches_bruteforce(spark, intervals, grid):
+    """The grid-bucketed overlap join must equal the O(n²) definition for
+    arbitrary interval sets and grid sizes (the ceiling arithmetic is the
+    error-prone part — a prior draft dropped top-partial-bucket pairs)."""
+    from hbase_taggregator_spark.operators.relational import interval_overlap_join
+
+    a_rows = [(1, i, lo, lo + ln) for i, (lo, ln) in enumerate(intervals)]
+    b_rows = [(1, 100 + i, lo + 2, lo + 2 + ln) for i, (lo, ln) in enumerate(intervals)]
+    a = spark.createDataFrame(a_rows, "k long, a_id long, a_lo long, a_hi long")
+    b = spark.createDataFrame(b_rows, "k long, b_id long, b_lo long, b_hi long")
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(a, b, ["k"], grid).collect()
+    )
+    want = sorted(
+        (ai, bi)
+        for (_, ai, alo, ahi) in a_rows
+        for (_, bi, blo, bhi) in b_rows
+        if alo < bhi and blo < ahi
+    )
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seq=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=20),
+)
+def test_scd2_runs_match_bruteforce(spark, seq):
+    """SCD2 run collapse must equal the obvious linear fold for any
+    attribute sequence."""
+    from hbase_taggregator_spark.operators.relational import scd2_from_events
+
+    base = 1_700_000_000_000_000
+    rows = [(i, None, 1, s, 1.0) for i, s in enumerate(seq)]
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (i, dt.datetime.utcfromtimestamp((base + i * 1_000_000) / 1e6), 1, s, v)
+            for i, _, _, s, v in rows
+            for v in [1.0]
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = [
+        (r.event_type, r.n_events)
+        for r in scd2_from_events(df).orderBy("run_id").collect()
+    ]
+    want = []
+    for s in seq:
+        if want and want[-1][0] == s:
+            want[-1] = (s, want[-1][1] + 1)
+        else:
+            want.append((s, 1))
+    assert got == want
