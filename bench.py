@@ -180,6 +180,8 @@ SF1_SUBSET = [
     "scd2_user_event_history",
     "interval_overlap_regimes_sessions",
     "corpus_contamination_overlap",
+    "corpus_negative_pairs",
+    "fuzzy_customer_name_candidates",
 ]
 
 

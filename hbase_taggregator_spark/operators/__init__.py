@@ -4,7 +4,9 @@ relational / window / dedup / similarity / text / multimodal surface
 
 from hbase_taggregator_spark.operators.asof import asof_join
 from hbase_taggregator_spark.operators.dedup import (
+    contamination_overlap,
     exact_dedup,
+    fuzzy_match_candidates,
     jaccard_pairs,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -15,8 +17,12 @@ from hbase_taggregator_spark.operators.multimodal import (
     extract_binary_features,
     with_binary_payload,
 )
+from hbase_taggregator_spark.operators.profile import profile_columns
 from hbase_taggregator_spark.operators.relational import (
     anti_join,
+    interval_overlap_join,
+    scd2_from_events,
+    table_diff,
     grouping_cube,
     grouping_rollup,
     latest_versions,
@@ -30,8 +36,18 @@ from hbase_taggregator_spark.operators.similarity import (
     lsh_bucket,
     neardup_pairs,
 )
+from hbase_taggregator_spark.operators.sketch import (
+    bloom_filter_semi,
+    count_min_lookup,
+    count_min_sketch,
+    kmv_distinct,
+    kmv_grouped_distinct,
+    kmv_set_ops,
+)
 from hbase_taggregator_spark.operators.text import (
+    feature_hash_counts,
     fingerprint,
+    rare_token_ratio,
     language_id,
     quality_features,
     token_count,
@@ -39,7 +55,10 @@ from hbase_taggregator_spark.operators.text import (
 from hbase_taggregator_spark.operators.timeseries import (
     TimeseriesAggregator,
     TimeseriesQuery,
+    ewma_truncated,
     fill_gaps,
+    largest_gaps,
+    mad_outliers,
 )
 from hbase_taggregator_spark.operators.windows import session_agg, sliding_bucket_agg
 
@@ -73,4 +92,21 @@ __all__ = [
     "token_count",
     "extract_binary_features",
     "with_binary_payload",
+    "bloom_filter_semi",
+    "contamination_overlap",
+    "count_min_lookup",
+    "count_min_sketch",
+    "ewma_truncated",
+    "feature_hash_counts",
+    "fuzzy_match_candidates",
+    "interval_overlap_join",
+    "kmv_distinct",
+    "kmv_grouped_distinct",
+    "kmv_set_ops",
+    "largest_gaps",
+    "mad_outliers",
+    "profile_columns",
+    "rare_token_ratio",
+    "scd2_from_events",
+    "table_diff",
 ]
