@@ -442,6 +442,7 @@ def fuzzy_match_candidates(
     id_col: str,
     prefix_len: int = 16,
     max_dist: int = 1,
+    max_block: int | None = 1000,
 ) -> DataFrame:
     """Edit-distance near-match candidates via prefix blocking — the
     entity-resolution primitive (record linkage on names/titles/SKUs).
@@ -452,9 +453,12 @@ def fuzzy_match_candidates(
     oracle restates the same block+verify algebra.
 
     Physical shape at 100 TB: one shuffle on the block key, quadratic only
-    WITHIN a block — choose ``prefix_len`` so blocks stay small (same skew
-    discipline as the capped LSH buckets; a degenerate all-equal prefix
-    needs the bucket-cap guard first).
+    WITHIN a block; ``max_block`` is the same skew guard as the LSH bucket
+    caps — blocks larger than it (a degenerate all-equal prefix: empty
+    names, one dominant SKU family) are DROPPED before the self-join,
+    bounding any task at ``max_block²`` verifies. Capped-out members can
+    still match through nothing else (unlike banded LSH), so at scale
+    lengthen ``prefix_len`` rather than relying on the cap.
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
@@ -465,6 +469,14 @@ def fuzzy_match_candidates(
         F.col(name_col).alias("name"),
         F.substring(F.col(name_col), 1, prefix_len).alias("blk"),
     )
+    if max_block is not None:
+        ok = (
+            base.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter((F.col("__bn") >= 2) & (F.col("__bn") <= max_block))
+            .select("blk")
+        )
+        base = base.join(F.broadcast(ok), "blk", "left_semi")
     # the probe side carries the quadratic in-block verify — a single-file
     # input would run every Levenshtein on one core
     a, b = ensure_parallelism(base).alias("a"), base.alias("b")

@@ -331,10 +331,15 @@ _register(
     "fuzzy_customer_name_candidates",
     _q_fuzzy,
     """
-    WITH b AS (
+    WITH b0 AS (
         SELECT c_custkey AS id, c_name AS name,
                substr(c_name, 1, 16) AS blk
         FROM customer
+    ), ok AS (
+        SELECT blk FROM b0 GROUP BY 1
+        HAVING COUNT(*) BETWEEN 2 AND 1000
+    ), b AS (
+        SELECT b0.* FROM b0 JOIN ok USING (blk)
     )
     SELECT a.id AS id_a, b.id AS id_b,
            CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist

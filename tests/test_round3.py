@@ -983,3 +983,20 @@ def test_kmv_grouped_exact_below_k(spark):
     got = {r.g: r for r in kmv_grouped_distinct(df, ["g"], "k", k=64).collect()}
     assert got["a"].estimate_distinct == 5.0  # below k -> exact
     assert abs(got["b"].estimate_distinct - 500) / 500 < 0.4
+
+
+def test_fuzzy_match_block_cap_drops_megablock(spark):
+    from hbase_taggregator_spark.operators.dedup import fuzzy_match_candidates
+
+    rows = [(i, f"same-{i % 2}") for i in range(40)]  # 2 blocks of 20 (prefix 'same-')
+    rows += [(100, "okblk-a"), (101, "okblk-b")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    # prefix 5 puts all 40 'same-*' rows in ONE block -> dropped by cap 10;
+    # the 2-row block survives and verifies
+    got = [
+        (r.id_a, r.id_b)
+        for r in fuzzy_match_candidates(
+            df, "name", "id", prefix_len=5, max_dist=1, max_block=10
+        ).collect()
+    ]
+    assert got == [(100, 101)]
