@@ -645,7 +645,7 @@ def pq_adc_topk(
 def negative_pairs(
     df: DataFrame,
     k: int = 4,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     id_col: str = "doc_id",
     seed: str = "neg",
 ) -> DataFrame:
@@ -667,6 +667,13 @@ def negative_pairs(
     from hbase_taggregator_spark.operators.dedup import _hash60
     from hbase_taggregator_spark.util import ensure_parallelism
 
+    if n_buckets is None:
+        # a FIXED bucket count makes per-probe work grow linearly with the
+        # corpus (observed 17× wall on 10× data); tie it to corpus size so
+        # bucket size — and per-anchor candidate work — stays ~256. Pure
+        # integer formula, restatable by the SQL oracle; one tiny count
+        # job at build time (same class as the k-means centroid collect).
+        n_buckets = max(16, df.count() // 256)
     sid = F.col(id_col).cast("string")
     # the candidate side streams through the bucket join and fans out to
     # the bucket size — from a single-file input that whole expansion

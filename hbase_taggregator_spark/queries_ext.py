@@ -3757,23 +3757,27 @@ _register(
 
 def _q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic bucket-probed negative sampling: 2 negatives per
-    anchor document, md5-argmin inside a pseudo-random md5 bucket."""
+    anchor document, pair-hash argmin inside a pseudo-random md5 bucket.
+    Bucket count adapts to corpus size (max(16, n//256)) — the oracle
+    computes the same integer formula."""
     docs = load_table(spark, sf_dir, "documents")
-    return S.negative_pairs(docs, k=2, n_buckets=16)
+    return S.negative_pairs(docs, k=2)
 
 
-def _negative_pairs_sql(k: int = 2, n_buckets: int = 16) -> str:
+def _negative_pairs_sql(k: int = 2) -> str:
     h = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
     hb = h.format(x="'negb:' || CAST(doc_id AS VARCHAR)")
     hr = h.format(x="'negr:' || CAST(doc_id AS VARCHAR)")
     hp = h.format(x="'negp:' || CAST(anchor AS VARCHAR) || ':' || CAST(neg_idx AS VARCHAR)")
     return f"""
-    WITH cand AS (SELECT doc_id AS neg_id, {hb} % {n_buckets} AS bkt,
-                         {hr} AS hr
-                  FROM documents),
+    WITH nb AS (SELECT GREATEST(16, COUNT(*) // 256) AS n FROM documents),
+    cand AS (SELECT doc_id AS neg_id, {hb} % (SELECT n FROM nb) AS bkt,
+                    {hr} AS hr
+             FROM documents),
     anchors AS (SELECT doc_id AS anchor, unnest(generate_series(0, {k - 1}))
                   AS neg_idx FROM documents),
-    probes AS (SELECT anchor, neg_idx, {hp} AS hp, {hp} % {n_buckets} AS bkt
+    probes AS (SELECT anchor, neg_idx, {hp} AS hp,
+                      {hp} % (SELECT n FROM nb) AS bkt
                FROM anchors),
     scored AS (
       SELECT anchor, neg_idx, neg_id, (hp + hr) % {1 << 60} AS rnd
