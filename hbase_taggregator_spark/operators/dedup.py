@@ -531,24 +531,25 @@ def contamination_overlap(
         id_col,
         _hash60(F.concat(F.lit("ct#"), F.col("s"))).alias("h"),
     )
-    hits = (
-        corp.join(F.broadcast(bench), "h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    totals = corp.groupBy(id_col).agg(
-        F.count(F.col("h")).alias("n_shingles")
+    # ONE pass over the exploded corpus: the broadcast bench set left-joins
+    # in as a hit flag, and totals + hits come out of a single partial/
+    # final aggregate (a hits/totals split would re-explode and re-hash
+    # the whole corpus — its dominant cost — twice)
+    flagged = corp.join(
+        F.broadcast(bench.withColumn("__hit", F.lit(1))), "h", "left"
     )
     return (
-        totals.join(hits, id_col, "left")
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.col("h")).alias("n_shingles"),
+            F.count(F.col("__hit")).alias("n_contaminated"),
+        )
         .select(
             id_col,
             "n_shingles",
-            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
-                "n_contaminated"
-            ),
+            "n_contaminated",
             F.when(F.col("n_shingles") > 0,
-                   F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                   F.col("n_contaminated").cast("double")
                    / F.col("n_shingles").cast("double"))
             .otherwise(F.lit(0.0))
             .alias("contamination_ratio"),

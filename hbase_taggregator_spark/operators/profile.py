@@ -27,26 +27,32 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     if not cols:
         raise ValueError("profile_columns needs at least one column")
+    # internal aliases are index-based and column names enter only as
+    # typed literals/Column refs — a name with spaces, quotes, or dots
+    # must not be spliced into SQL text
     aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.col(c)).alias(f"__nn_{c}"),
-            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            F.count(F.col(c)).alias(f"__nn_{i}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{i}"),
         ]
     one = df.agg(*aggs)
-    per_col = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__nn_{i}").alias("n_nonnull"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+                F.col(f"__mn_{i}").alias("min_repr"),
+                F.col(f"__mx_{i}").alias("max_repr"),
+            )
+            for i, c in enumerate(cols)
+        ]
     )
     return (
-        one.select(
-            F.col("__rows").alias("n_rows"),
-            F.expr(
-                f"stack({len(cols)}, {per_col}) AS "
-                "(column_name, n_nonnull, n_distinct, min_repr, max_repr)"
-            ),
-        )
+        one.select(F.col("__rows").alias("n_rows"), F.inline(rows))
         .select(
             "column_name", "n_rows", "n_nonnull", "n_distinct",
             "min_repr", "max_repr",

@@ -328,17 +328,24 @@ def interval_overlap_join(
     if grid <= 0:
         raise ValueError(f"grid must be positive, got {grid}")
 
+    grid_dec = F.lit(grid).cast("decimal(12,0)")
+
     def cover(df: DataFrame, lo: str, hi: str) -> DataFrame:
-        # top covered bucket = ceil(hi/grid)-1; Spark's `div` TRUNCATES, so
-        # the ceiling must be (hi+grid-1) div grid (nonneg bounds) — the
-        # negate-divide-negate idiom silently floors here and would drop
-        # pairs whose only overlap lies in the top partial bucket
+        # covered buckets = floor(lo/grid) .. ceil(hi/grid)-1. True
+        # floor/ceil via exact DECIMAL division (like range_band_join):
+        # integer `div` TRUNCATES, which floors only for nonnegative
+        # bounds — pre-1970 epochs or signed offsets would land in the
+        # wrong bucket and silently drop pairs
         return df.filter(F.col(hi) > F.col(lo)).withColumn(
             "__bucket",
             F.explode(
                 F.sequence(
-                    F.expr(f"`{lo}` div {grid}"),
-                    F.expr(f"(`{hi}` + {grid - 1}) div {grid} - 1"),
+                    F.floor(
+                        F.col(lo).cast("decimal(28,9)") / grid_dec
+                    ).cast("long"),
+                    (
+                        F.ceil(F.col(hi).cast("decimal(28,9)") / grid_dec) - 1
+                    ).cast("long"),
                 )
             ),
         )
@@ -372,13 +379,15 @@ def table_diff(
     two table versions and count each class. Row contents compare by an
     md5 fingerprint over ``compare_cols`` (null-safe: NULL marks a
     reserved token), so wide rows ship one 32-char hash through the join,
-    not every column.
+    not every column. Keys appearing multiple times in a snapshot compare
+    by the sorted MULTISET of their row fingerprints — a duplicated row
+    counts as a change, not as extra phantom keys.
 
-    Physical shape at 100 TB: one full-outer shuffle join on the key —
-    the minimum possible for a diff — carrying (key, fingerprint) only;
-    counts aggregate partially map-side. At petabyte scale run it
-    per-partition (date bucket) and union the counts: the operator
-    composes because counts are additive.
+    Physical shape at 100 TB: per-side key collapse (partial/final) then
+    one full-outer shuffle join on the key — the minimum possible for a
+    diff — carrying (key, fingerprint) only; counts aggregate partially
+    map-side. At petabyte scale run it per-partition (date bucket) and
+    union the counts: the operator composes because counts are additive.
     """
 
     def fp(df: DataFrame) -> Column:
@@ -388,8 +397,19 @@ def table_diff(
             parts.append(F.lit("\x01"))
         return F.md5(F.concat(*parts))
 
-    b = base.select(*key_cols, fp(base).alias("__fp_b"))
-    r = revised.select(*key_cols, fp(revised).alias("__fp_r"))
+    def keyed(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(*key_cols, fp(df).alias("__fp"))
+            .groupBy(*key_cols)
+            .agg(
+                F.md5(
+                    F.concat_ws(",", F.sort_array(F.collect_list("__fp")))
+                ).alias(out)
+            )
+        )
+
+    b = keyed(base, "__fp_b")
+    r = keyed(revised, "__fp_r")
     j = b.join(r, key_cols, "full_outer")
     cls = (
         F.when(F.col("__fp_b").isNull(), F.lit("added"))

@@ -667,13 +667,26 @@ def negative_pairs(
     from hbase_taggregator_spark.operators.dedup import _hash60
     from hbase_taggregator_spark.util import ensure_parallelism
 
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+    ).first()
+    if stats["n"] and (stats["lo"] < 0 or stats["hi"] >= 10**12):
+        # the decimal argmin packs neg_id into 12 decimal digits; an out-
+        # of-range id would silently round-trip as id mod 1e12
+        raise ValueError(
+            f"{id_col} must be in [0, 1e12) for packed argmin, got "
+            f"[{stats['lo']}, {stats['hi']}]"
+        )
     if n_buckets is None:
         # a FIXED bucket count makes per-probe work grow linearly with the
         # corpus (observed 17× wall on 10× data); tie it to corpus size so
         # bucket size — and per-anchor candidate work — stays ~256. Pure
-        # integer formula, restatable by the SQL oracle; one tiny count
-        # job at build time (same class as the k-means centroid collect).
-        n_buckets = max(16, df.count() // 256)
+        # integer formula, restatable by the SQL oracle; the stats lookup
+        # above is one tiny column-stats job (same class as the k-means
+        # centroid collect).
+        n_buckets = max(16, stats["n"] // 256)
     sid = F.col(id_col).cast("string")
     # the candidate side streams through the bucket join and fans out to
     # the bucket size — from a single-file input that whole expansion

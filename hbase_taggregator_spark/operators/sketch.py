@@ -260,9 +260,11 @@ def kmv_set_ops(
 
     ha, hb = hashes(a), hashes(b)
     union_topk = ha.union(hb).distinct().orderBy("h").limit(k)
-    in_both = union_topk.join(F.broadcast(ha), "h", "left_semi").join(
-        F.broadcast(hb), "h", "left_semi"
-    )
+    # broadcast the <=k-row top-k INTO the big sides (never the reverse:
+    # ha/hb are bounded by distinct keys, which is exactly what must not
+    # be collected at scale)
+    in_a = ha.join(F.broadcast(union_topk), "h", "left_semi")
+    in_both = hb.join(F.broadcast(in_a), "h", "left_semi")
     stats = union_topk.agg(
         F.count(F.lit(1)).alias("n_tracked"), F.max("h").alias("kth_hash")
     ).crossJoin(in_both.agg(F.count(F.lit(1)).alias("n_shared")))
@@ -272,19 +274,16 @@ def kmv_set_ops(
     ).otherwise(
         F.lit(float(k - 1)) / (F.col("kth_hash").cast("double") / F.lit(two60))
     )
+    jaccard = F.when(F.col("n_tracked") == 0, F.lit(0.0)).otherwise(
+        F.col("n_shared").cast("double") / F.col("n_tracked").cast("double")
+    )
     return stats.select(
         F.lit(k).alias("k"),
         "n_tracked",
         "n_shared",
         est_union.alias("est_union"),
-        (
-            F.col("n_shared").cast("double") / F.col("n_tracked").cast("double")
-        ).alias("est_jaccard"),
-        (
-            est_union
-            * F.col("n_shared").cast("double")
-            / F.col("n_tracked").cast("double")
-        ).alias("est_intersection"),
+        jaccard.alias("est_jaccard"),
+        (est_union * jaccard).alias("est_intersection"),
     )
 
 

@@ -558,20 +558,24 @@ def rare_token_ratio(
         .agg(F.count(F.lit(1)).alias("__df"))
     )
     rare = dfreq.filter(F.col("__df") <= max_df).select("tok")
-    hits = (
-        toks.join(F.broadcast(rare), "tok", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_rare"))
+    # one occurrence pass: the broadcast rare set joins in as a flag and
+    # totals + rare counts aggregate together (separate hits/totals
+    # passes would tokenize and explode the corpus twice more)
+    flagged = toks.join(
+        F.broadcast(rare.withColumn("__rare", F.lit(1))), "tok", "left"
     )
-    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
     return (
-        totals.join(hits, id_col, "left")
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.col("__rare")).alias("n_rare"),
+        )
         .select(
             id_col,
             "n_tokens",
-            F.coalesce(F.col("n_rare"), F.lit(0)).alias("n_rare"),
+            "n_rare",
             (
-                F.coalesce(F.col("n_rare"), F.lit(0)).cast("double")
+                F.col("n_rare").cast("double")
                 / F.col("n_tokens").cast("double")
             ).alias("rare_ratio"),
         )

@@ -4447,10 +4447,15 @@ _GATE_WINDOW = [
 ]
 
 
-def _apply_gate_window() -> None:
+def _apply_gate_window(strict: bool = True) -> None:
     from hbase_taggregator_spark import queries as _q
 
     missing = [n for n in _GATE_WINDOW if n not in _q.QUERIES]
+    if missing and not strict:
+        # mid-circular-import (someone imported queries_r3 directly):
+        # its registrations haven't run yet — queries_r3's own end-of-
+        # module strict call re-applies once everything is registered
+        return
     assert not missing, f"gate window names drifted: {missing}"
     for reg in (_q.QUERIES, _q.ORACLES):
         ordered = {n: reg[n] for n in _GATE_WINDOW if n in reg}
@@ -4463,4 +4468,4 @@ def _apply_gate_window() -> None:
 # (two of them hold gate slots); the others order after the window
 import hbase_taggregator_spark.queries_r3  # noqa: E402,F401
 
-_apply_gate_window()
+_apply_gate_window(strict=False)

@@ -422,11 +422,13 @@ def _q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory() as d:
         write_csv(docs, f"{d}/csv")
         write_json(docs, f"{d}/json")
+        # reader options must MIRROR the writer's dialect (Spark default:
+        # quote '"', escape '\\') — an asymmetric escape corrupts any text
+        # containing a quote even though quote-free fixtures round-trip
         back_csv = (
             spark.read.schema(docs.schema)
             .option("header", True)
             .option("multiLine", True)
-            .option("escape", '"')
             .csv(f"{d}/csv")
         )
         back_json = spark.read.schema(docs.schema).json(f"{d}/json")
@@ -852,11 +854,15 @@ _register(
                 ELSE {float(_KMVS_K - 1)!r}
                      / (CAST(kth_hash AS DOUBLE) / {float(2**60)!r})
            END AS est_union,
-           CAST(n_shared AS DOUBLE) / CAST(n_tracked AS DOUBLE) AS est_jaccard,
+           CASE WHEN n_tracked = 0 THEN 0.0
+                ELSE CAST(n_shared AS DOUBLE) / CAST(n_tracked AS DOUBLE)
+           END AS est_jaccard,
            (CASE WHEN n_tracked < {_KMVS_K} THEN CAST(n_tracked AS DOUBLE)
                  ELSE {float(_KMVS_K - 1)!r}
                       / (CAST(kth_hash AS DOUBLE) / {float(2**60)!r})
-            END) * CAST(n_shared AS DOUBLE) / CAST(n_tracked AS DOUBLE)
+            END) * (CASE WHEN n_tracked = 0 THEN 0.0
+                         ELSE CAST(n_shared AS DOUBLE)
+                              / CAST(n_tracked AS DOUBLE) END)
                AS est_intersection
     FROM s CROSS JOIN sh
     """,
@@ -1084,3 +1090,11 @@ _register(
     ) GROUP BY 1
     """,
 )
+
+
+# re-apply the gate-window ordering now that every late-wave query is
+# registered — covers the direct `import hbase_taggregator_spark.queries_r3`
+# path, where queries_ext's own (tolerant) application ran too early
+from hbase_taggregator_spark.queries_ext import _apply_gate_window  # noqa: E402
+
+_apply_gate_window()

@@ -1000,3 +1000,38 @@ def test_fuzzy_match_block_cap_drops_megablock(spark):
         ).collect()
     ]
     assert got == [(100, 101)]
+
+
+def test_kmv_set_ops_empty_inputs_no_nan(spark):
+    from hbase_taggregator_spark.operators.sketch import kmv_set_ops
+
+    empty = spark.createDataFrame([], "k long")
+    r = kmv_set_ops(empty, empty, "k", k=16).collect()[0]
+    assert (r.est_union, r.est_jaccard, r.est_intersection) == (0.0, 0.0, 0.0)
+
+
+def test_negative_pairs_rejects_out_of_range_ids(spark):
+    from hbase_taggregator_spark.operators.similarity import negative_pairs
+
+    bad = spark.createDataFrame([(10**13,), (1,)], "doc_id long")
+    with pytest.raises(ValueError, match="packed argmin"):
+        negative_pairs(bad, k=1)
+
+
+def test_profile_columns_hostile_names(spark):
+    from hbase_taggregator_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([(1, "x")], ["user name", "a-b'c"])
+    got = {r.column_name: r.n_nonnull for r in profile_columns(df, ["user name", "a-b'c"]).collect()}
+    assert got == {"user name": 1, "a-b'c": 1}
+
+
+def test_interval_overlap_join_negative_bounds(spark):
+    from hbase_taggregator_spark.operators.relational import interval_overlap_join
+
+    # a=[-15,-4) overlaps b=[-6,-5); truncating division would misplace
+    # the buckets of negative bounds and miss the pair
+    a = spark.createDataFrame([(1, 1, -15, -4)], "k long, a_id long, a_lo long, a_hi long")
+    b = spark.createDataFrame([(1, 9, -6, -5)], "k long, b_id long, b_lo long, b_hi long")
+    rows = interval_overlap_join(a, b, ["k"], 10).collect()
+    assert [(r.a_id, r.b_id, r.overlap_us) for r in rows] == [(1, 9, 1)]

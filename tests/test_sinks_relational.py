@@ -87,3 +87,45 @@ def test_table_diff_classifies_all_four(spark):
     got = {r.diff_class: r.n_keys for r in table_diff(base, rev, ["k"], ["s", "v"]).collect()}
     # 1 unchanged, 2 changed (NULL -> 2.0: null-safe compare), 3 removed, 4 added
     assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
+
+
+def test_csv_roundtrip_survives_quotes_and_newlines(spark):
+    """The CSV sink/source dialect must round-trip hostile text (quotes,
+    embedded newlines, commas) — the round-3 gate fixture has none, so
+    this is the test that actually exercises escaping."""
+    import tempfile
+
+    from hbase_taggregator_spark.sources.sinks import write_csv
+
+    rows = [
+        (1, 'he said "hi" there'),
+        (2, "line one\nline two"),
+        (3, "comma, semi; quote\" mix"),
+        (4, 'ends with quote"'),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        write_csv(df, f"{d}/csv")
+        back = (
+            spark.read.schema(df.schema)
+            .option("header", True)
+            .option("multiLine", True)
+            .csv(f"{d}/csv")
+        )
+        got = sorted((r.id, r.text) for r in back.collect())
+    assert got == sorted(rows)
+
+
+def test_table_diff_duplicate_keys_count_once(spark):
+    from hbase_taggregator_spark.operators.relational import table_diff
+
+    base = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], "k long, v string"
+    )
+    rev = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, "y")], "k long, v string"
+    )
+    got = {r.diff_class: r.n_keys for r in table_diff(base, rev, ["k"], ["v"]).collect()}
+    # key 1: duplicate collapsed in rev -> multiset differs -> changed;
+    # key 2: gained a duplicate -> changed; no phantom keys
+    assert got == {"changed": 2}
