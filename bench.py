@@ -145,6 +145,7 @@ HEADLINE = [
     "ts_seasonal_baseline_error",
     "sketch_kmv_grouped_distinct",
     "table_diff_after_merge",
+    "fuzzy_entity_resolution",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

@@ -1098,3 +1098,64 @@ _register(
 from hbase_taggregator_spark.queries_ext import _apply_gate_window  # noqa: E402
 
 _apply_gate_window()
+
+
+# ---------------------------------------------------------------------------
+# end-to-end entity resolution: prefix-blocked Levenshtein candidates →
+# connected components → stable entity ids (min-id label). Composes
+# fuzzy_match_candidates with duplicate_components; the oracle rebuilds
+# the same candidates and closes them with a recursive CTE.
+# ---------------------------------------------------------------------------
+
+
+def _q_fuzzy_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.dedup import (
+        duplicate_components,
+        fuzzy_match_candidates,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 4 == 0
+    )
+    pairs = fuzzy_match_candidates(
+        cust, "c_name", "c_custkey", prefix_len=16, max_dist=1
+    )
+    return duplicate_components(pairs).orderBy("node_id")
+
+
+_register(
+    "fuzzy_entity_resolution",
+    _q_fuzzy_entities,
+    """
+    WITH RECURSIVE b0 AS (
+        SELECT c_custkey AS id, c_name AS name,
+               substr(c_name, 1, 16) AS blk
+        FROM customer WHERE c_custkey % 4 = 0
+    ), okb AS (
+        SELECT blk FROM b0 GROUP BY 1
+        HAVING COUNT(*) BETWEEN 2 AND 1000
+    ), b AS (
+        SELECT b0.* FROM b0 JOIN okb USING (blk)
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM b a JOIN b b ON a.blk = b.blk AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 1
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT src AS id FROM edges
+    ), reach(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
+    ), comp AS (
+        SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id
+    ), csize AS (
+        SELECT component_id, CAST(COUNT(*) AS BIGINT) AS component_size
+        FROM comp GROUP BY 1
+    )
+    SELECT id AS node_id, component_id, component_size
+    FROM comp JOIN csize USING (component_id)
+    """,
+)
