@@ -1035,3 +1035,20 @@ def test_interval_overlap_join_negative_bounds(spark):
     b = spark.createDataFrame([(1, 9, -6, -5)], "k long, b_id long, b_lo long, b_hi long")
     rows = interval_overlap_join(a, b, ["k"], 10).collect()
     assert [(r.a_id, r.b_id, r.overlap_us) for r in rows] == [(1, 9, 1)]
+
+
+def test_fuzzy_entity_resolution_merges_chains(spark):
+    """A~B and B~C (but A!~C directly) must resolve to ONE entity."""
+    from hbase_taggregator_spark.operators.dedup import (
+        duplicate_components,
+        fuzzy_match_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "blockx-aa"), (2, "blockx-ab"), (3, "blockx-bb"), (4, "blockx-zz")],
+        "id long, name string",
+    )
+    pairs = fuzzy_match_candidates(df, "name", "id", prefix_len=7, max_dist=1)
+    comp = {r.node_id: r.component_id for r in duplicate_components(pairs).collect()}
+    # aa~ab~bb chain -> one component rooted at min id 1; zz is isolated
+    assert comp == {1: 1, 2: 1, 3: 1}
