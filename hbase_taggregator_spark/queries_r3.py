@@ -1159,3 +1159,130 @@ _register(
     FROM comp JOIN csize USING (component_id)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# month-over-month growth per segment — the BI staple (calendar grain +
+# lag ratio). Decimal-exact monthly sums; the growth ratio is one double
+# division of two exactly-computed values.
+# ---------------------------------------------------------------------------
+
+
+def _q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    m = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.unix_micros(month).alias("month_us"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("_rev")
+        )
+    )
+    w = W.partitionBy("segment").orderBy("month_us")
+    return (
+        m.select(
+            "segment",
+            "month_us",
+            F.col("_rev").cast("double").alias("revenue"),
+            (
+                F.col("_rev").cast("double")
+                / F.lag(F.col("_rev").cast("double")).over(w)
+            ).alias("mom_ratio"),
+        )
+        .orderBy("segment", "month_us")
+    )
+
+
+_register(
+    "bi_mom_growth_per_segment",
+    _q_mom_growth,
+    """
+    WITH m AS (
+        SELECT c_mktsegment AS segment,
+               epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+               SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT segment, month_us,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / lag(CAST(rev AS DOUBLE)) OVER (
+               PARTITION BY segment ORDER BY month_us) AS mom_ratio
+    FROM m
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration: how many customers cover 80% of revenue —
+# cumulative-share window over exact decimal totals; the 0.8 compare
+# happens on exact decimal fractions scaled to integers (no FP boundary)
+# ---------------------------------------------------------------------------
+
+
+def _q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("_rev")
+    )
+    w = W.orderBy(F.col("_rev").desc(), F.col("o_custkey").asc())
+    total = per_cust.agg(F.sum("_rev").alias("_tot"))
+    ranked = per_cust.withColumn(
+        "cum", F.sum("_rev").over(w.rowsBetween(W.unboundedPreceding, 0))
+    ).crossJoin(F.broadcast(total))
+    # exact compare: cum/tot >= 0.8  <=>  5*cum >= 4*tot in decimals
+    flagged = ranked.withColumn(
+        "covered", F.col("cum") * 5 >= F.col("_tot") * 4
+    )
+    # customers strictly before the coverage point + the first covering
+    # one. NOTE: the cumulative share is a global sorted prefix sum — a
+    # single range-partitioned sort over per-customer TOTALS (cardinality
+    # = customers, not orders), which is the irreducible cost of any
+    # exact Pareto statement.
+    n_before = flagged.filter(~F.col("covered")).count()
+    n_custs = per_cust.count()
+    return (
+        total.select(
+            F.lit(n_before + 1).alias("n_customers_for_80pct"),
+            F.lit(n_custs).alias("n_customers_total"),
+            (
+                F.lit(float(n_before + 1)) / F.lit(float(n_custs))
+            ).alias("pareto_share"),
+            F.col("_tot").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_register(
+    "bi_pareto_customers_80pct",
+    _q_pareto,
+    """
+    WITH pc AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+        FROM orders GROUP BY 1
+    ), t AS (
+        SELECT SUM(rev) AS tot FROM pc
+    ), r AS (
+        SELECT o_custkey, rev,
+               SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM pc
+    )
+    SELECT CAST((SELECT COUNT(*) FROM r, t WHERE cum * 5 < tot * 4) + 1
+               AS BIGINT) AS n_customers_for_80pct,
+           CAST((SELECT COUNT(*) FROM pc) AS BIGINT) AS n_customers_total,
+           CAST(CAST((SELECT COUNT(*) FROM r, t WHERE cum * 5 < tot * 4) + 1
+                    AS DOUBLE)
+                / CAST((SELECT COUNT(*) FROM pc) AS DOUBLE) AS DOUBLE)
+               AS pareto_share,
+           CAST((SELECT tot FROM t) AS DOUBLE) AS total_revenue
+    """,
+)
