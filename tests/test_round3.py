@@ -1052,3 +1052,27 @@ def test_fuzzy_entity_resolution_merges_chains(spark):
     comp = {r.node_id: r.component_id for r in duplicate_components(pairs).collect()}
     # aa~ab~bb chain -> one component rooted at min id 1; zz is isolated
     assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_queries_r3_direct_import_is_safe():
+    """Importing the late-wave module FIRST must not trip the gate-window
+    assert mid-circular-import (regression: AssertionError 'gate window
+    names drifted'). Needs a fresh interpreter — this process already has
+    the package imported."""
+    import subprocess
+    import sys
+
+    code = (
+        "import hbase_taggregator_spark.queries_r3 as r3\n"
+        "from hbase_taggregator_spark import queries as q\n"
+        "from hbase_taggregator_spark.queries_ext import _GATE_WINDOW\n"
+        "names = list(q.QUERIES)\n"
+        "assert names[:50] == list(_GATE_WINDOW), 'window not applied'\n"
+        "print(len(names))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert int(out.stdout.strip()) >= 150
