@@ -148,6 +148,7 @@ HEADLINE = [
     "fuzzy_entity_resolution",
     "bi_mom_growth_per_segment",
     "bi_pareto_customers_80pct",
+    "pit_feature_lookup_regimes",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

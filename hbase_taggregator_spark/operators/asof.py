@@ -46,6 +46,11 @@ def asof_join(
     first, then the tolerance applies, matching pandas). Output: all left
     columns + matched right columns (suffixed) + ``{right_ts}{suffix}``
     (the matched right timestamp).
+
+    CAVEAT: the scan carries right columns with ``last(ignorenulls)``, so
+    a NULL in a carried right column is indistinguishable from "no match"
+    and the PREVIOUS row's value leaks through. Encode meaningful NULLs
+    (e.g. an open SCD2 ``valid_to``) as a sentinel before joining.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")

@@ -1286,3 +1286,103 @@ _register(
            CAST((SELECT tot FROM t) AS DOUBLE) AS total_revenue
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time feature lookup — the feature-store correctness primitive:
+# each observation joins the feature row that was VALID at its timestamp
+# (as-of backward on valid_from + residual valid_to check), never a
+# future leak. Composes asof_join with the SCD2 history.
+# ---------------------------------------------------------------------------
+
+
+def _q_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.asof import asof_join
+    from hbase_taggregator_spark.operators.relational import scd2_from_events
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 20 == 0
+    )
+    # open regimes sentinel-code their end: asof's column carry skips
+    # NULLs, which would leak the PREVIOUS regime's valid_to into the
+    # residual check (see asof_join's caveat)
+    open_end = 1 << 62
+    regimes = scd2_from_events(events).select(
+        "user_id",
+        F.col("event_type").alias("regime_type"),
+        "valid_from_us",
+        F.coalesce("valid_to_us", F.lit(open_end)).alias("valid_to_us"),
+    )
+    obs = events.filter(F.col("event_id") % 5 == 0).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("obs_us")
+    )
+    j = asof_join(
+        obs,
+        regimes.select("user_id", "regime_type", "valid_from_us", "valid_to_us"),
+        ["user_id"],
+        "obs_us",
+        "valid_from_us",
+        right_cols=["regime_type", "valid_to_us"],
+        direction="backward",
+    )
+    # residual validity check: as-of gives the latest regime STARTED at or
+    # before the observation; it must also not have ENDED (open regimes
+    # have NULL valid_to)
+    return (
+        j.filter(
+            F.col("valid_from_us_right").isNotNull()
+            & (F.col("obs_us") < F.col("valid_to_us_right"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "obs_us",
+            F.col("regime_type_right").alias("regime_type"),
+            F.col("valid_from_us_right").alias("regime_from_us"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_register(
+    "pit_feature_lookup_regimes",
+    _q_pit_lookup,
+    """
+    WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        FROM events WHERE user_id % 20 = 0
+    ), m AS (
+        SELECT *,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), runs AS (
+        SELECT *,
+               CAST(SUM(chg) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS run_id
+        FROM m
+    ), agg AS (
+        SELECT user_id, run_id, MIN(event_type) AS regime_type,
+               MIN(us) AS valid_from_us
+        FROM runs GROUP BY user_id, run_id
+    ), regimes AS (
+        SELECT user_id, run_id, regime_type, valid_from_us,
+               lead(valid_from_us) OVER (
+                   PARTITION BY user_id ORDER BY run_id) AS valid_to_us
+        FROM agg
+    ), obs AS (
+        SELECT user_id, event_id, epoch_us(ts) AS obs_us FROM events
+        WHERE user_id % 20 = 0 AND event_id % 5 = 0
+    )
+    SELECT o.user_id, o.event_id, o.obs_us,
+           r.regime_type, r.valid_from_us AS regime_from_us
+    FROM obs o JOIN regimes r
+      ON o.user_id = r.user_id
+     AND r.valid_from_us <= o.obs_us
+     AND (r.valid_to_us IS NULL OR o.obs_us < r.valid_to_us)
+    """,
+)

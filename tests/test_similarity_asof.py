@@ -152,3 +152,22 @@ def test_asof_tolerance(spark, asof_frames):
     assert got[("a", "L1")] == "R2"   # 0 s old — inside tolerance
     assert got[("a", "L2")] is None   # 5 s old — nulled out
     assert got[("b", "L3")] == "R4"   # exactly at tolerance (1 s) — kept
+
+
+def test_asof_carry_null_caveat_with_sentinel(spark):
+    """A NULL in a carried right column is skipped by the as-of carry —
+    the documented caveat: sentinel-coded columns round-trip, raw NULLs
+    leak the previous row's value."""
+    from hbase_taggregator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 50, 60), (1, 100, None)], "k long, rts long, vto long"
+    )
+    j = asof_join(left, right, ["k"], "lts", "rts", right_cols=["vto"])
+    row = j.collect()[0]
+    assert row.rts_right == 100          # equal-ts tie matches
+    assert row.vto_right == 60           # NULL leaked previous value (caveat)
+    sent = right.selectExpr("k", "rts", "coalesce(vto, 9999) AS vto")
+    j2 = asof_join(left, sent, ["k"], "lts", "rts", right_cols=["vto"])
+    assert j2.collect()[0].vto_right == 9999
