@@ -149,6 +149,8 @@ HEADLINE = [
     "bi_mom_growth_per_segment",
     "bi_pareto_customers_80pct",
     "pit_feature_lookup_regimes",
+    "nullsafe_join_device_counts",
+    "setops_multiset_all_users",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

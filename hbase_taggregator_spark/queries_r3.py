@@ -1386,3 +1386,86 @@ _register(
      AND (r.valid_to_us IS NULL OR o.obs_us < r.valid_to_us)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# null-safe equality join (<=> / IS NOT DISTINCT FROM) — NULL keys match
+# NULL keys, the semantics plain equi-joins silently drop
+# ---------------------------------------------------------------------------
+
+
+def _q_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # nullable derived key: props.k bucketed, with one bucket mapped to
+    # NULL so the null-safe semantics are exercised alongside real groups
+    k = F.get_json_object("props", "$.k").cast("long")
+    keyed = events.select(
+        "event_id",
+        F.when((k % 10) == 0, F.lit(None).cast("long"))
+        .otherwise(k % 10)
+        .alias("device"),
+    )
+    counts = keyed.groupBy("device").agg(F.count(F.lit(1)).alias("n_events"))
+    firsts = keyed.groupBy("device").agg(F.min("event_id").alias("first_event"))
+    return (
+        counts.join(firsts, counts["device"].eqNullSafe(firsts["device"]))
+        .select(counts["device"], "n_events", "first_event")
+        .orderBy(F.col("device").asc_nulls_first())
+    )
+
+
+_register(
+    "nullsafe_join_device_counts",
+    _q_nullsafe,
+    """
+    WITH k AS (
+        SELECT event_id,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         % 10 = 0 THEN NULL
+                    ELSE CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         % 10 END AS device
+        FROM events
+    ), c AS (
+        SELECT device, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM k GROUP BY device
+    ), f AS (
+        SELECT device, MIN(event_id) AS first_event FROM k GROUP BY device
+    )
+    SELECT c.device, n_events, first_event
+    FROM c JOIN f ON c.device IS NOT DISTINCT FROM f.device
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# multiset set ops (INTERSECT ALL / EXCEPT ALL) — duplicate-preserving
+# bag semantics, distinct from the existing distinct-set query
+# ---------------------------------------------------------------------------
+
+
+def _q_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    inter = clicks.intersectAll(views).groupBy().agg(
+        F.count(F.lit(1)).alias("n_intersect_all")
+    )
+    exc = clicks.exceptAll(views).groupBy().agg(
+        F.count(F.lit(1)).alias("n_except_all")
+    )
+    return inter.crossJoin(exc)
+
+
+_register(
+    "setops_multiset_all_users",
+    _q_multiset_ops,
+    """
+    WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+         v AS (SELECT user_id FROM events WHERE event_type = 'view'),
+         i AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_intersect_all FROM
+                   (SELECT user_id FROM c INTERSECT ALL SELECT user_id FROM v)),
+         e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_except_all FROM
+                   (SELECT user_id FROM c EXCEPT ALL SELECT user_id FROM v))
+    SELECT n_intersect_all, n_except_all FROM i CROSS JOIN e
+    """,
+)
