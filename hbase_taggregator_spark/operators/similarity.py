@@ -657,16 +657,32 @@ def negative_pairs(
     (probe hash + candidate hash mod 2^60 — per-row md5s combined with
     two int ops, never a per-pair md5). Rebuild-stable (pure hash
     algebra, restated by the oracle) and shuffle-bounded: the probe
-    join fans out to the bucket size, so set ``n_buckets ≈ N / 64`` at
-    scale to keep per-probe work constant — never O(N²).
+    join fans out to the bucket size; the default ``n_buckets =
+    max(16, N // 256)`` keeps per-probe candidate work ~constant (~256
+    ids) as the corpus grows — never O(N²). Pass ``n_buckets``
+    explicitly to trade bucket size against per-anchor diversity.
+
+    ``id_col`` must be an integer column in [0, 1e12): the argmin packs
+    (score, neg_id) into one DECIMAL so the aggregate stays a plain
+    hash-aggregable MIN.
 
     Output: (anchor, neg_idx, neg_id). Anchors whose probed bucket
     contains only themselves yield no row for that index (rare for
     n_buckets ≪ N; acceptable for negative sampling).
     """
+    from pyspark.sql.types import NumericType
+
     from hbase_taggregator_spark.operators.dedup import _hash60
     from hbase_taggregator_spark.util import ensure_parallelism
 
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, NumericType):
+        # a string id would make the lo/hi range check below a Python
+        # TypeError and the packed-decimal argmin silently wrong
+        raise TypeError(
+            f"{id_col} must be a numeric column for packed argmin, got "
+            f"{dt.simpleString()}"
+        )
     stats = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.min(id_col).alias("lo"),

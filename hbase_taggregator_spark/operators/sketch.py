@@ -188,7 +188,11 @@ def kmv_distinct(
     bit-for-bit — an approximate operator with an exact correctness gate.
 
     Output: one row {k, kth_hash, estimate_distinct}. If fewer than k
-    distinct keys exist the estimate IS the exact distinct count.
+    distinct keys exist the estimate IS the exact distinct count. NULL
+    keys are ignored (a NULL key hashes to NULL, which Spark's ascending
+    sort would otherwise place FIRST into the k minima — inflating
+    n_tracked while max(h) skips it — and DuckDB sorts NULLS LAST, so the
+    engines would diverge on any nullable key column).
 
     Physical shape at 100 TB: map-side hash → partial MIN-k per partition
     via one partial/final distinct-agg on the hash (60-bit ints, so the
@@ -201,6 +205,7 @@ def kmv_distinct(
     h = _hash60(F.concat(F.lit(f"{seed}#"), F.col(key_col).cast("string")))
     mins = (
         df.select(h.alias("h"))
+        .filter(F.col("h").isNotNull())
         .distinct()
         .orderBy("h")
         .limit(k)
@@ -249,12 +254,15 @@ def kmv_set_ops(
         raise ValueError(f"k must be >= 2, got {k}")
 
     def hashes(df: DataFrame) -> DataFrame:
+        # NULL keys dropped — same rationale as kmv_distinct (NULLS FIRST
+        # vs NULLS LAST ordering diverges across engines)
         return (
             df.select(
                 _hash60(
                     F.concat(F.lit(f"{seed}#"), F.col(key_col).cast("string"))
                 ).alias("h")
             )
+            .filter(F.col("h").isNotNull())
             .distinct()
         )
 
@@ -310,7 +318,11 @@ def kmv_grouped_distinct(
     from pyspark.sql import Window as W
 
     h = _hash60(F.concat(F.lit(f"{seed}#"), F.col(key_col).cast("string")))
-    hashes = df.select(*group_cols, h.alias("h")).distinct()
+    hashes = (
+        df.select(*group_cols, h.alias("h"))
+        .filter(F.col("h").isNotNull())  # NULL keys dropped, as kmv_distinct
+        .distinct()
+    )
     w = W.partitionBy(*group_cols).orderBy("h")
     topk = hashes.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= k

@@ -838,8 +838,11 @@ def ewma_truncated(
     with identical expression text (observed: DuckDB evaluates the same
     ``a + b*c`` chain one ulp off Spark/CPython's left-to-right order), so
     the combination runs in exact int64 fixed point: each bucket mean is
-    quantized to micro-units by INTEGER division of the exact decimal sum
-    (positive values, so truncate == floor in every engine), weights are
+    quantized to micro-units by FLOOR division of the exact decimal sum
+    (written as an explicit floor — subtract the nonnegative remainder
+    before dividing — so negative bucket sums quantize identically in
+    engines whose integer division truncates toward zero, like Spark's
+    ``div``, and in engines that floor), weights are
     1e6-scaled integer literals, and the weighted sum/normalizer are exact
     int64; only the final division happens in double (two int64→double
     conversions + two divides, each IEEE correctly rounded). Missing
@@ -875,11 +878,14 @@ def ewma_truncated(
             F.sum(F.col(value_col).cast("decimal(28,6)")).alias("_s"),
             F.count(F.lit(1)).alias("_n"),
         )
+        .withColumn("_sq", F.expr("CAST(_s * 1000000 AS BIGINT)"))
         .select(
             *series_cols,
             "bucket_start_us",
             (F.col("_s").cast("double") / F.col("_n").cast("double")).alias("x"),
-            F.expr("CAST(_s * 1000000 AS BIGINT) div _n").alias("xq"),
+            # floor(_sq / _n) for ANY sign of _sq: strip the nonnegative
+            # remainder first, so `div` (truncating) sees an exact multiple
+            F.expr("(_sq - (((_sq % _n) + _n) % _n)) div _n").alias("xq"),
         )
     )
     w = W.partitionBy(*series_cols).orderBy("bucket_start_us")

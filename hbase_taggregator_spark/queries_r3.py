@@ -58,11 +58,15 @@ def _ewma_sql() -> str:
         FROM events
         WHERE epoch_us(ts) >= {lo} AND epoch_us(ts) < {hi}
         GROUP BY 1, 2
+    ), q0 AS (
+        SELECT event_type, bucket_start_us, s, n,
+               CAST(s * 1000000 AS BIGINT) AS sq
+        FROM b
     ), q AS (
         SELECT event_type, bucket_start_us,
                CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS x,
-               CAST(s * 1000000 AS BIGINT) // n AS xq
-        FROM b
+               (sq - (((sq % n) + n) % n)) // n AS xq
+        FROM q0
     ), l AS (
         SELECT event_type, bucket_start_us, x, xq,
                {lags}
@@ -228,7 +232,7 @@ _register(
     WITH h AS (
         SELECT DISTINCT CAST(concat('0x', substr(md5(concat('kmv#',
                    CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ), mins AS (
         SELECT h FROM h ORDER BY h LIMIT {_KMV_K}
     ), agg AS (
@@ -834,11 +838,11 @@ _register(
     WITH ha AS (
         SELECT DISTINCT CAST(concat('0x', substr(md5(concat('kmv#',
                    CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
-        FROM events WHERE event_type = 'click'
+        FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
     ), hb AS (
         SELECT DISTINCT CAST(concat('0x', substr(md5(concat('kmv#',
                    CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
     ), u AS (
         SELECT DISTINCT h FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)
         ORDER BY h LIMIT {_KMVS_K}
@@ -940,8 +944,14 @@ def _q_seasonal_err(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr(
                 "CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)"
-                " div COUNT(*)"
-            ).alias("xq")
+            ).alias("_sq"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        # explicit floor (as ewma_truncated): engine-exact on negatives too
+        .select(
+            "event_type",
+            "bucket_start_us",
+            F.expr("(_sq - (((_sq % _n) + _n) % _n)) div _n").alias("xq"),
         )
     )
     prev = b.select(
@@ -967,15 +977,20 @@ _register(
     "ts_seasonal_baseline_error",
     _q_seasonal_err,
     f"""
-    WITH b AS (
+    WITH b0 AS (
         SELECT event_type,
                {T0 * US} + ((epoch_us(ts) - {T0 * US}) // {3600 * US})
                    * {3600 * US} AS bucket_start_us,
                CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)
-                   // COUNT(*) AS xq
+                   AS sq,
+               COUNT(*) AS n
         FROM events
         WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}
         GROUP BY 1, 2
+    ), b AS (
+        SELECT event_type, bucket_start_us,
+               (sq - (((sq % n) + n) % n)) // n AS xq
+        FROM b0
     )
     SELECT a.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -1010,7 +1025,7 @@ _register(
         SELECT DISTINCT event_type,
                CAST(concat('0x', substr(md5(concat('kmv#',
                    CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ), r AS (
         SELECT event_type, h,
                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn

@@ -56,8 +56,10 @@ class UserActivityProfile(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         cnt = self._n.get()[0] if self._n.exists() else 0
         for pdf in rows:
-            v = pdf["value"]
-            cnt += int(v.count())
+            # drop nulls BEFORE the floordiv: NaN // width is NaN and
+            # .astype("int64") on NaN raises; count() already skips nulls
+            v = pdf["value"].dropna()
+            cnt += len(v)
             for b in (v // self._width).astype("int64").unique():
                 self._buckets.updateValue((int(b),), (1,))
         self._n.update((cnt,))
