@@ -112,10 +112,28 @@ def neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold. O(n²) scoring — correct baseline;
-    compose with :func:`lsh_bucket` at scale so only same-bucket pairs are
-    scored."""
+    """All pairs with cosine ≥ threshold. O(n²) scoring — the exactness
+    BASELINE, guarded so it cannot reach production scale by accident:
+    inputs larger than ``max_rows`` raise (the broadcast of the whole
+    table would OOM before the O(n²) even starts). Use
+    :func:`lsh_neardup_pairs` at scale — same output columns, same
+    threshold semantics, bucketed candidate generation instead of
+    all-pairs. ``max_rows=None`` disables the guard for deliberate
+    baseline runs (recall measurement on a sampled slice).
+
+    The guard costs one count job over the id column — noise next to the
+    quadratic scoring it gates, and it only runs on the baseline path."""
+    if max_rows is not None:
+        n = df.select(id_col).count()
+        if n > max_rows:
+            raise ValueError(
+                f"neardup_pairs is the O(n²) all-pairs baseline; input has "
+                f"{n} rows > max_rows={max_rows}. Use lsh_neardup_pairs "
+                f"(bucketed candidates, same output shape) at scale, or "
+                f"pass max_rows=None to force the baseline."
+            )
     nd = with_norm(ensure_parallelism(df), vec_col)
     a = nd.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
@@ -234,12 +252,18 @@ def ivf_assign(
     The centroid set is tiny by construction, so it is materialized once at
     plan time (one 16-row job that also computes each centroid's norm with
     the SAME decimal-exact algebra the oracle restates) and inlined as
-    literal arrays. Each row then builds an ``array<struct<negcos,
-    cent_id>>`` over those literals and takes ``slice(array_sort(...), 1,
-    n_probe)`` — the argmax is a per-row expression, not a window. The
-    earlier formulation shuffled corpus × n_centroids rows through a
-    ``row_number`` window keyed on ``id_col``; at 100 TB that is 16× the
-    corpus through an Exchange for what a projection can compute.
+    THREE single ``Literal`` nodes — an ``array<array<double>>`` of
+    centroid vectors plus flat arrays of norms and ids. Each row builds an
+    ``array<struct<negcos, cent_id>>`` by ``transform`` over
+    ``sequence(1, nlist)`` (``element_at`` into the literals) and takes
+    ``slice(array_sort(...), 1, n_probe)`` — the argmax is a per-row
+    expression, not a window, and the expression tree is O(1) in nlist and
+    dim. The earlier per-centroid formulation unrolled O(nlist × dim)
+    literal expression nodes (hostile to Catalyst analysis/codegen at a
+    realistic nlist ≥ 1k × 128-dim); the r2 form before it shuffled
+    corpus × n_centroids rows through a ``row_number`` window — at 100 TB
+    that is 16× the corpus through an Exchange for what a projection can
+    compute.
 
     Deterministic: struct sort ascending on (-cos, cent_id) = cosine
     descending, ties by centroid id — identical ordering to the window
@@ -252,20 +276,25 @@ def ivf_assign(
         .orderBy("cent_id")
         .collect()
     )
+    if not cents:
+        raise ValueError("ivf_assign requires a non-empty centroid set")
+    lvecs = F.lit([[float(v) for v in r["cvec"]] for r in cents])
+    lnrms = F.lit([float(r["cnrm"]) for r in cents])
+    lids = F.lit([r["cent_id"] for r in cents])
     nd = with_norm(df, vec_col)
-    entries = [
-        F.struct(
+    entries = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cents))),
+        lambda i: F.struct(
             (
                 -(
-                    dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in r["cvec"]]))
-                    / (F.col("nrm") * F.lit(float(r["cnrm"])))
+                    dot(F.col(vec_col), F.element_at(lvecs, i))
+                    / (F.col("nrm") * F.element_at(lnrms, i))
                 )
             ).alias("negcos"),
-            F.lit(r["cent_id"]).alias("cent_id"),
-        )
-        for r in cents
-    ]
-    best = F.slice(F.array_sort(F.array(*entries)), 1, n_probe)
+            F.element_at(lids, i).alias("cent_id"),
+        ),
+    )
+    best = F.slice(F.array_sort(entries), 1, n_probe)
     return nd.select(
         id_col, vec_col, "nrm", F.explode(best).alias("__e")
     ).select(id_col, vec_col, "nrm", F.col("__e.cent_id").alias("cent_id"))
