@@ -16,7 +16,7 @@ because the window is a linear scan, not a product.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
 def asof_join(
@@ -29,6 +29,7 @@ def asof_join(
     suffix: str = "_right",
     tolerance_us: int | None = None,
     direction: str = "backward",
+    strict_nulls: bool = False,
 ) -> DataFrame:
     """As-of join (pandas ``merge_asof`` semantics: match at equal
     timestamps allowed in every direction).
@@ -50,7 +51,10 @@ def asof_join(
     CAVEAT: the scan carries right columns with ``last(ignorenulls)``, so
     a NULL in a carried right column is indistinguishable from "no match"
     and the PREVIOUS row's value leaks through. Encode meaningful NULLs
-    (e.g. an open SCD2 ``valid_to``) as a sentinel before joining.
+    (e.g. an open SCD2 ``valid_to``) as a sentinel before joining — or
+    pass ``strict_nulls=True`` to FAIL on the first right row carrying a
+    NULL instead of silently leaking (a per-row ``raise_error`` guard on
+    the right side: distributed, no extra job, evaluation-time).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
@@ -68,14 +72,27 @@ def asof_join(
           for c in right_cols],
         F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{right_ts}{suffix}"),
     )
+    def guard(c: str) -> Column:
+        if not strict_nulls:
+            return F.col(c)
+        return F.when(
+            F.col(c).isNull(),
+            F.raise_error(
+                f"asof_join(strict_nulls=True): right column {c!r} is NULL "
+                "— a NULL carried column would leak the previous row's "
+                "value through last(ignorenulls); sentinel-encode it or "
+                "drop strict_nulls"
+            ),
+        ).otherwise(F.col(c))
+
     rhs = right.select(
         *on,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in on and c != left_ts],
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[guard(c).alias(f"{c}{suffix}") for c in right_cols],
+        guard(right_ts).alias(f"{right_ts}{suffix}"),
     )
     # right rows sort before left rows at equal __t (0 < 1) → equal-ts
     # match in the backward scan; the forward scan orders __t descending

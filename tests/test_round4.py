@@ -104,6 +104,61 @@ def test_kmv_grouped_ignores_null_keys(spark):
     assert rows["a"]["n_tracked"] == 8
 
 
+# --- asof_join strict_nulls closes the NULL-carry footgun ------------------
+
+
+def _asof_fixture(spark, with_null):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:05"), (1, "2024-01-01 00:00:15")],
+        "k int, lts string",
+    ).select("k", F.col("lts").cast("timestamp").alias("lts"))
+    rrows = [(1, "2024-01-01 00:00:00", 10.0),
+             (1, "2024-01-01 00:00:10", None if with_null else 20.0)]
+    right = spark.createDataFrame(
+        rrows, "k int, rts string, price double"
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "price")
+    return left, right
+
+
+def test_asof_strict_nulls_raises_on_null_carry(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from hbase_taggregator_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark, with_null=True)
+    out = asof_join(
+        left, right, ["k"], "lts", "rts", strict_nulls=True
+    )
+    with pytest.raises((Py4JJavaError, PySparkException)) as ei:
+        out.collect()
+    assert "strict_nulls" in str(ei.value)
+
+
+def test_asof_strict_nulls_clean_input_matches_default(spark):
+    from hbase_taggregator_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark, with_null=False)
+    strict = asof_join(left, right, ["k"], "lts", "rts", strict_nulls=True)
+    loose = asof_join(left, right, ["k"], "lts", "rts")
+    assert sorted(map(tuple, strict.collect())) == sorted(
+        map(tuple, loose.collect())
+    )
+
+
+def test_asof_default_mode_still_leaks_documented_caveat(spark):
+    """The documented caveat: without strict mode the NULL price at :10
+    carries the :00 value forward — pinned so the docs stay honest."""
+    from hbase_taggregator_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark, with_null=True)
+    rows = {
+        r["lts"].second: r["price_right"]
+        for r in asof_join(left, right, ["k"], "lts", "rts").collect()
+    }
+    assert rows[15] == 10.0  # leaked from the :00 row
+
+
 # --- negative_pairs id-type guard (ADVICE r3) ------------------------------
 
 
