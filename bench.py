@@ -151,6 +151,8 @@ HEADLINE = [
     "pit_feature_lookup_regimes",
     "nullsafe_join_device_counts",
     "setops_multiset_all_users",
+    # round 4: byte-real PNG pixel decode over the mapInPandas boundary
+    "multimodal_decode_pixels",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

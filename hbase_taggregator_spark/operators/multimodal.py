@@ -188,23 +188,251 @@ def synth_image_payload(
     return F.unhex(hexs)
 
 
-def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Full pixel decode (to an array/tensor column).
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9, filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
 
-    STUB: requires an image codec library (PIL), which is not available in
-    this environment. The Spark-side contract (BinaryType in, struct out via
-    mapInPandas) is what the engine defines; plug a decoder in here —
-    :func:`decode_image` shows the working metadata path on the same
-    contract.
+
+def _png_filter_row(ftype: int, raw: bytes, prev: bytes) -> bytes:
+    """Apply PNG scanline filter ``ftype`` (0=None 1=Sub 2=Up 3=Average
+    4=Paeth) to one 8-bit grayscale row (bpp=1). ``prev`` is the RAW
+    (unfiltered) prior scanline, zeros for the first row."""
+    out = bytearray([ftype])
+    for x, r in enumerate(raw):
+        a = raw[x - 1] if x > 0 else 0
+        b = prev[x]
+        c = prev[x - 1] if x > 0 else 0
+        if ftype == 0:
+            f = r
+        elif ftype == 1:
+            f = r - a
+        elif ftype == 2:
+            f = r - b
+        elif ftype == 3:
+            f = r - (a + b) // 2
+        else:
+            f = r - _paeth(a, b, c)
+        out.append(f & 0xFF)
+    return bytes(out)
+
+
+def _png_unfilter_row(ftype: int, data: bytes, prev: bytes) -> bytearray:
+    """Invert :func:`_png_filter_row` — reconstruct the raw scanline."""
+    out = bytearray()
+    for x, f in enumerate(data):
+        a = out[x - 1] if x > 0 else 0
+        b = prev[x]
+        c = prev[x - 1] if x > 0 else 0
+        if ftype == 0:
+            v = f
+        elif ftype == 1:
+            v = f + a
+        elif ftype == 2:
+            v = f + b
+        elif ftype == 3:
+            v = f + (a + b) // 2
+        elif ftype == 4:
+            v = f + _paeth(a, b, c)
+        else:
+            raise ValueError(f"PNG filter type {ftype} out of range 0-4")
+        out.append(v & 0xFF)
+    return out
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def synth_png_bytes(doc_id: int, width: int, height: int) -> bytes:
+    """COMPLETE valid 8-bit-grayscale PNG (signature, IHDR, zlib IDAT,
+    IEND, correct CRCs) whose pixel at (x, y) is the pure arithmetic
+    ``(doc_id*7 + y*31 + x*13) mod 256`` — so an oracle can restate every
+    decoded pixel without a codec. Scanline filters cycle ``y mod 5``
+    through all five PNG filter types, and the IDAT stream is split into
+    two chunks, so a decoder must implement real unfiltering and
+    multi-chunk reassembly, not just inflate. Byte layout from the public
+    PNG spec (RFC 2083); cf. the header-only fixture
+    :func:`synth_image_payload` (reference has no image path at all —
+    this is north-star surface)."""
+    import zlib
+
+    rows = [
+        bytes((doc_id * 7 + y * 31 + x * 13) % 256 for x in range(width))
+        for y in range(height)
+    ]
+    prev = bytes(width)
+    filtered = bytearray()
+    for y, raw in enumerate(rows):
+        filtered += _png_filter_row(y % 5, raw, prev)
+        prev = raw
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 0])  # 8-bit, grayscale, deflate, adaptive, none
+    )
+    comp = zlib.compress(bytes(filtered), 6)
+    mid = max(1, len(comp) // 2)  # two IDAT chunks — force reassembly
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:mid])
+        + _png_chunk(b"IDAT", comp[mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_decode_gray(b: bytes) -> tuple[int, int, bytearray]:
+    """Pure-stdlib PNG decode for 8-bit grayscale, non-interlaced images:
+    chunk walk with CRC32 verification, multi-IDAT reassembly, zlib
+    inflate, and per-scanline unfiltering (all five filter types).
+    Returns (width, height, pixels row-major). Raises on bad signature,
+    corrupt CRC, unsupported color mode, or truncated pixel data."""
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"not a PNG signature: {b[:8]!r}")
+    pos, width, height, idat = 8, -1, -1, bytearray()
+    while pos + 12 <= len(b):
+        clen = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + clen]
+        crc = int.from_bytes(b[pos + 8 + clen : pos + 12 + clen], "big")
+        if (zlib.crc32(ctype + data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, _, _, interlace = data[8:13]
+            if (bit_depth, color_type, interlace) != (8, 0, 0):
+                raise ValueError(
+                    "only 8-bit non-interlaced grayscale supported, got "
+                    f"depth={bit_depth} color={color_type} interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width < 0:
+        raise ValueError("missing IHDR chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = width + 1  # filter byte + one byte per pixel (grayscale-8)
+    if len(raw) != stride * height:
+        raise ValueError(
+            f"pixel data length {len(raw)} != {stride}*{height}"
+        )
+    pixels = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        row = _png_unfilter_row(
+            raw[y * stride], raw[y * stride + 1 : (y + 1) * stride], prev
+        )
+        pixels += row
+        prev = bytes(row)
+    return width, height, pixels
+
+
+#: output schema of decode_pixels — exact integer pixel summaries, so a
+#: SQL oracle verifies every decoded byte without array comparison
+PIXEL_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels long, "
+    "pixel_sum long, pixel_checksum long"
+)
+
+
+def synth_png_images(
+    df: DataFrame, id_col: str = "doc_id", max_w: int = 16, max_h: int = 12
+) -> DataFrame:
+    """(id, payload) rows where payload is a complete
+    :func:`synth_png_bytes` PNG with id-derived dimensions
+    ``(8 + id % max_w, 4 + id % max_h)`` — the byte-real fixture feed for
+    :func:`decode_pixels`, Arrow-batched like every multimodal producer."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        synth_png_bytes(
+                            int(i), 8 + int(i) % max_w, 4 + int(i) % max_h
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    narrow = ensure_parallelism(df.select(id_col))
+    return narrow.mapInPandas(build, "doc_id long, payload binary")
+
+
+def decode_pixels(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Full pixel decode of PNG payloads — REAL bytes-to-pixels work in
+    pure stdlib Python (:func:`_png_decode_gray`: chunk walk + CRC check +
+    zlib inflate + scanline unfiltering), Arrow-batched over
+    ``mapInPandas`` like :func:`decode_image`. PIL is used as a faster
+    drop-in when importable (same output); this environment has no codec
+    library, so the stdlib path is the one under test.
+
+    Emits exact integer pixel summaries per image (count, sum, and a
+    position-weighted checksum ``sum((y*w + x + 1) * p(x,y))``) rather
+    than the pixel array — every decoded byte participates, the result is
+    oracle-checkable, and the output stays small at scale. Swap the
+    summary projection for the raw array when a downstream model needs
+    tensors; the decode path is identical.
     """
     try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "pixel decoding needs a codec library (PIL); not present in this "
-            "environment — decode_image covers header metadata without it"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when the codec is present")
+        import PIL.Image as _PIL  # pragma: no cover - not in this env
+    except ImportError:
+        _PIL = None
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            ids, ws, hs, ns, sums, cks = [], [], [], [], [], []
+            for id_, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw)
+                if _PIL is not None:  # pragma: no cover - not in this env
+                    img = _PIL.open(io.BytesIO(b)).convert("L")
+                    w, h = img.size
+                    px = img.tobytes()
+                else:
+                    w, h, px = _png_decode_gray(b)
+                ids.append(id_)
+                ws.append(w)
+                hs.append(h)
+                ns.append(w * h)
+                sums.append(sum(px))
+                cks.append(sum((i + 1) * p for i, p in enumerate(px)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_pixels": pd.Series(ns, dtype="int64"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "pixel_checksum": pd.Series(cks, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, PIXEL_SCHEMA)
 
 
 def synth_video_payload(id_col: F.Column) -> F.Column:

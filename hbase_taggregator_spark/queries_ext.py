@@ -4392,58 +4392,81 @@ _register(
 
 
 # ---------------------------------------------------------------------------
-# gate-window ordering (round 3)
+# gate-window ordering (round 4)
 #
 # The verification driver snapshots the FIRST 50 registered queries into
-# CORRECTNESS_r{N}. Rounds 1-2 gated the same first-50; every other query
-# only had the local tools/check_oracle.py log. The round-3 window
-# allocates the 50 slots to queries with NO prior hard signal: the round-2
-# additions that never had a driver row AND were not in the r2 judge's own
-# 20-query DuckDB re-run, dedup_minhash_lsh_candidates (oracle changed with
-# the LSH bucket cap — re-gate), and the round-3 additions (late-round ones
-# displace the r2-judge-verified queries, which keep judge re-run + the
-# committed full-catalog oracle log + pytest as their evidence). Every
-# query pushed out is green in CORRECTNESS_r01/r02, VERDICT r2's re-run
-# list, or tools/oracle_full_r3.log.
+# CORRECTNESS_r{N}. r1/r2 gated the first-50 of the old ordering; r3
+# re-allocated the window to 50 previously-ungated queries (all green in
+# CORRECTNESS_r03). This round finishes converting builder-claimed into
+# driver-proven (VERDICT r3 "Next round" #1): the window is the 57
+# remaining never-driver-gated queries, minus the seven with the
+# strongest non-driver evidence — ts_lttb_downsample_50 (rows-only by
+# nature, a driver row adds no hash signal), json_props_extract +
+# sink_partitioned_roundtrip (r1/r2 judge evidence),
+# decoder_registry_double_be + decoder_registry_decimal_be (r1-gated
+# sibling long_be, same decode registry), sink_csv_json_roundtrip
+# (checksummed round-trip oracle, judge full-catalog re-run),
+# udtf_sentence_split (judge r3 re-verified it by name),
+# window_rank_functions_showcase (pure Spark built-ins, judge re-run) —
+# plus the new round-4 pixel-decode gate and a re-gate of the three KMV
+# queries whose oracles changed this round (NULL-key filter). Every query
+# pushed out is green in CORRECTNESS_r01/r02/r03, the judge's
+# full-catalog re-run (VERDICT r3: 153/153), or tools/oracle_full_r3.log.
 # ---------------------------------------------------------------------------
 
 _GATE_WINDOW = [
-    # round-2 additions without a driver row (VERDICT r2 §What's missing #2)
-    "ts_resample_interpolate_7200", "text_bpe_token_count",
-    "corpus_pipeline_stats", "percentiles_per_event_type",
-    "argmax_event_per_type", "stats_moments_per_type",
-    # json_props_extract / sink_partitioned_roundtrip carry r1/r2 judge
-    # evidence already — their slots go to the two late-wave operators
-    # whose algebra is newest (fixed-point EWMA; the interval join whose
-    # ceiling bug the oracle caught)
-    "ts_ewma_smoothed_3600",
-    "streaming_dedup_exact",
-    "q2_min_cost_supplier", "q9_profit_by_nation_year",
-    "funnel_click_to_purchase_1h",
-    "q18_large_orders", "interval_overlap_regimes_sessions",
-    "histogram_value_25",
-    "q4_order_priority", "q13_customer_distribution",
-    "streaming_static_join_segments",
-    "streaming_stream_join_pairs",
-    # round-3 additions
-    "q8_market_share", "q11_important_stock", "q12_shipmode_priority",
-    "q15_top_supplier", "q20_potential_promotions", "q21_waiting_suppliers",
-    "similarity_ivf_kmeans_recall_at_5", "multimodal_decode_headers",
-    "dedup_exact_survivor_rows",
-    # oracle changed this round (LSH bucket cap) — re-gate
-    "dedup_minhash_lsh_candidates",
-    # late round-3 additions (never gated, not in the r2 judge re-run)
-    "dedup_jaccard_df_capped", "ts_rollup_hourly_to_daily",
-    "streaming_dedup_within_watermark", "similarity_pq_recall_at_5",
-    "ts_time_weighted_avg_21600", "ts_counter_rate_21600",
-    "text_bm25_retrieval", "dedup_duplicate_clusters",
-    "corpus_stratified_mix", "merge_upsert_customers",
-    "text_top_terms_per_lang", "layout_zorder_values",
-    "asof_nearest_click", "corpus_negative_pairs",
-    "streaming_continuous_rollup", "multimodal_frame_sample",
-    "bloom_runtime_filter_orders", "sketch_count_min_estimates",
-    "udaf_weighted_mean_cents", "ts_linear_trend_per_type",
-    "ts_rolling_zscore_outliers", "ts_rollup_incremental_merge",
+    # new this round — never existed before, needs its first driver row
+    "multimodal_decode_pixels",
+    # KMV oracles changed this round (NULL-key filter) — re-gate all three
+    "sketch_kmv_distinct_users", "sketch_kmv_set_ops_users",
+    "sketch_kmv_grouped_distinct",
+    # never-driver-gated remainder of the 156-query catalog
+    "ts_qualifier_offset_900",
+    "dedup_funnel_survivors",
+    "similarity_ann_recall_at_5",
+    "similarity_ivf_recall_at_5",
+    "similarity_lsh_neardup_pairs",
+    "text_repetition_features",
+    "text_pattern_counts",
+    "corpus_train_val_split",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_customer_balance",
+    "corpus_doc_chunks",
+    "corpus_pack_sequences",
+    "embedding_quantize_int8",
+    "skew_salted_distinct_users",
+    "range_band_join_value",
+    "grouping_sets_status_priority",
+    "dedup_keep_best_quality",
+    "streaming_foreachbatch_sink",
+    "reshape_pivot_unpivot_roundtrip",
+    "feature_quantile_bins_decile",
+    "feature_winsorize_p05_p95",
+    "ts_calendar_rollup_weekly",
+    "text_vocabulary",
+    "text_posting_lists",
+    "text_conjunctive_search",
+    "ts_largest_gaps_per_type",
+    "scd2_user_event_history",
+    "profile_documents_columns",
+    "percentile_approx_accuracy_gate",
+    "text_feature_hashing_64",
+    "fuzzy_customer_name_candidates",
+    "corpus_contamination_overlap",
+    "text_rare_token_ratio",
+    "cohort_weekly_retention",
+    "funnel_three_step_ordered",
+    "ts_mad_outliers_per_type",
+    "ts_seasonal_baseline_error",
+    "table_diff_after_merge",
+    "fuzzy_entity_resolution",
+    "bi_mom_growth_per_segment",
+    "bi_pareto_customers_80pct",
+    "pit_feature_lookup_regimes",
+    "nullsafe_join_device_counts",
+    "setops_multiset_all_users",
 ]
 
 
@@ -4452,8 +4475,8 @@ def _apply_gate_window(strict: bool = True) -> None:
 
     missing = [n for n in _GATE_WINDOW if n not in _q.QUERIES]
     if missing and not strict:
-        # mid-circular-import (someone imported queries_r3 directly):
-        # its registrations haven't run yet — queries_r3's own end-of-
+        # mid-circular-import (someone imported queries_r3/_r4 directly):
+        # some registrations haven't run yet — queries_r4's own end-of-
         # module strict call re-applies once everything is registered
         return
     assert not missing, f"gate window names drifted: {missing}"
@@ -4464,8 +4487,10 @@ def _apply_gate_window(strict: bool = True) -> None:
         reg.update(ordered)
 
 
-# late-wave round-3 queries must register before the window is applied
-# (two of them hold gate slots); the others order after the window
+# later-round queries must register before the window is applied (many
+# hold gate slots); ordering: r3, then r4, then the (tolerant) apply —
+# queries_r4's end-of-module strict apply is the final authority
 import hbase_taggregator_spark.queries_r3  # noqa: E402,F401
+import hbase_taggregator_spark.queries_r4  # noqa: E402,F401
 
 _apply_gate_window(strict=False)

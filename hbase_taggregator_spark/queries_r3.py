@@ -1107,14 +1107,6 @@ _register(
 )
 
 
-# re-apply the gate-window ordering now that every late-wave query is
-# registered — covers the direct `import hbase_taggregator_spark.queries_r3`
-# path, where queries_ext's own (tolerant) application ran too early
-from hbase_taggregator_spark.queries_ext import _apply_gate_window  # noqa: E402
-
-_apply_gate_window()
-
-
 # ---------------------------------------------------------------------------
 # end-to-end entity resolution: prefix-blocked Levenshtein candidates →
 # connected components → stable entity ids (min-id label). Composes
@@ -1484,3 +1476,13 @@ _register(
     SELECT n_intersect_all, n_except_all FROM i CROSS JOIN e
     """,
 )
+
+
+# re-apply the gate-window ordering now that every round-3 query is
+# registered — tolerant, because on the direct
+# `import hbase_taggregator_spark.queries_r3` path the round-4 module may
+# not have registered yet; queries_r4's own end-of-module STRICT apply is
+# the final authority once the whole catalog is in
+from hbase_taggregator_spark.queries_ext import _apply_gate_window  # noqa: E402
+
+_apply_gate_window(strict=False)

@@ -159,6 +159,95 @@ def test_asof_default_mode_still_leaks_documented_caveat(spark):
     assert rows[15] == 10.0  # leaked from the :00 row
 
 
+# --- pure-Python PNG pixel decode (VERDICT r3 "What's missing" #3) ---------
+
+
+def test_png_roundtrip_all_filters():
+    """Encoder cycles all five PNG filter types; decoder must unfilter
+    every one back to the arithmetic pixel formula. Pure Python — no
+    Spark, no codec library."""
+    from hbase_taggregator_spark.operators import multimodal as M
+
+    for doc_id in (0, 13, 499):
+        w, h = 8 + doc_id % 16, 6  # h=6 > 5 → every filter type used
+        b = M.synth_png_bytes(doc_id, w, h)
+        dw, dh, px = M._png_decode_gray(b)
+        assert (dw, dh) == (w, h)
+        assert bytes(px) == bytes(
+            (doc_id * 7 + y * 31 + x * 13) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+
+
+def test_png_decode_rejects_corruption():
+    from hbase_taggregator_spark.operators import multimodal as M
+
+    good = bytearray(M.synth_png_bytes(3, 10, 6))
+    good[30] ^= 0xFF  # flip a byte inside IHDR → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        M._png_decode_gray(bytes(good))
+    with pytest.raises(ValueError, match="signature"):
+        M._png_decode_gray(b"JUNKJUNKJUNKJUNK")
+
+
+def test_decode_pixels_spark_path(spark):
+    """The mapInPandas decode path: byte-real PNGs in, exact integer
+    summaries out, matching the arithmetic formula."""
+    from hbase_taggregator_spark.operators import multimodal as M
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(6)
+    out = {
+        r["doc_id"]: r
+        for r in M.decode_pixels(M.synth_png_images(docs)).collect()
+    }
+    assert len(out) == 6
+    for doc_id, r in out.items():
+        w, h = 8 + doc_id % 16, 4 + doc_id % 12
+        px = [
+            (doc_id * 7 + y * 31 + x * 13) % 256
+            for y in range(h)
+            for x in range(w)
+        ]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_pixels"] == w * h
+        assert r["pixel_sum"] == sum(px)
+        assert r["pixel_checksum"] == sum((i + 1) * p for i, p in enumerate(px))
+
+
+# --- gate window applies on every import entry point -----------------------
+
+
+@pytest.mark.parametrize(
+    "mod", ["queries", "queries_ext", "queries_r3", "queries_r4"]
+)
+def test_gate_window_applied_on_every_import_path(mod):
+    """All import-time window applies are tolerant (no module is
+    guaranteed to finish last on every entry point), so the ordering —
+    and name-drift detection — must be asserted per path in a fresh
+    interpreter."""
+    import subprocess
+    import sys
+
+    code = (
+        f"import hbase_taggregator_spark.{mod}\n"
+        "from hbase_taggregator_spark import queries as q\n"
+        "from hbase_taggregator_spark.queries_ext import _GATE_WINDOW\n"
+        "names = list(q.QUERIES)\n"
+        "assert len(set(_GATE_WINDOW)) == 50\n"
+        "assert names[:50] == list(_GATE_WINDOW), 'window not applied'\n"
+        "missing = [n for n in _GATE_WINDOW if n not in q.ORACLES]\n"
+        "assert not missing, f'window names without oracle: {missing}'\n"
+        "print(len(names))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert int(out.stdout.strip()) >= 157
+
+
 # --- negative_pairs id-type guard (ADVICE r3) ------------------------------
 
 
