@@ -18,6 +18,7 @@ Public surface:
 - :mod:`hbase_taggregator_spark.streaming` — Structured Streaming equivalents.
 """
 
+from hbase_taggregator_spark.engine import Engine
 from hbase_taggregator_spark.operators.timeseries import (
     TimeseriesAggregator,
     TimeseriesQuery,
@@ -27,6 +28,7 @@ from hbase_taggregator_spark.session import get_spark
 __version__ = "0.1.0"
 
 __all__ = [
+    "Engine",
     "TimeseriesAggregator",
     "TimeseriesQuery",
     "get_spark",

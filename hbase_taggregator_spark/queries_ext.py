@@ -4462,8 +4462,13 @@ _GATE_WINDOW = [
     "ts_seasonal_baseline_error",
     "table_diff_after_merge",
     "fuzzy_entity_resolution",
-    "bi_mom_growth_per_segment",
-    "bi_pareto_customers_80pct",
+    # new this round: the SQL entry point (engine.Engine) gate queries —
+    # new code outranks never-gated-but-judge-verified algebra; the two
+    # BI staples they displace roll to the r5 window with the other
+    # 8 never-gated leftovers (json_props_extract, the two BE decoder
+    # registry queries, the sink round-trips, LTTB, UDTF, rank showcase)
+    "sql_entry_nation_revenue",
+    "sql_entry_rollup_view",
     "pit_feature_lookup_regimes",
     "nullsafe_join_device_counts",
     "setops_multiset_all_users",

@@ -274,10 +274,12 @@ def test_synth_payload_roundtrip(spark):
     }
 
 
-def test_decode_pixels_is_env_gated(spark):
+def test_decode_pixels_rejects_non_png(spark):
+    # r3 gated this path behind PIL; the r4 stdlib decoder removed the gate.
+    # Malformed payloads must still fail loudly, not decode garbage.
     df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
-    with pytest.raises(NotImplementedError):
-        M.decode_pixels(df)
+    with pytest.raises(Exception, match="(?i)png|signature|chunk"):
+        M.decode_pixels(df).collect()
 
 
 # --- continuous rollup, PQ, streaming dedup-within-watermark ---------------

@@ -69,16 +69,17 @@ def test_binary_features_match_python(spark):
 
 def test_media_decode_stubs_raise(spark):
     """decode_image is real as of round 3 (pure-Python header parse — text
-    payloads classify as 'unknown'), and frame sampling is a real demux
-    (it REJECTS foreign payloads rather than stubbing out); only pixel
-    decode remains the env-gated codec seam."""
+    payloads classify as 'unknown'), frame sampling is a real demux
+    (it REJECTS foreign payloads rather than stubbing out), and as of
+    round 4 pixel decode is a real stdlib PNG decoder that likewise
+    rejects non-PNG bytes instead of env-gating."""
     from hbase_taggregator_spark.operators.multimodal import decode_pixels
 
     docs = with_binary_payload(load_table(spark, SF, "documents").limit(1))
     meta = decode_image(docs).collect()
     assert len(meta) == 1 and meta[0]["fmt"] == "unknown"
-    with pytest.raises(NotImplementedError, match="codec"):
-        decode_pixels(docs)
+    with pytest.raises(Exception, match="(?i)png|signature|chunk"):
+        decode_pixels(docs).collect()
     with pytest.raises(Exception, match="magic"):
         sample_frames(docs).collect()
 
