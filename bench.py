@@ -179,6 +179,11 @@ SF1_SUBSET = [
     "asof_purchase_to_click",
     "dedup_exact",
     "dedup_minhash_lsh_candidates",
+    # NOTE on the funnel's sf1 ratio: the sf1 fixture is ~838× denser in
+    # LSH candidate pairs than sf0.1 (251 451 vs 300 pairs from 10× the
+    # docs), so wall-clock scales with OUTPUT pair count, not corpus size;
+    # the r4 array_intersect verify keeps per-pair cost flat (the exploded
+    # formulation it replaced was pairs × shingles-per-doc).
     "dedup_funnel_survivors",
     "text_repetition_features",
     "similarity_lsh_neardup_pairs",

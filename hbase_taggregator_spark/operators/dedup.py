@@ -279,30 +279,43 @@ def dedup_funnel(
     cand = minhash_lsh_candidates(
         df, text_col, id_col, n_shingle, k, bands, max_bucket
     )
-    sh = ensure_parallelism(df.select(id_col, text_col)).select(
+    # verify: exact Jaccard per CANDIDATE pair over per-doc shingle SETS
+    # (word_shingles is array_distinct), carried as arrays. Two id-keyed
+    # hash joins attach each side's array to the pair, then
+    # |A∩B| = size(array_intersect) evaluates MAP-SIDE. This replaces the
+    # earlier exploded-shingle formulation, whose
+    # (pairs × shingles-per-doc) intermediate — ~50M rows at sf1 for 250k
+    # candidates — dominated the funnel's cost; shuffled bytes are now
+    # bounded by (2 × corpus shingle arrays + candidate pairs), never by
+    # pairs × shingles. The n_common > 0 guard keeps the old inner-join
+    # semantics (a pair sharing no shingle is never a duplicate relation,
+    # even at threshold 0).
+    arrays = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n_shingle)).alias("sh"),
+        word_shingles(F.col(text_col), n_shingle).alias("shs"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # verify: |A∩B| per CANDIDATE pair only — expand candidate pairs by the
-    # left doc's shingles, then equi-join on (id_b, shingle) so the probe is
-    # a hash join keyed on both columns (never a per-pair cross product)
     inter = (
         cand.select("id_a", "id_b")
-        .join(sh.select(F.col(id_col).alias("id_a"), "sh"), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), "sh"), ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(arrays.select(F.col(id_col).alias("id_a"),
+                            F.col("shs").alias("shs_a")), "id_a")
+        .join(arrays.select(F.col(id_col).alias("id_b"),
+                            F.col("shs").alias("shs_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("n_common"),
+            F.size("shs_a").alias("n_a"),
+            F.size("shs_b").alias("n_b"),
+        )
     )
     dups = (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"),
-                                F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"),
-                           F.col("n_sh").alias("n_b")), "id_b")
-        .filter(
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            >= threshold
+        inter.filter(
+            (F.col("n_common") > 0)
+            & (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                >= threshold
+            )
         )
         .select(F.col("id_b").alias(id_col))
         .distinct()
