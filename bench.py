@@ -153,6 +153,14 @@ HEADLINE = [
     "setops_multiset_all_users",
     # round 4: byte-real PNG pixel decode over the mapInPandas boundary
     "multimodal_decode_pixels",
+    # round-4 wave 2: semantic dedup, SimHash pairs, decontamination,
+    # deterministic sampling, global shuffle, quarantined JSON ingest
+    "semdedup_survivors",
+    "dedup_simhash_pairs",
+    "corpus_decontaminated",
+    "corpus_sample_per_source",
+    "corpus_global_shuffle",
+    "ingest_json_quarantine",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

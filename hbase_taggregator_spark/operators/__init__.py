@@ -5,11 +5,13 @@ relational / window / dedup / similarity / text / multimodal surface
 from hbase_taggregator_spark.operators.asof import asof_join
 from hbase_taggregator_spark.operators.dedup import (
     contamination_overlap,
+    decontaminate,
     exact_dedup,
     fuzzy_match_candidates,
     jaccard_pairs,
     minhash_lsh_candidates,
     minhash_signatures,
+    simhash_pairs,
     simhash_table,
     word_shingles,
 )
@@ -17,7 +19,10 @@ from hbase_taggregator_spark.operators.multimodal import (
     extract_binary_features,
     with_binary_payload,
 )
-from hbase_taggregator_spark.operators.profile import profile_columns
+from hbase_taggregator_spark.operators.profile import (
+    parse_json_quarantine,
+    profile_columns,
+)
 from hbase_taggregator_spark.operators.relational import (
     anti_join,
     interval_overlap_join,
@@ -35,6 +40,7 @@ from hbase_taggregator_spark.operators.similarity import (
     cosine_topk,
     lsh_bucket,
     neardup_pairs,
+    semdedup,
 )
 from hbase_taggregator_spark.operators.sketch import (
     bloom_filter_semi,
@@ -45,7 +51,9 @@ from hbase_taggregator_spark.operators.sketch import (
     kmv_set_ops,
 )
 from hbase_taggregator_spark.operators.text import (
+    deterministic_sample,
     feature_hash_counts,
+    global_shuffle,
     fingerprint,
     rare_token_ratio,
     language_id,
@@ -109,4 +117,10 @@ __all__ = [
     "rare_token_ratio",
     "scd2_from_events",
     "table_diff",
+    "semdedup",
+    "simhash_pairs",
+    "decontaminate",
+    "deterministic_sample",
+    "global_shuffle",
+    "parse_json_quarantine",
 ]

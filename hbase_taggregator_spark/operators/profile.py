@@ -59,3 +59,34 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+def parse_json_quarantine(
+    df: DataFrame,
+    json_col: str,
+    schema: str,
+    parsed_col: str = "parsed",
+    flag_col: str = "quarantined",
+) -> DataFrame:
+    """Permissive semi-structured ingest with a quarantine lane — the
+    malformed-record pattern every at-scale loader needs (Spark's own
+    PERMISSIVE/_corrupt_record reader, expressed over an in-flight
+    column). Rows whose JSON fails to parse against ``schema`` keep their
+    raw payload and are flagged, never dropped silently; well-formed rows
+    get the typed struct. Downstream splits on the flag: the good lane
+    proceeds, the quarantine lane lands in an errors sink for replay.
+
+    Map-side only (two JVM expressions); no shuffle, no Python. A
+    quarantined row is one whose payload is non-null but not well-formed
+    JSON — NULL payloads are absent data, not corruption, and stay
+    unflagged. Well-formedness is probed with ``get_json_object($)``
+    (null iff the document doesn't parse) because ``from_json``'s
+    PERMISSIVE mode yields an all-null STRUCT for malformed input, which
+    is indistinguishable from a valid document missing every field.
+    """
+    parsed = F.from_json(F.col(json_col), schema)
+    malformed = (
+        F.col(json_col).isNotNull()
+        & F.get_json_object(F.col(json_col), "$").isNull()
+    )
+    return df.withColumn(parsed_col, parsed).withColumn(flag_col, malformed)

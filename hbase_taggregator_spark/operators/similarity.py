@@ -776,3 +776,58 @@ def negative_pairs(
             F.expr("CAST(__p % 1000000000000 AS BIGINT)").alias("neg_id"),
         )
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then drop
+    near-duplicates WITHIN each cluster only — the decomposition that
+    makes semantic dedup tractable at corpus scale. Pairwise cosine cost
+    is bounded per cell ((|cell| choose 2), controlled by the clustering
+    granularity), never all-pairs across the corpus.
+
+    Physical shape: nearest-centroid assignment is :func:`ivf_assign`
+    (entirely map-side, zero shuffle, centroids inlined as one literal);
+    the within-cell self-join shuffles both sides ONCE on the small
+    ``cent_id`` key; norms ride along from the assignment so pair scoring
+    pays exactly one decimal-exact dot product. Keep rule: a vector is
+    dropped iff some smaller-id vector in its cell is cosine-similar at
+    ``threshold`` — "keep the minimum id of every duplicate relation",
+    deterministic and engine-portable (the oracle restates the identical
+    algebra).
+
+    At 1000-executor scale nlist is sized so cells stay ~thousands of
+    vectors (nlist ≈ N / 4096); cell skew is bounded by k-means balance,
+    and a hot cell degrades to that one cell's pair count, not the
+    corpus's. Returns survivors ``(id_col, cent_id)``.
+    """
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col, n_probe=1)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("nrm").alias("__na"), "cent_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("nrm").alias("__nb"), "cent_id",
+    )
+    dropped = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "cent_id")
+        .join(dropped, id_col, "left_anti")
+        .orderBy(id_col)
+    )

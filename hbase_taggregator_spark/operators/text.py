@@ -581,3 +581,62 @@ def rare_token_ratio(
         )
         .orderBy(id_col)
     )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "sample",
+) -> DataFrame:
+    """Reproducible k-per-group subsample — the distributed answer to
+    reservoir sampling for training-data curation (per-source / per-language
+    quota draws). Each row's sort key is a salted md5 of its id: uniform,
+    engine-portable, and REBUILD-STABLE — re-running over a grown corpus
+    keeps every previously-sampled row whose hash still ranks in the top k,
+    unlike `rand()` which resamples everything on every run.
+
+    One shuffle on the group key; per-group sort is partition-local
+    (row_number window, no global sort). Ties in the 128-bit hash are
+    broken by id for full determinism.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(seed + "#"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: str = "shuf",
+) -> DataFrame:
+    """Deterministic pseudo-random global ordering for training-data
+    delivery: every row gets a (shard, pos) address such that reading
+    shards in order, each sorted by pos, visits the corpus in a fixed
+    hash-random permutation.
+
+    This is the 100 TB shape of "ORDER BY random()": shard assignment is a
+    map-side projection (top hex of a salted md5, mod n_shards — uniform),
+    and position is a row_number per shard — a per-shard sort, NEVER a
+    single global sort. n_shards is the write parallelism: size it so one
+    shard's rows fit an executor's sort buffer (n_shards ≈ corpus /
+    2 GiB). Re-running with the same seed reproduces the exact epoch
+    order — auditable training-data lineage.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(seed + "#"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    out = df.withColumn("__h", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return out.withColumn("pos", F.row_number().over(w)).drop("__h")

@@ -4441,13 +4441,20 @@ _GATE_WINDOW = [
     "grouping_sets_status_priority",
     "dedup_keep_best_quality",
     "streaming_foreachbatch_sink",
-    "reshape_pivot_unpivot_roundtrip",
-    "feature_quantile_bins_decile",
-    "feature_winsorize_p05_p95",
+    # round-4 wave 2: semantic dedup, SimHash pairs, decontamination,
+    # deterministic sampling, global shuffle, quarantined JSON ingest —
+    # new code outranks never-gated-but-judge-verified algebra; the six
+    # displaced queries (text_vocabulary/posting_lists/conjunctive_search,
+    # feature_quantile_bins_decile, feature_winsorize_p05_p95,
+    # reshape_pivot_unpivot_roundtrip — each with a driver-gated sibling
+    # sharing its algebra family) roll to the r5 window
+    "semdedup_survivors",
+    "dedup_simhash_pairs",
+    "corpus_decontaminated",
+    "corpus_sample_per_source",
+    "corpus_global_shuffle",
+    "ingest_json_quarantine",
     "ts_calendar_rollup_weekly",
-    "text_vocabulary",
-    "text_posting_lists",
-    "text_conjunctive_search",
     "ts_largest_gaps_per_type",
     "scd2_user_event_history",
     "profile_documents_columns",

@@ -139,6 +139,266 @@ _register(
     """,
 )
 
+# ---------------------------------------------------------------------------
+# round-4 wave 2: the LLM-pipeline completions — semantic dedup
+# (cluster-then-verify), SimHash pairs (banding + Hamming verify),
+# benchmark decontamination (overlap → anti-join), deterministic
+# per-group sampling, hash-random global shuffle, and quarantined
+# semi-structured ingest. Each restates its full algebra in the oracle.
+# ---------------------------------------------------------------------------
+
+from hbase_taggregator_spark.queries_ext import _SQL_E, _simhash_sql  # noqa: E402
+from hbase_taggregator_spark.queries_r3 import (  # noqa: E402
+    _SQL_SHINGLES5,
+)
+from hbase_taggregator_spark.queries_ext import _SQL_TOKENS  # noqa: E402
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: centroids are the first 16
+    corpus vectors (the catalog's deterministic IVF init), cells are
+    exact-decimal nearest-centroid assignment, in-cell cosine >= 0.42
+    drops the larger id of each duplicate pair."""
+    from hbase_taggregator_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    return semdedup(emb, cents, threshold=0.42)
+
+
+_register(
+    "semdedup_survivors",
+    _q_semdedup,
+    f"""
+    WITH {_SQL_E},
+    cd AS (
+      SELECT v.vec_id, c.vec_id AS cent_id,
+             CAST(SUM(CAST(v.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS cdot
+      FROM e v JOIN e c ON v.i = c.i AND c.vec_id < 16
+      GROUP BY 1, 2),
+    cscore AS (
+      SELECT cd.vec_id, cent_id, cdot / (nv.nrm * nc.nrm) AS ccos
+      FROM cd JOIN norms nv ON nv.vec_id = cd.vec_id
+              JOIN norms nc ON nc.vec_id = cent_id),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cent_id) AS rk
+        FROM cscore) WHERE rk = 1),
+    pd AS (
+      SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
+             CAST(SUM(CAST(va.v * vb.v AS DECIMAL(18,12))) AS DOUBLE) AS pdot
+      FROM assign aa JOIN assign bb
+        ON aa.cent_id = bb.cent_id AND aa.vec_id < bb.vec_id
+      JOIN e va ON va.vec_id = aa.vec_id
+      JOIN e vb ON vb.vec_id = bb.vec_id AND va.i = vb.i
+      GROUP BY 1, 2),
+    dups AS (
+      SELECT DISTINCT id_b FROM pd
+      JOIN norms na ON na.vec_id = id_a
+      JOIN norms nb ON nb.vec_id = id_b
+      WHERE pdot / (na.nrm * nb.nrm) >= 0.42)
+    SELECT a.vec_id, a.cent_id FROM assign a
+    WHERE a.vec_id NOT IN (SELECT id_b FROM dups)
+    ORDER BY a.vec_id
+    """,
+)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+_register(
+    "dedup_simhash_pairs",
+    _q_simhash_pairs,
+    f"""
+    WITH sig AS ({_simhash_sql()}),
+    bands AS (
+      SELECT doc_id, simhash, b.band_idx,
+             CASE b.band_idx WHEN 0 THEN chunk0 WHEN 1 THEN chunk1
+                             WHEN 2 THEN chunk2 ELSE chunk3 END AS band_key
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
+    okb AS (
+      SELECT band_idx, band_key FROM bands
+      GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 1000),
+    kept AS (SELECT bands.* FROM bands JOIN okb USING (band_idx, band_key))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM kept a JOIN kept b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination as an action: same benchmark split as
+    corpus_contamination_overlap (doc_id % 37), ratio > 0.2 drops the
+    document; survivors pass through unchanged."""
+    from hbase_taggregator_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    return (
+        decontaminate(corpus, bench, max_ratio=0.2, n_shingle=5)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_register(
+    "corpus_decontaminated",
+    _q_decontaminate,
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES5} AS shingles FROM t),
+    bench AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5(concat('ct#', s)), 1, 15))
+                 AS BIGINT) AS h
+      FROM (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 37 = 0)),
+    corp AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(concat('ct#', s)), 1, 15))
+                 AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+            WHERE doc_id % 37 <> 0)),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n FROM corp
+      WHERE h IN (SELECT h FROM bench) GROUP BY 1),
+    doomed AS (
+      SELECT sh.doc_id FROM sh LEFT JOIN hits USING (doc_id)
+      WHERE sh.doc_id % 37 <> 0 AND len(shingles) > 0
+        AND CAST(COALESCE(n, 0) AS DOUBLE) / CAST(len(shingles) AS DOUBLE)
+            > 0.2)
+    SELECT doc_id, source, lang FROM documents
+    WHERE doc_id % 37 <> 0 AND doc_id NOT IN (SELECT doc_id FROM doomed)
+    ORDER BY doc_id
+    """,
+)
+
+
+def _q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.text import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_sample(docs, ["source"], k=5)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+_register(
+    "corpus_sample_per_source",
+    _q_sample_per_source,
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat('sample#', CAST(doc_id AS VARCHAR))),
+                        doc_id) AS rn
+      FROM documents) WHERE rn <= 5
+    ORDER BY source, doc_id
+    """,
+)
+
+
+def _q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.text import global_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        global_shuffle(docs, n_shards=8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+_register(
+    "corpus_global_shuffle",
+    _q_global_shuffle,
+    """
+    WITH h AS (
+      SELECT doc_id, md5(concat('shuf#', CAST(doc_id AS VARCHAR))) AS hh
+      FROM documents),
+    s AS (
+      SELECT doc_id, hh,
+             CAST(CAST(concat('0x', substr(hh, 1, 8)) AS BIGINT) % 8
+                  AS INTEGER) AS shard
+      FROM h)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+                AS INTEGER) AS pos
+    FROM s ORDER BY shard, pos
+    """,
+)
+
+
+def _q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantined semi-structured ingest: a deterministic slice of the
+    events feed (event_id % 23) arrives with its JSON payload truncated;
+    the loader flags (never drops) those rows and the good lane's typed
+    extraction aggregates cleanly."""
+    from hbase_taggregator_spark.operators.profile import parse_json_quarantine
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 23 == 0, F.substring("props", 1, 6)
+        ).otherwise(F.col("props")),
+    )
+    q = parse_json_quarantine(ev, "props", "k LONG")
+    good_k = F.when(~F.col("quarantined"), F.col("parsed.k"))
+    return (
+        q.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("quarantined").cast("long")).alias("n_quarantined"),
+            F.count(good_k).alias("n_with_k"),
+            F.sum(good_k).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_register(
+    "ingest_json_quarantine",
+    _q_json_quarantine,
+    """
+    WITH raw AS (
+      SELECT event_type,
+             CASE WHEN event_id % 23 = 0 THEN substr(props, 1, 6)
+                  ELSE props END AS props
+      FROM events),
+    f AS (
+      SELECT event_type, props,
+             (props IS NOT NULL AND NOT json_valid(props)) AS q
+      FROM raw)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quarantined,
+           COUNT(CASE WHEN NOT q
+                      THEN CAST(json_extract(props, '$.k') AS BIGINT) END)
+               AS n_with_k,
+           CAST(SUM(CASE WHEN NOT q
+                         THEN CAST(json_extract(props, '$.k') AS BIGINT) END)
+                AS BIGINT) AS sum_k
+    FROM f GROUP BY event_type ORDER BY event_type
+    """,
+)
+
+
 # re-apply the gate-window ordering now that round-4 queries are
 # registered. Tolerant, like every import-time apply: whichever module
 # finishes LAST (it differs per entry point — importing queries_r3

@@ -431,3 +431,146 @@ def test_engine_bucketed_view_matches_dataframe_path(spark):
         .collect()
     )
     assert via_sql == direct and len(direct) > 0
+
+
+# --- round-4 wave 2: semantic dedup / SimHash pairs / decontamination /
+# sampling / shuffle / quarantined ingest ------------------------------------
+
+
+def test_semdedup_keeps_min_id_within_cell(spark):
+    """Two near-identical vectors sharing a cell collapse to the smaller
+    id; a vector in a different cell is untouched even if identical to
+    one there (SemDeDup only compares within a cluster)."""
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cent_id long, cvec array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.9, 0.1]),   # cell 0
+            (11, [0.91, 0.1]),  # cell 0, near-dup of 10 -> dropped
+            (12, [0.1, 0.9]),   # cell 1, survives (other cell)
+            (13, [-0.5, 0.4]),  # cell 1, dissimilar to 12 -> survives
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.semdedup(corpus, cents, threshold=0.99)
+    assert {(r.vec_id, r.cent_id) for r in out.collect()} == {
+        (10, 0), (12, 1), (13, 1)
+    }
+
+
+def test_simhash_pairs_match_bruteforce_hamming(spark):
+    """Band-join candidates + bit_count verify must equal brute-force
+    Hamming <= 3 over the signature table (pigeonhole: <=3 bit flips
+    over four 16-bit chunks always leave one chunk equal)."""
+    from itertools import combinations
+
+    from hbase_taggregator_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = {
+        r.doc_id: r.simhash for r in D.simhash_table(docs).collect()
+    }
+    expect = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == expect
+
+
+def test_decontaminate_drops_only_heavy_overlap(spark):
+    from hbase_taggregator_spark.operators import dedup as D
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # full overlap -> drop
+            (2, "totally different words here entirely now"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = D.decontaminate(corpus, bench, max_ratio=0.2, n_shingle=5)
+    assert [r.doc_id for r in out.collect()] == [2]
+
+
+def test_deterministic_sample_quota_and_stability(spark):
+    """k rows per group, reproducible, and rebuild-stable: a grown corpus
+    keeps every prior pick whose hash still ranks in the top k."""
+    import hashlib
+
+    from hbase_taggregator_spark.operators.text import deterministic_sample
+
+    rows = [(i, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {
+        (r.source, r.doc_id)
+        for r in deterministic_sample(df, ["source"], k=4).collect()
+    }
+    # exact expectation from the same hash algebra in Python
+    expect = set()
+    for g in ("g0", "g1", "g2"):
+        members = [i for i, s in rows if s == g]
+        ranked = sorted(
+            members,
+            key=lambda i: (hashlib.md5(f"sample#{i}".encode()).hexdigest(), i),
+        )
+        expect |= {(g, i) for i in ranked[:4]}
+    assert out == expect
+    # determinism across plans
+    out2 = {
+        (r.source, r.doc_id)
+        for r in deterministic_sample(df, ["source"], k=4).collect()
+    }
+    assert out == out2
+
+
+def test_global_shuffle_is_a_partition_of_the_corpus(spark):
+    from hbase_taggregator_spark.operators.text import global_shuffle
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    out = global_shuffle(docs, n_shards=4).select("doc_id", "shard", "pos")
+    rows = out.collect()
+    assert len(rows) == n and len({r.doc_id for r in rows}) == n
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # same seed -> identical permutation
+    again = global_shuffle(docs, n_shards=4).select("doc_id", "shard", "pos")
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in rows}
+
+
+def test_parse_json_quarantine_flags_malformed_only(spark):
+    from hbase_taggregator_spark.operators.profile import parse_json_quarantine
+
+    df = spark.createDataFrame(
+        [
+            ("ok", '{"k": 5}'),
+            ("truncated", '{"k": 5'),
+            ("wrong_type", '{"k": "x"}'),   # parses; field null — NOT corrupt
+            ("absent", None),               # missing data — NOT corrupt
+            ("not_json", "hello"),
+        ],
+        "tag string, props string",
+    )
+    out = {
+        r.tag: (r.quarantined, r.parsed["k"] if r.parsed else None)
+        for r in parse_json_quarantine(df, "props", "k LONG").collect()
+    }
+    assert out == {
+        "ok": (False, 5),
+        "truncated": (True, None),
+        "wrong_type": (False, None),
+        "absent": (False, None),
+        "not_json": (True, None),
+    }
