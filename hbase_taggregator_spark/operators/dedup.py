@@ -585,10 +585,18 @@ def simhash_pairs(
     Candidate generation is chunk banding: the 64-bit signature's four
     16-bit chunks are the bands; by pigeonhole, two signatures within
     Hamming distance 3 MUST agree on at least one chunk, so the band
-    equi-join is a COMPLETE prefilter for ``max_hamming <= 3`` (the
-    guarantee degrades gracefully above — document, don't hide). Verify
-    is one ``bit_count(a XOR b)`` per candidate pair — two int ops, JVM
-    codegen, no text comparison.
+    equi-join is a COMPLETE prefilter for ``max_hamming <= 3`` — but
+    ONLY while no band bucket exceeds ``max_bucket``: the skew guard
+    below drops oversized buckets wholesale, so a pair whose every
+    agreeing chunk lives in a dropped bucket is silently lost. On a
+    boilerplate-heavy corpus (many near-identical shards sharing chunk
+    values) that recall loss is real; raise ``max_bucket`` (or set it
+    ≥ corpus size to disable the guard) when completeness matters more
+    than bounding the worst hot key. ``tests/test_round5.py``
+    (``test_simhash_pairs_max_bucket_drops_recall``) pins the behavior.
+    Above ``max_hamming`` 3 the pigeonhole guarantee degrades gracefully
+    — document, don't hide. Verify is one ``bit_count(a XOR b)`` per
+    candidate pair — two int ops, JVM codegen, no text comparison.
 
     Physical shape at 100 TB: signatures are one shuffle (the shingle
     vote aggregate inside :func:`simhash_table`); banding explodes 4

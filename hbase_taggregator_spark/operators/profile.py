@@ -83,6 +83,17 @@ def parse_json_quarantine(
     (null iff the document doesn't parse) because ``from_json``'s
     PERMISSIVE mode yields an all-null STRUCT for malformed input, which
     is indistinguishable from a valid document missing every field.
+
+    "Well-formed" here means Spark-Jackson-LENIENT, not strict RFC 8259:
+    Jackson stops at the first complete value, so trailing garbage after
+    a valid document (``{"k":5}garbage``, ``{"k":5}}``) parses clean,
+    while inputs a lenient reader rejects but some strict-recovery
+    parsers accept (trailing commas, leading zeros) quarantine. DuckDB's
+    ``json_valid`` draws the line differently on exactly those edges, so
+    the oracle equivalence for this operator holds for truncation-style
+    corruption (the fixture's) — the divergent inputs are pinned OUT of
+    contract by ``tests/test_round5.py``
+    (``test_json_quarantine_jackson_lenient_edges``).
     """
     parsed = F.from_json(F.col(json_col), schema)
     malformed = (

@@ -281,20 +281,58 @@ def ivf_assign(
     lvecs = F.lit([[float(v) for v in r["cvec"]] for r in cents])
     lnrms = F.lit([float(r["cnrm"]) for r in cents])
     lids = F.lit([r["cent_id"] for r in cents])
+    min_cnrm = min(float(r["cnrm"]) for r in cents)
     nd = with_norm(df, vec_col)
-    entries = F.transform(
-        F.sequence(F.lit(1), F.lit(len(cents))),
-        lambda i: F.struct(
-            (
-                -(
-                    dot(F.col(vec_col), F.element_at(lvecs, i))
-                    / (F.col("nrm") * F.element_at(lnrms, i))
-                )
-            ).alias("negcos"),
-            F.element_at(lids, i).alias("cent_id"),
-        ),
+    seq = F.sequence(F.lit(1), F.lit(len(cents)))
+
+    def _entries(dotf):
+        return F.transform(
+            seq,
+            lambda i: F.struct(
+                (
+                    -(
+                        dotf(F.col(vec_col), F.element_at(lvecs, i))
+                        / (F.col("nrm") * F.element_at(lnrms, i))
+                    )
+                ).alias("negcos"),
+                F.element_at(lids, i).alias("cent_id"),
+            ),
+        )
+
+    # Two-phase argmax: a plain-double dot (2 interpreted FP ops/element)
+    # ranks the centroids; the exact-decimal algebra (the oracle contract,
+    # ~5 Decimal ops/element) re-ranks ONLY rows where the double ranking
+    # is ambiguous. Soundness: the double and exact cosines differ by at
+    # most 64·(half-ulp-of-12dp)=3.2e-11 on the dot (per-product rounding)
+    # plus ~1e-12 of float summation error, so with |nrm·cnrm| > 1e-3 the
+    # cosine gap between the two algebras is < 1e-7 ≪ EPS; a boundary gap
+    # > EPS in double therefore pins the same top-n_probe SET the exact
+    # sort would pick (membership is what matters — callers consume only
+    # the exploded cent_id). Ambiguous rows (gap ≤ EPS, a ~0-probability
+    # measure on real embeddings) and degenerate near-zero norms fall back
+    # to the exact tree, so the output is bit-identical to the pure exact
+    # form at a fraction of its cost.
+    EPS = 1e-6
+
+    def ddot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    fast_sorted = F.array_sort(_entries(ddot))
+    if len(cents) > n_probe:
+        gap = (
+            F.element_at(fast_sorted, n_probe + 1)["negcos"]
+            - F.element_at(fast_sorted, n_probe)["negcos"]
+        )
+        unambiguous = (gap > EPS) & (F.col("nrm") * F.lit(min_cnrm) > 1e-3)
+    else:  # every centroid is in the output set — no ranking needed
+        unambiguous = F.lit(True)
+    best = F.when(unambiguous, F.slice(fast_sorted, 1, n_probe)).otherwise(
+        F.slice(F.array_sort(_entries(dot)), 1, n_probe)
     )
-    best = F.slice(F.array_sort(entries), 1, n_probe)
     return nd.select(
         id_col, vec_col, "nrm", F.explode(best).alias("__e")
     ).select(id_col, vec_col, "nrm", F.col("__e.cent_id").alias("cent_id"))
@@ -802,12 +840,26 @@ def semdedup(
     deterministic and engine-portable (the oracle restates the identical
     algebra).
 
+    ``centroids`` must carry columns literally named ``cent_id`` and
+    ``cvec`` (the :func:`ivf_assign` centroid contract — only the corpus
+    side is renamed via ``id_col``/``vec_col``); rename yours with
+    ``.select(F.col(my_id).alias("cent_id"), F.col(my_vec).alias("cvec"))``
+    before calling.
+
     At 1000-executor scale nlist is sized so cells stay ~thousands of
     vectors (nlist ≈ N / 4096); cell skew is bounded by k-means balance,
     and a hot cell degrades to that one cell's pair count, not the
     corpus's. Returns survivors ``(id_col, cent_id)``.
     """
-    assigned = ivf_assign(corpus, centroids, vec_col, id_col, n_probe=1)
+    # The assignment feeds THREE plan branches (both sides of the in-cell
+    # self-join plus the survivor anti-join); without materialization Spark
+    # re-evaluates the nearest-centroid projection once per branch.
+    # localCheckpoint pins it to executor storage so the corpus is assigned
+    # exactly once — the standard persisted-stage shape of a SemDeDup
+    # pipeline (cluster once, then dedup within cells).
+    assigned = ivf_assign(
+        corpus, centroids, vec_col, id_col, n_probe=1
+    ).localCheckpoint(eager=False)
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         F.col("nrm").alias("__na"), "cent_id",

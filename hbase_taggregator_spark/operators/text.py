@@ -600,6 +600,15 @@ def deterministic_sample(
     One shuffle on the group key; per-group sort is partition-local
     (row_number window, no global sort). Ties in the 128-bit hash are
     broken by id for full determinism.
+
+    For k ≪ group size the shuffle does NOT carry whole groups: Catalyst
+    rewrites ``row_number() <= k`` into a map-side Partial
+    ``WindowGroupLimit`` (SPARK-37099) that keeps only the top-k rows per
+    group per input partition before the exchange, then a Final pass after
+    it — the classic two-phase top-k, planned automatically.
+    ``tests/test_round5.py::test_deterministic_sample_plans_partial_group_limit``
+    pins the rewrite so a regression (e.g. an expression form the rule
+    can't match) is caught.
     """
     from pyspark.sql.window import Window
 

@@ -1,0 +1,72 @@
+"""Shared DuckDB oracle SQL fragments.
+
+Leaf module — imports nothing from the package, so any query module
+(queries / queries_ext / queries_r3 / queries_r4 / ...) can import these
+fragments at module top level without creating a circular-import chain.
+This exists because the query modules form an intentional import ring
+(queries → queries_ext → queries_r3/r4 → queries) for registration, and
+a `from queries_rN import <name>` inside that ring sees a partially
+initialized module when the user starts the import anywhere but the top
+(the r4 regression: `import hbase_taggregator_spark.queries_r3` died on
+`_SQL_SHINGLES5`).
+
+Fragments mirror the Spark-side tokenization/shingling/hashing algebra
+(operators/text.py, operators/dedup.py) restated in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+# whitespace tokenization of lower-cased trimmed text (documents.text)
+_SQL_TOKENS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+# distinct 5-gram word shingles over a `toks` list column
+_SQL_SHINGLES5 = (
+    r"list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4,"
+    r" 0)), i -> array_to_string(toks[i:i+4], ' ')))"
+)
+
+# embeddings unnested to (vec_id, i, v) plus per-vector L2 norms; exact
+# decimal partial sums so Spark/DuckDB float reduction order can't diverge
+_SQL_E = """
+    e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+    norms AS (SELECT vec_id, sqrt(CAST(SUM(CAST(v * v AS DECIMAL(18,12))) AS DOUBLE)) AS nrm
+              FROM e GROUP BY vec_id)
+"""
+
+
+def _simhash_sql() -> str:
+    """SimHash restated relationally: unnest shingles × bit positions,
+    ±1 votes, sign per bit, weighted bit sum."""
+    shingles2 = (
+        r"list_distinct(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),"
+        r" i -> array_to_string(toks[i:i+1], ' ')))"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({shingles2}) AS s FROM t),
+    h AS (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(concat('s0#', s)), 1, 8)) AS BIGINT) AS h0,
+                 CAST(concat('0x', substr(md5(concat('s1#', s)), 1, 8)) AS BIGINT) AS h1
+          FROM sh),
+    votes AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h0 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+             SUM(CASE WHEN (h1 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v1
+      FROM h, (SELECT unnest(generate_series(0, 31)) AS bit) b
+      GROUP BY 1, 2),
+    bits AS (
+      -- outer CAST: DuckDB widens integer SUM to HUGEINT (int128), which the
+      -- driver's type-tagged hasher serializes differently from int64
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v0 > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) +
+                  SUM(CASE WHEN v1 > 0 AND bit < 31 THEN CAST(1 AS BIGINT) << (32 + bit) ELSE 0 END)
+               AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id)
+    SELECT doc_id, simhash,
+           (simhash >> 0) & 65535 AS chunk0,
+           (simhash >> 16) & 65535 AS chunk1,
+           (simhash >> 32) & 65535 AS chunk2,
+           (simhash >> 48) & 65535 AS chunk3
+    FROM bits
+    """

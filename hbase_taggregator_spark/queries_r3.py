@@ -605,10 +605,7 @@ _register(
 # benchmark decontamination (operators/dedup.py::contamination_overlap)
 # ---------------------------------------------------------------------------
 
-_SQL_SHINGLES5 = (
-    r"list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4,"
-    r" 0)), i -> array_to_string(toks[i:i+4], ' ')))"
-)
+from hbase_taggregator_spark.oracle_fragments import _SQL_SHINGLES5  # noqa: E402
 
 
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:

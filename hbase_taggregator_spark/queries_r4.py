@@ -147,22 +147,31 @@ _register(
 # semi-structured ingest. Each restates its full algebra in the oracle.
 # ---------------------------------------------------------------------------
 
-from hbase_taggregator_spark.queries_ext import _SQL_E, _simhash_sql  # noqa: E402
-from hbase_taggregator_spark.queries_r3 import (  # noqa: E402
+from hbase_taggregator_spark.oracle_fragments import (  # noqa: E402
+    _SQL_E,
     _SQL_SHINGLES5,
+    _SQL_TOKENS,
+    _simhash_sql,
 )
-from hbase_taggregator_spark.queries_ext import _SQL_TOKENS  # noqa: E402
 
 
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: centroids are the first 16
-    corpus vectors (the catalog's deterministic IVF init), cells are
-    exact-decimal nearest-centroid assignment, in-cell cosine >= 0.42
-    drops the larger id of each duplicate pair."""
+    """SemDeDup over the embeddings table: centroids are the first
+    ``nlist = max(16, isqrt(N))`` corpus vectors (the catalog's
+    deterministic IVF init, scaled with corpus size — sqrt balances the
+    map-side assignment cost N·nlist·d against the in-cell pair cost
+    (N²/2nlist)·d, so total work is O(N^1.5·d) instead of the pinned
+    nlist=16's O(N²·d)), cells are exact-decimal nearest-centroid
+    assignment, in-cell cosine >= 0.42 drops the larger id of each
+    duplicate pair. The oracle derives the identical nlist from
+    COUNT(*) so both engines agree at every sf."""
+    import math
+
     from hbase_taggregator_spark.operators.similarity import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < 16).select(
+    nlist = max(16, math.isqrt(emb.count()))
+    cents = emb.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
     )
     return semdedup(emb, cents, threshold=0.42)
@@ -173,10 +182,12 @@ _register(
     _q_semdedup,
     f"""
     WITH {_SQL_E},
+    nl AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS nlist
+           FROM embeddings),
     cd AS (
       SELECT v.vec_id, c.vec_id AS cent_id,
              CAST(SUM(CAST(v.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS cdot
-      FROM e v JOIN e c ON v.i = c.i AND c.vec_id < 16
+      FROM e v JOIN e c ON v.i = c.i AND c.vec_id < (SELECT nlist FROM nl)
       GROUP BY 1, 2),
     cscore AS (
       SELECT cd.vec_id, cent_id, cdot / (nv.nrm * nc.nrm) AS ccos

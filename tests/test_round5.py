@@ -1,0 +1,184 @@
+"""Round-5 fixes: circular-import-proof oracle fragments, adaptive
+semdedup nlist, ivf_assign two-phase (double-prune / exact-fallback)
+argmax, simhash_pairs max_bucket recall contract, Jackson-lenient JSON
+quarantine contract."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from hbase_taggregator_spark.operators import dedup as D
+from hbase_taggregator_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- oracle_fragments is a leaf: importable everywhere, imports nothing ----
+
+
+def test_oracle_fragments_is_a_leaf_module():
+    """The shared SQL fragments must not pull in pyspark or any package
+    module — that independence is what makes every entry point into the
+    query-module ring safe (the r4 regression: queries_r4 importing
+    _SQL_SHINGLES5 from a partially initialized queries_r3)."""
+    code = (
+        "import sys\n"
+        "import hbase_taggregator_spark.oracle_fragments as of\n"
+        # none of the query-ring modules may load as a side effect
+        "bad = [m for m in sys.modules if m.startswith('hbase_taggregator_spark.queries')]\n"
+        "assert not bad, bad\n"
+        "assert of._SQL_SHINGLES5 and of._SQL_E and of._SQL_TOKENS\n"
+        "assert 'WITH t AS' in of._simhash_sql()\n"
+        # and the module source itself imports nothing from the package
+        "import ast, inspect\n"
+        "tree = ast.parse(inspect.getsource(of))\n"
+        "for node in ast.walk(tree):\n"
+        "    if isinstance(node, ast.Import):\n"
+        "        assert not any(a.name.startswith('hbase_') for a in node.names)\n"
+        "    elif isinstance(node, ast.ImportFrom):\n"
+        "        assert not (node.module or '').startswith('hbase_')\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, cwd="/root/repo")
+
+
+def test_every_query_module_is_directly_importable():
+    """Each module in the registration ring must import cleanly as the
+    FIRST package import of a fresh interpreter."""
+    for mod in ("queries", "queries_ext", "queries_r3", "queries_r4"):
+        subprocess.run(
+            [sys.executable, "-c", f"import hbase_taggregator_spark.{mod}"],
+            check=True,
+            cwd="/root/repo",
+        )
+
+
+# --- ivf_assign: double-prune fast path is bit-identical to exact ----------
+
+
+def test_ivf_assign_fast_path_matches_pure_exact(spark):
+    """The two-phase argmax (plain-double ranking, exact-decimal algebra
+    only on ambiguous rows) must reproduce the pure exact assignment on
+    real embeddings — compare against a from-scratch exact argmax built
+    with the same decimal dot the oracle restates."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    got = {
+        r["vec_id"]: r["cent_id"]
+        for r in S.ivf_assign(emb, cents, n_probe=1).collect()
+    }
+    # independent exact reference: cross-join + decimal dot + min by
+    # (-cos, cent_id) — the window form ivf_assign replaced
+    c = cents.select(
+        "cent_id", "cvec", S.norm(F.col("cvec")).alias("cnrm")
+    )
+    v = emb.select("vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm"))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cent_id",
+        (S.dot(F.col("embedding"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    want = {
+        r["vec_id"]: r["cent_id"]
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    assert got == want
+
+
+def test_ivf_assign_ambiguous_tie_falls_back_to_exact_order(spark):
+    """Two centroids at EXACTLY the same cosine from every vector (one is
+    a scalar multiple of the other): the double gap is 0 ≤ EPS, so the
+    fallback must engage and the exact tie-break (smaller cent_id) must
+    decide."""
+    corpus = spark.createDataFrame(
+        [(1, [0.6, 0.8, 0.0]), (2, [0.8, 0.6, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        # cent 5 = 2 × cent 3: identical direction, exact cosine tie
+        [(3, [0.1, 0.1, 0.0]), (5, [0.2, 0.2, 0.0])],
+        "cent_id long, cvec array<double>",
+    )
+    rows = S.ivf_assign(corpus, cents, n_probe=1).collect()
+    assert {r["cent_id"] for r in rows} == {3}
+
+
+# --- simhash_pairs: max_bucket recall loss is a documented contract --------
+
+
+def test_simhash_pairs_max_bucket_drops_recall(spark):
+    """The chunk-banding prefilter is complete for Hamming <= 3 ONLY
+    while no band bucket exceeds max_bucket: with many identical
+    boilerplate docs every band bucket is oversized, a tiny max_bucket
+    drops them all, and true duplicate pairs vanish. Pin both sides of
+    the contract (ADVICE r4)."""
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text repeated here") for i in range(12)],
+        "doc_id long, text string",
+    )
+    full = D.simhash_pairs(docs, max_hamming=3, max_bucket=1000)
+    assert full.count() == 12 * 11 // 2  # identical docs: all pairs, hamming 0
+    capped = D.simhash_pairs(docs, max_hamming=3, max_bucket=4)
+    assert capped.count() == 0  # every bucket oversized -> all recall lost
+
+
+# --- deterministic_sample: two-phase top-k is in the physical plan ---------
+
+
+def test_deterministic_sample_plans_partial_group_limit(spark):
+    """For k ≪ group size the group-key shuffle must NOT carry whole
+    groups: Catalyst's WindowGroupLimit rewrite (SPARK-37099) prunes to
+    top-k per group map-side (Partial) before the exchange and re-prunes
+    after it (Final). Pin the rewrite so a future expression change that
+    the rule can't match doesn't silently regress the shuffle volume."""
+    from hbase_taggregator_spark import plans as P
+    from hbase_taggregator_spark.operators.text import deterministic_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = deterministic_sample(docs, ["lang"], 5)
+    plan = P.physical_plan(out)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+    got = {r["lang"] for r in out.groupBy("lang").count().filter("count > 5").collect()}
+    assert got == set()
+
+
+# --- JSON quarantine: Spark-Jackson-lenient, not RFC 8259 ------------------
+
+
+def test_json_quarantine_jackson_lenient_edges(spark):
+    """Pin the parser-specific edges OUT of the oracle contract: Jackson
+    stops at the first complete value (trailing garbage parses clean,
+    where DuckDB's json_valid rejects), while trailing commas quarantine
+    (where DuckDB accepts). The oracle pairing is valid for
+    truncation-style corruption only (ADVICE r4)."""
+    from hbase_taggregator_spark.operators.profile import parse_json_quarantine
+
+    rows = [
+        ("{\"k\":5}garbage", False),  # lenient: first value wins
+        ("{\"k\":5}}", False),        # lenient: extra brace ignored
+        ("{\"k\":5,}", True),         # Jackson rejects trailing comma
+        ("{\"k\":05}", True),         # leading zero rejected
+        ("{\"k\":5}", False),
+        ("garbage", True),
+        ("", True),
+        (None, False),                # absent data, not corruption
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(rows)], "i long, payload string"
+    )
+    got = {
+        r["i"]: r["quarantined"]
+        for r in parse_json_quarantine(df, "payload", "k long").collect()
+    }
+    for i, (_, want) in enumerate(rows):
+        assert got[i] is want, f"input {rows[i][0]!r}"
