@@ -161,6 +161,12 @@ HEADLINE = [
     "corpus_sample_per_source",
     "corpus_global_shuffle",
     "ingest_json_quarantine",
+    # round-5 wave: incremental admission dedup, temperature mixing,
+    # rare-bigram LM-proxy scoring, boilerplate segment removal
+    "dedup_incremental_admitted",
+    "corpus_source_mixing",
+    "text_rare_bigram_ratio",
+    "corpus_clean_boilerplate",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would
@@ -203,6 +209,10 @@ SF1_SUBSET = [
     "corpus_contamination_overlap",
     "corpus_negative_pairs",
     "fuzzy_customer_name_candidates",
+    # round-5: the asymmetric LSH admission join at 10× (candidate-density
+    # driven like the funnel) and the boilerplate broadcast-filter pass
+    "dedup_incremental_admitted",
+    "corpus_clean_boilerplate",
 ]
 
 

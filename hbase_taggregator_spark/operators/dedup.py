@@ -150,22 +150,8 @@ def minhash_lsh_candidates(
     disables the guard. The bucket census reuses the (band_idx, band_key)
     partitioning the self-join needs anyway — no extra shuffle pattern.
     """
-    rows_per_band = k // bands
     sig = minhash_signatures(df, text_col, id_col, n_shingle, k)
-    with_bands = sig.select(
-        id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",", *[F.col(f"m{b * rows_per_band + r}")
-                               for r in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
-    )
+    with_bands = _band_rows(sig, id_col, k, bands)
     bucket_n = with_bands.groupBy("band_idx", "band_key").agg(
         F.count(F.lit(1)).alias("__bn")
     )
@@ -670,3 +656,116 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(doomed, id_col, "left_anti")
+
+
+def _band_rows(
+    sig: DataFrame, id_col: str, k: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_key) rows from a k-column MinHash signature
+    table: band b's key is the comma-join of its k/bands member hashes —
+    the same banding :func:`minhash_lsh_candidates` inlines."""
+    rows_per_band = k // bands
+    return sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",", *[F.col(f"m{b * rows_per_band + r}")
+                               for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Admission dedup for an INCREMENTAL ingest batch: which ``new``
+    documents survive against an already-deduped ``corpus`` — the
+    production mode of near-dup dedup at 100 TB, where re-running the
+    full-corpus funnel per ingest batch would re-pay the corpus×corpus
+    candidate stage every day for an unchanged answer.
+
+    The physical shape is ASYMMETRIC banded MinHash-LSH: both sides are
+    signed and banded (one shuffle each on ``id_col``), but the candidate
+    join is new×corpus ONLY — the corpus NEVER self-joins, so candidate
+    cost scales with |batch| × bucket-density, not |corpus|². At scale
+    the corpus band table is computed once and persisted (it is
+    append-only under admission: an admitted batch's bands are unioned
+    in), making the per-batch cost |batch| × (sign + probe). The
+    ``max_bucket`` guard caps the CORPUS side of each band bucket — a
+    boilerplate-hot bucket bounds any new doc's candidate fan-out at
+    ``max_bucket`` instead of the bucket's full population.
+
+    Verify is exact n-gram Jaccard on candidate-attached shingle arrays
+    (``array_intersect`` — same candidate-bounded shape as
+    :func:`dedup_funnel`); a new document is rejected iff SOME corpus
+    partner meets ``threshold``. Batch-internal duplicates are NOT
+    handled here by design — run the funnel within the batch first, then
+    admit (batch-internal pairs need a keep-rule; admission needs none).
+
+    Returns the surviving ``new`` ids (one column, ``id_col``).
+    """
+    csig = minhash_signatures(corpus, text_col, id_col, n_shingle, k)
+    nsig = minhash_signatures(new, text_col, id_col, n_shingle, k)
+    cb = _band_rows(csig, id_col, k, bands).select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_key"
+    )
+    nb = _band_rows(nsig, id_col, k, bands).select(
+        F.col(id_col).alias("new_id"), "band_idx", "band_key"
+    )
+    if max_bucket is not None:
+        okc = (
+            cb.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("band_idx", "band_key")
+        )
+        cb = cb.join(okc, ["band_idx", "band_key"])
+    cand = (
+        nb.join(cb, ["band_idx", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    shs = lambda d: ensure_parallelism(d.select(id_col, text_col)).select(  # noqa: E731
+        F.col(id_col), word_shingles(F.col(text_col), n_shingle).alias("shs")
+    )
+    inter = (
+        cand.join(
+            shs(new).select(F.col(id_col).alias("new_id"),
+                            F.col("shs").alias("shs_n")), "new_id")
+        .join(
+            shs(corpus).select(F.col(id_col).alias("corpus_id"),
+                               F.col("shs").alias("shs_c")), "corpus_id")
+        .select(
+            "new_id",
+            F.size(F.array_intersect("shs_n", "shs_c")).alias("n_common"),
+            F.size("shs_n").alias("n_n"),
+            F.size("shs_c").alias("n_c"),
+        )
+    )
+    rejected = (
+        inter.filter(
+            (F.col("n_common") > 0)
+            & (
+                F.col("n_common").cast("double")
+                / (F.col("n_n") + F.col("n_c") - F.col("n_common"))
+                >= threshold
+            )
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new.select(id_col).join(rejected, id_col, "left_anti")

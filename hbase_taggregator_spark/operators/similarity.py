@@ -54,6 +54,48 @@ def norm(a: Column) -> Column:
     return F.sqrt(_dec_sum(sq))
 
 
+def _ddot(a: Column, b: Column) -> Column:
+    """Plain-double dot product — 2 interpreted FP ops per element vs the
+    exact path's ~5 Decimal ops. NOT oracle-exact on its own; used only
+    where a proven error bound lets it decide for the exact algebra
+    (:func:`ivf_assign`'s argmax prune, :func:`cos_ge`)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cos_ge(
+    a: Column,
+    b: Column,
+    na: Column,
+    nb: Column,
+    threshold: float,
+    eps: float = 1e-6,
+    guard: float = 1e-3,
+) -> Column:
+    """Boolean column with EXACTLY the semantics of
+    ``dot(a, b) / (na * nb) >= threshold`` (the decimal-exact oracle
+    algebra), decided by a cheap double dot whenever the score is more
+    than ``eps`` from the boundary. The double and exact cosines differ
+    by < 64·5e-13/(na·nb) + float-sum noise, so with ``na·nb > guard``
+    the divergence is < 1e-7 ≪ eps — a double score outside
+    [threshold−eps, threshold+eps) forces the same verdict the exact
+    algebra gives. Boundary-ambiguous rows, degenerate norms, and
+    null/NaN scores all fall through to the exact expression, so the
+    output is bit-identical to the pure exact filter at a fraction of
+    its cost on the (typical) mostly-rejected pair stream."""
+    fast = _ddot(a, b) / (na * nb)
+    exact = dot(a, b) / (na * nb) >= F.lit(threshold)
+    return (
+        F.when((na * nb) <= F.lit(guard), exact)
+        .when(fast >= F.lit(threshold + eps), F.lit(True))
+        .when(fast < F.lit(threshold - eps), F.lit(False))
+        .otherwise(exact)
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Pairwise cosine. Recomputes both norms — fine for single pairs; the
     set operators below precompute norms once per vector instead."""
@@ -145,11 +187,19 @@ def neardup_pairs(
     )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        # cos_ge fast-rejects the (dominant) sub-threshold pairs with a
+        # double dot; the exact decimal cosine is computed only for
+        # survivors, whose value the output carries anyway
+        .filter(
+            cos_ge(
+                F.col("__va"), F.col("__vb"),
+                F.col("__na"), F.col("__nb"), threshold,
+            )
+        )
         .withColumn(
             "cosine",
             dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
         )
-        .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
 
@@ -194,11 +244,16 @@ def lsh_neardup_pairs(
     return (
         a.join(bb, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cos_ge(
+                F.col("__va"), F.col("__vb"),
+                F.col("__na"), F.col("__nb"), threshold,
+            )
+        )
         .withColumn(
             "cosine",
             dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
         )
-        .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
 
@@ -314,14 +369,7 @@ def ivf_assign(
     # form at a fraction of its cost.
     EPS = 1e-6
 
-    def ddot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    fast_sorted = F.array_sort(_entries(ddot))
+    fast_sorted = F.array_sort(_entries(_ddot))
     if len(cents) > n_probe:
         gap = (
             F.element_at(fast_sorted, n_probe + 1)["negcos"]
@@ -872,8 +920,10 @@ def semdedup(
         a.join(b, "cent_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
-            >= threshold
+            cos_ge(
+                F.col("__va"), F.col("__vb"),
+                F.col("__na"), F.col("__nb"), threshold,
+            )
         )
         .select(F.col("id_b").alias(id_col))
         .distinct()

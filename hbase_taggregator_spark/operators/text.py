@@ -649,3 +649,181 @@ def global_shuffle(
     out = df.withColumn("__h", h).withColumn("shard", shard)
     w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
     return out.withColumn("pos", F.row_number().over(w)).drop("__h")
+
+
+def source_mixing(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based source mixing plan: per-source document budgets
+    ``target_n ∝ n^alpha`` — the standard up/down-weighting of corpus
+    sources for training-data composition (alpha < 1 flattens the natural
+    size distribution toward uniform; alpha = 1 is proportional).
+
+    One partial/final count aggregate over the corpus; everything after
+    runs on |sources| rows (a scalar-subquery-sized frame). Targets are
+    capped at the source's own size (no oversampling) — pair with
+    :func:`deterministic_sample` (k = target_n per source) to realize the
+    draw.
+
+    Engine-portable arithmetic discipline: the default alpha = 0.5 keeps
+    every number exactly reproducible cross-engine — n^0.5 is ``sqrt``
+    (IEEE-correctly-rounded in both engines, unlike ``pow``), weights are
+    pinned to DECIMAL(28,12) before the sum so the total is
+    order-independent, and the final share/target divisions are single
+    correctly-rounded double ops. Non-half alpha values go through
+    ``pow`` — fine operationally, but not hash-exact across engines
+    (documented, like the other rows-only seams).
+
+    Output: (group_col, n_docs, weight, target_n) sorted by group.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    if alpha == 0.5:
+        w = F.sqrt(F.col("n_docs").cast("double"))
+    elif alpha == 1.0:
+        w = F.col("n_docs").cast("double")
+    else:
+        w = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    weighted = counts.withColumn("weight", w.cast("decimal(28,12)"))
+    total = weighted.agg(F.sum("weight").alias("__tw"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            "n_docs",
+            F.col("weight").cast("double").alias("weight"),
+            F.least(
+                F.col("n_docs"),
+                F.floor(
+                    F.lit(float(budget))
+                    * (
+                        F.col("weight").cast("double")
+                        / F.col("__tw").cast("double")
+                    )
+                ).cast("long"),
+            ).alias("target_n"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def rare_bigram_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_freq: int = 2,
+) -> DataFrame:
+    """Language-model-proxy quality score without the language model: the
+    share of a document's bigram OCCURRENCES whose corpus-wide frequency
+    is ≤ ``max_freq``. Documents full of never-seen-elsewhere bigrams are
+    the tail an n-gram LM would assign high perplexity (gibberish, OCR
+    noise, mixed-language shards); documents of only-common bigrams are
+    boilerplate. Occurrence-weighted on purpose — a doc repeating one
+    rare bigram 50 times scores 50/n, matching the LM-cross-entropy view
+    (and unlike :func:`rare_token_ratio`, which is distinct-type-based).
+
+    Kept exact-integer + one correctly-rounded division so the oracle
+    hash-matches (an actual ln-probability score would hang on
+    non-correctly-rounded transcendentals — the one arithmetic class this
+    codebase keeps out of oracle-gated columns).
+
+    Two shuffles at scale: bigram-frequency aggregate (partial/final,
+    map-side combined), then the per-doc aggregate keyed on ``id_col``;
+    the frequency table joins on the bigram key the explode already
+    produced. Output: (id_col, n_bigrams, n_rare, rare_ratio); documents
+    with < 2 tokens have no bigram and are absent (no 0/0 row).
+    """
+    toks = tokens(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    bg = df.select(F.col(id_col), F.explode(grams).alias("bg"))
+    freq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("__f"))
+    return (
+        bg.join(freq, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("__f") <= max_freq, 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_rare",
+            (
+                F.col("n_rare").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("rare_ratio"),
+        )
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """C4-style boilerplate-segment removal: split each document on
+    ``delimiter``, drop every segment that occurs (verbatim) in at least
+    ``min_docs`` DISTINCT documents — nav bars, cookie banners, license
+    footers — and reassemble the remainder in original order. The classic
+    web-corpus cleaning pass that line-level dedup papers (C4, RefinedWeb)
+    apply before document-level dedup.
+
+    Physical shape at 100 TB: one exploded (segment, doc) pass feeds a
+    partial/final distinct-doc count; the boilerplate set (segments above
+    threshold — tiny: boilerplate is by definition low-cardinality) comes
+    back as a broadcast hash join against the exploded segments, so the
+    corpus-side filter is map-side; reassembly is ONE shuffle keyed on
+    ``id_col`` (sort_array over collected (pos, segment) structs — a
+    per-doc, not global, sort). Documents whose every segment is
+    boilerplate survive with empty text (drop them downstream with a
+    length filter if desired — silently losing rows is not this
+    operator's call).
+
+    Output: (id_col, clean_text, n_segments, n_removed).
+    """
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delimiter), -1)).alias(
+            "pos", "seg"
+        ),
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("seg")
+    )
+    flagged = segs.join(
+        F.broadcast(boiler.withColumn("__is_b", F.lit(1))), "seg", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__is_b").isNull(),
+                                F.struct("pos", "seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                delimiter,
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.coalesce(F.col("__is_b"), F.lit(0))).alias("n_removed"),
+        )
+        .select(id_col, "clean_text", "n_segments", "n_removed")
+    )

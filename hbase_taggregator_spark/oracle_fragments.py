@@ -19,6 +19,12 @@ from __future__ import annotations
 # whitespace tokenization of lower-cased trimmed text (documents.text)
 _SQL_TOKENS = r"string_split_regex(trim(lower(text)), '\s+')"
 
+# distinct 3-gram word shingles over a `toks` list column
+_SQL_SHINGLES3 = (
+    r"list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),"
+    r" i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
 # distinct 5-gram word shingles over a `toks` list column
 _SQL_SHINGLES5 = (
     r"list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4,"
@@ -70,3 +76,29 @@ def _simhash_sql() -> str:
            (simhash >> 48) & 65535 AS chunk3
     FROM bits
     """
+
+
+def _minhash_band_ctes(k: int = 16, bands: int = 4) -> str:
+    """The shared MinHash CTE chain (t → sh → sig → bands) every LSH
+    oracle builds on: Kirsch-Mitzenmacher double hashing, k min-hashes,
+    comma-joined band keys — the algebra of
+    operators/dedup.py::minhash_signatures + _band_rows."""
+    rows = k // bands
+    lo = "CAST(concat('0x', substr(md5(concat('lo#', s)), 1, 15)) AS BIGINT)"
+    hi = "CAST(concat('0x', substr(md5(concat('hi#', s)), 1, 15)) AS BIGINT) // 4"
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> ({lo} + {i} * ({hi})) % {1 << 60}))"
+        f" AS m{i}"
+        for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws(',', "
+        + ", ".join(f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES3} AS shingles FROM t),
+    sig AS (SELECT doc_id, {mins} FROM sh WHERE len(shingles) > 0),
+    bands AS ({band_rows})"""

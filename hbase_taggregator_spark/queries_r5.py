@@ -1,0 +1,201 @@
+"""Round-5 catalog queries: the training-data-pipeline completions —
+incremental new-vs-corpus admission dedup, temperature-based source
+mixing, rare-bigram LM-proxy quality scoring, and C4-style boilerplate
+segment removal. Every oracle restates the full algebra in DuckDB SQL;
+every number stays in the exact-integer / correctly-rounded (sqrt, one
+division) discipline so hashes match cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hbase_taggregator_spark.oracle_fragments import (
+    _SQL_TOKENS,
+    _minhash_band_ctes,
+)
+from hbase_taggregator_spark.queries import _register, load_table
+
+
+# ---------------------------------------------------------------------------
+# incremental admission dedup (operators/dedup.py::incremental_dedup)
+# ---------------------------------------------------------------------------
+
+
+def _q_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit the ``doc_id % 5 == 0`` batch against the rest of the corpus:
+    asymmetric banded MinHash (corpus never self-joins) + exact Jaccard
+    verify at 0.4 on candidate pairs only."""
+    from hbase_taggregator_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return incremental_dedup(corpus, new, threshold=0.4).orderBy("doc_id")
+
+
+_register(
+    "dedup_incremental_admitted",
+    _q_incremental,
+    f"""
+    WITH {_minhash_band_ctes()},
+    cbands AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+    nbands AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+    okc AS (SELECT band_idx, band_key FROM cbands
+            GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM nbands n
+      JOIN okc USING (band_idx, band_key)
+      JOIN cbands c USING (band_idx, band_key)),
+    shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shx GROUP BY doc_id),
+    inter AS (
+      SELECT cand.new_id, cand.corpus_id, COUNT(*) AS n_common
+      FROM cand JOIN shx a ON a.doc_id = cand.new_id
+                JOIN shx b ON b.doc_id = cand.corpus_id AND b.s = a.s
+      GROUP BY 1, 2),
+    rej AS (
+      SELECT DISTINCT new_id
+      FROM inter JOIN sizes sn ON sn.doc_id = new_id
+                 JOIN sizes sc ON sc.doc_id = corpus_id
+      WHERE CAST(n_common AS DOUBLE) / (sn.n_sh + sc.n_sh - n_common)
+            >= 0.4)
+    SELECT doc_id FROM documents
+    WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT new_id FROM rej)
+    ORDER BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# temperature source mixing (operators/text.py::source_mixing)
+# ---------------------------------------------------------------------------
+
+
+def _q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language budgets for a 300-document draw at temperature
+    alpha = 0.5 (sqrt flattening — IEEE-correctly-rounded, so the oracle
+    hash-matches; the `lang` grouping has real size spread where
+    `source` is uniform by construction)."""
+    from hbase_taggregator_spark.operators.text import source_mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_mixing(docs, budget=300, group_col="lang", alpha=0.5)
+
+
+_register(
+    "corpus_source_mixing",
+    _q_source_mixing,
+    """
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang),
+    weighted AS (
+      SELECT lang, n_docs,
+             CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,12)) AS w
+      FROM counts),
+    tot AS (SELECT SUM(w) AS tw FROM weighted)
+    SELECT lang, n_docs,
+           CAST(w AS DOUBLE) AS weight,
+           CAST(LEAST(
+             CAST(n_docs AS DOUBLE),
+             FLOOR(300.0 * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)))
+           ) AS BIGINT) AS target_n
+    FROM weighted, tot
+    ORDER BY lang
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# rare-bigram LM-proxy quality score (operators/text.py::rare_bigram_ratio)
+# ---------------------------------------------------------------------------
+
+
+def _q_rare_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_taggregator_spark.operators.text import rare_bigram_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rare_bigram_ratio(docs, max_freq=2).orderBy("doc_id")
+
+
+_register(
+    "text_rare_bigram_ratio",
+    _q_rare_bigram,
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(toks) - 1, 0)),
+        i -> array_to_string(toks[i:i+1], ' '))) AS bg
+      FROM t),
+    freq AS (SELECT bg, COUNT(*) AS f FROM bg GROUP BY bg)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN f <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN f <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
+    FROM bg JOIN freq USING (bg)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate segment removal (operators/text.py::remove_boilerplate)
+# ---------------------------------------------------------------------------
+
+
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip segments (token-granularity on the single-line synthetic
+    corpus — delimiter ' ') present in >= 90% of documents; real corpora
+    run this with the default newline delimiter. min_docs derives from
+    the corpus size so the query scales; the oracle derives the identical
+    threshold from COUNT(*)."""
+    from hbase_taggregator_spark.operators.text import remove_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    min_docs = (9 * docs.count()) // 10
+    return remove_boilerplate(
+        docs, min_docs=min_docs, delimiter=" "
+    ).orderBy("doc_id")
+
+
+_register(
+    "corpus_clean_boilerplate",
+    _q_boilerplate,
+    """
+    WITH md AS (SELECT (9 * COUNT(*)) // 10 AS min_docs FROM documents),
+    segs AS (
+      SELECT doc_id, i - 1 AS pos, s[i] AS seg
+      FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+           (SELECT unnest(generate_series(1, (
+              SELECT MAX(len(string_split(text, ' '))) FROM documents))) AS i)
+      WHERE i <= len(s)),
+    boiler AS (
+      SELECT seg FROM segs
+      GROUP BY seg
+      HAVING COUNT(DISTINCT doc_id) >= (SELECT min_docs FROM md)),
+    flagged AS (
+      SELECT segs.*, (b.seg IS NOT NULL) AS is_b
+      FROM segs LEFT JOIN boiler b USING (seg))
+    SELECT doc_id,
+           COALESCE(string_agg(seg, ' ' ORDER BY pos)
+                    FILTER (WHERE NOT is_b), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+
+
+# re-apply the gate-window ordering now that round-5 queries are
+# registered (tolerant on every import path, same as queries_r3/r4 —
+# whichever module finishes last sees the full catalog).
+from hbase_taggregator_spark.queries_ext import _apply_gate_window  # noqa: E402
+
+_apply_gate_window(strict=False)

@@ -219,7 +219,7 @@ def test_decode_pixels_spark_path(spark):
 
 
 @pytest.mark.parametrize(
-    "mod", ["queries", "queries_ext", "queries_r3", "queries_r4"]
+    "mod", ["queries", "queries_ext", "queries_r3", "queries_r4", "queries_r5"]
 )
 def test_gate_window_applied_on_every_import_path(mod):
     """All import-time window applies are tolerant (no module is
@@ -236,7 +236,13 @@ def test_gate_window_applied_on_every_import_path(mod):
         "names = list(q.QUERIES)\n"
         "assert len(set(_GATE_WINDOW)) == 50\n"
         "assert names[:50] == list(_GATE_WINDOW), 'window not applied'\n"
-        "missing = [n for n in _GATE_WINDOW if n not in q.ORACLES]\n"
+        # the three rows-only-by-nature queries (HLL++, single-probe
+        # LSH-ANN, LTTB's sequential pick) have no oracle by design; a
+        # window slot still buys them a driver rows-only row
+        "ROWS_ONLY = {'ts_lttb_downsample_50', 'approx_distinct_lineitem',"
+        " 'similarity_ann_lsh_topk'}\n"
+        "missing = [n for n in _GATE_WINDOW"
+        " if n not in q.ORACLES and n not in ROWS_ONLY]\n"
         "assert not missing, f'window names without oracle: {missing}'\n"
         "print(len(names))\n"
     )

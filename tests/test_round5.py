@@ -47,7 +47,7 @@ def test_oracle_fragments_is_a_leaf_module():
 def test_every_query_module_is_directly_importable():
     """Each module in the registration ring must import cleanly as the
     FIRST package import of a fresh interpreter."""
-    for mod in ("queries", "queries_ext", "queries_r3", "queries_r4"):
+    for mod in ("queries", "queries_ext", "queries_r3", "queries_r4", "queries_r5"):
         subprocess.run(
             [sys.executable, "-c", f"import hbase_taggregator_spark.{mod}"],
             check=True,
@@ -182,3 +182,105 @@ def test_json_quarantine_jackson_lenient_edges(spark):
     }
     for i, (_, want) in enumerate(rows):
         assert got[i] is want, f"input {rows[i][0]!r}"
+
+
+# --- round-5 operators: incremental dedup, mixing, boilerplate -------------
+
+
+def test_incremental_dedup_rejects_near_dup_admits_novel(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-identical to corpus doc 1 -> rejected
+            (10, "alpha beta gamma delta epsilon zeta eta iota"),
+            # unrelated -> admitted
+            (11, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    from hbase_taggregator_spark.operators.dedup import incremental_dedup
+
+    got = {r["doc_id"] for r in incremental_dedup(corpus, new, threshold=0.4).collect()}
+    assert got == {11}
+
+
+def test_incremental_dedup_is_asymmetric(spark):
+    """Batch-internal duplicates are NOT each other's rejection cause:
+    two identical NEW docs with no corpus match are both admitted (the
+    documented contract — run the funnel within the batch first)."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "one two three four five"), (11, "one two three four five")],
+        "doc_id long, text string",
+    )
+    from hbase_taggregator_spark.operators.dedup import incremental_dedup
+
+    got = {r["doc_id"] for r in incremental_dedup(corpus, new, threshold=0.4).collect()}
+    assert got == {10, 11}
+
+
+def test_source_mixing_flattens_and_caps(spark):
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(100)]
+        + [(i, "b") for i in range(100, 104)]
+        + [(i, "c") for i in range(104, 105)],
+        "doc_id long, source string",
+    )
+    from hbase_taggregator_spark.operators.text import source_mixing
+
+    rows = {r["source"]: r for r in source_mixing(df, budget=50).collect()}
+    # sqrt weights: 10, 2, 1 -> shares 10/13, 2/13, 1/13 of 50
+    assert rows["a"]["n_docs"] == 100 and rows["a"]["target_n"] == 38
+    assert rows["b"]["n_docs"] == 4 and rows["b"]["target_n"] == 4  # capped: floor(7.69)=7 > 4
+    assert rows["c"]["n_docs"] == 1 and rows["c"]["target_n"] == 1  # capped: floor(3.8)=3 > 1
+    # alpha=1 is proportional: a dominates
+    prop = {r["source"]: r["target_n"] for r in source_mixing(df, budget=50, alpha=1.0).collect()}
+    assert prop["a"] > rows["a"]["target_n"]
+
+
+def test_remove_boilerplate_strips_common_lines_keeps_order(spark):
+    docs = [(i, f"COOKIE BANNER\nunique line {i}\nbody {i} text\nFOOTER") for i in range(10)]
+    docs.append((99, "totally novel\ndocument"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from hbase_taggregator_spark.operators.text import remove_boilerplate
+
+    out = {r["doc_id"]: r for r in remove_boilerplate(df, min_docs=10).collect()}
+    assert out[3]["clean_text"] == "unique line 3\nbody 3 text"
+    assert out[3]["n_segments"] == 4 and out[3]["n_removed"] == 2
+    assert out[99]["clean_text"] == "totally novel\ndocument"
+    assert out[99]["n_removed"] == 0
+
+
+def test_remove_boilerplate_all_boiler_survives_empty(spark):
+    df = spark.createDataFrame(
+        [(i, "SAME") for i in range(5)], "doc_id long, text string"
+    )
+    from hbase_taggregator_spark.operators.text import remove_boilerplate
+
+    out = remove_boilerplate(df, min_docs=5).collect()
+    assert len(out) == 5
+    assert all(r["clean_text"] == "" and r["n_removed"] == 1 for r in out)
+
+
+def test_rare_bigram_ratio_scores_novelty(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),      # bigrams: "the cat", "cat sat"
+            (2, "the cat ran"),      # "the cat" (freq 3), "cat ran" (freq 1)
+            (3, "the cat sat"),      # duplicate of 1
+            (4, "quantum flux node"),  # all-novel bigrams
+        ],
+        "doc_id long, text string",
+    )
+    from hbase_taggregator_spark.operators.text import rare_bigram_ratio
+
+    out = {r["doc_id"]: r for r in rare_bigram_ratio(df, max_freq=1).collect()}
+    assert out[4]["rare_ratio"] == 1.0
+    assert out[2]["n_bigrams"] == 2 and out[2]["n_rare"] == 1
+    assert out[1]["n_rare"] == 0  # both its bigrams repeat in doc 3
