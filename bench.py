@@ -164,6 +164,7 @@ HEADLINE = [
     # round-5 wave: incremental admission dedup, temperature mixing,
     # rare-bigram LM-proxy scoring, boilerplate segment removal
     "dedup_incremental_admitted",
+    "corpus_dedup_doc_segments",
     "corpus_source_mixing",
     "text_rare_bigram_ratio",
     "corpus_clean_boilerplate",

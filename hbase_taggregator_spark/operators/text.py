@@ -827,3 +827,44 @@ def remove_boilerplate(
         )
         .select(id_col, "clean_text", "n_segments", "n_removed")
     )
+
+
+def dedup_doc_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """INTRA-document segment dedup: drop every repeated occurrence of a
+    segment within the same document (keep the first, preserve order) —
+    the within-page half of line-level corpus cleaning (C4 dedups lines
+    both within and across pages; :func:`remove_boilerplate` is the
+    across-pages half).
+
+    ZERO shuffle — the whole operator is one projection over the document
+    scan built from array higher-order functions: split → zip with
+    positions → keep elements whose ``array_position`` (first index)
+    equals their own → reassemble. At 100 TB this runs at scan speed and
+    composes map-side with any downstream filter. Quadratic only in
+    segments-per-document (array_position is a linear scan per element),
+    which is bounded by page size, not corpus size.
+
+    Output: (id_col, clean_text, n_segments, n_removed).
+    """
+    arr = F.split(F.col(text_col), F.lit(delimiter), -1)
+    kept = F.filter(
+        F.zip_with(
+            arr,
+            F.sequence(F.lit(1), F.size(arr)),
+            lambda x, i: F.struct(x.alias("s"), i.alias("i")),
+        ),
+        lambda e: F.array_position(arr, e["s"]) == e["i"],
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda e: e["s"]), delimiter
+        ).alias("clean_text"),
+        F.size(arr).cast("long").alias("n_segments"),
+        (F.size(arr) - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -4354,7 +4354,7 @@ _register(
 # the 4 new queries, every consumer of code whose algebra or implementation
 # changed this round (adaptive-nlist semdedup, two-phase ivf_assign, the
 # _band_rows refactor), the 16 never-driver-gated leftovers (completing
-# full-catalog driver conversion — union of r1-r5 windows = all 169), and a
+# full-catalog driver conversion — union of r1-r5 windows = all 170), and a
 # cross-family fill of r1/r2-gated representatives. Every query pushed out
 # is green in CORRECTNESS_r01-r04, the judge's r4 re-run (VERDICT r4: 16/16
 # on the remainder), or tools/oracle_full_r5.log.
@@ -4362,6 +4362,7 @@ _register(
 _GATE_WINDOW = [
     # new this round (r5) — first driver rows
     "dedup_incremental_admitted",
+    "corpus_dedup_doc_segments",
     "corpus_source_mixing",
     "text_rare_bigram_ratio",
     "corpus_clean_boilerplate",
@@ -4419,7 +4420,6 @@ _GATE_WINDOW = [
     "ts_ewma_smoothed_3600",
     "ts_rolling_zscore_outliers",
     "multimodal_binary_features",
-    "streaming_dedup_exact",
 ]
 
 

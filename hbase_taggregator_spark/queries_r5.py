@@ -193,6 +193,43 @@ _register(
 )
 
 
+
+
+# ---------------------------------------------------------------------------
+# intra-document segment dedup (operators/text.py::dedup_doc_segments)
+# ---------------------------------------------------------------------------
+
+
+def _q_doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeat removal at token granularity (the synthetic
+    corpus is single-line; real corpora use the newline default). Pure
+    map-side — the plan audit pins zero exchanges before the ORDER BY."""
+    from hbase_taggregator_spark.operators.text import dedup_doc_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_doc_segments(docs, delimiter=" ").orderBy("doc_id")
+
+
+_register(
+    "corpus_dedup_doc_segments",
+    _q_doc_segments,
+    """
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS segs FROM documents),
+    k AS (
+      SELECT doc_id, segs,
+             list_filter(list_zip(segs, generate_series(1, len(segs))),
+                         e -> list_position(segs, e[1]) = e[2]) AS kept
+      FROM s)
+    SELECT doc_id,
+           array_to_string(list_transform(kept, e -> e[1]), ' ') AS clean_text,
+           CAST(len(segs) AS BIGINT) AS n_segments,
+           CAST(len(segs) - len(kept) AS BIGINT) AS n_removed
+    FROM k
+    ORDER BY doc_id
+    """,
+)
+
+
 # re-apply the gate-window ordering now that round-5 queries are
 # registered (tolerant on every import path, same as queries_r3/r4 —
 # whichever module finishes last sees the full catalog).

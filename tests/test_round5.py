@@ -284,3 +284,63 @@ def test_rare_bigram_ratio_scores_novelty(spark):
     assert out[4]["rare_ratio"] == 1.0
     assert out[2]["n_bigrams"] == 2 and out[2]["n_rare"] == 1
     assert out[1]["n_rare"] == 0  # both its bigrams repeat in doc 3
+
+
+def test_dedup_doc_segments_keeps_first_preserves_order(spark):
+    from hbase_taggregator_spark import plans as P
+    from hbase_taggregator_spark.operators.text import dedup_doc_segments
+
+    df = spark.createDataFrame(
+        [(1, "intro\nbody\nintro\noutro\nbody"), (2, "only\nunique\nlines")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_doc_segments(df).collect()}
+    assert out[1]["clean_text"] == "intro\nbody\noutro"
+    assert out[1]["n_segments"] == 5 and out[1]["n_removed"] == 2
+    assert out[2]["n_removed"] == 0
+    # the 100 TB claim: pure projection, ZERO shuffle
+    assert P.count_nodes(dedup_doc_segments(df), "Exchange") == 0
+
+
+def test_streaming_incremental_admission(spark, tmp_path):
+    """incremental_dedup composes into the streaming ingest loop: each
+    micro-batch of arriving documents is admitted against the static
+    deduped corpus inside foreachBatch — the production shape (stream =
+    today's crawl, static side = the persisted corpus band table). The
+    drained admissions must equal the batch operator's verdict on the
+    same rows."""
+    import json
+
+    from hbase_taggregator_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    new_rows = [
+        (10, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup
+        (11, "one two three four five six seven eight"),       # novel
+        (12, "nine ten eleven twelve thirteen fourteen x y"),  # novel
+    ]
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    (src / "batch0.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in new_rows)
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    admitted: list[int] = []
+
+    def _admit(batch_df, batch_id):
+        admitted.extend(
+            r["doc_id"]
+            for r in incremental_dedup(corpus, batch_df, threshold=0.4).collect()
+        )
+
+    q = stream.writeStream.foreachBatch(_admit).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    assert sorted(admitted) == [11, 12]
