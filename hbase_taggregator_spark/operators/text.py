@@ -740,7 +740,14 @@ def rare_bigram_ratio(
         F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
-    bg = df.select(F.col(id_col), F.explode(grams).alias("bg"))
+    from hbase_taggregator_spark.util import ensure_parallelism
+
+    # spread the narrow (id, text) input BEFORE the explode (same reason
+    # as repetition_features: each doc ships once, and the 100-300× bigram
+    # fan-out evaluates across all cores instead of the scan's partitions)
+    bg = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(grams).alias("bg")
+    )
     freq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("__f"))
     return (
         bg.join(freq, "bg")
@@ -790,7 +797,9 @@ def remove_boilerplate(
 
     Output: (id_col, clean_text, n_segments, n_removed).
     """
-    segs = df.select(
+    from hbase_taggregator_spark.util import ensure_parallelism
+
+    segs = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), F.lit(delimiter), -1)).alias(
             "pos", "seg"
@@ -841,16 +850,22 @@ def dedup_doc_segments(
     both within and across pages; :func:`remove_boilerplate` is the
     across-pages half).
 
-    ZERO shuffle — the whole operator is one projection over the document
-    scan built from array higher-order functions: split → zip with
-    positions → keep elements whose ``array_position`` (first index)
+    ZERO shuffle at scale — the operator is one projection over the
+    document scan built from array higher-order functions: split → zip
+    with positions → keep elements whose ``array_position`` (first index)
     equals their own → reassemble. At 100 TB this runs at scan speed and
     composes map-side with any downstream filter. Quadratic only in
     segments-per-document (array_position is a linear scan per element),
-    which is bounded by page size, not corpus size.
+    which is bounded by page size, not corpus size. The one exception to
+    shuffle-freedom: a SMALL scan (fewer file splits than cores) is
+    spread first via ``ensure_parallelism`` — without it the whole
+    corpus's quadratic work serializes on one core (observed 13× at
+    sf0.1); a real table has thousands of splits and is untouched.
 
     Output: (id_col, clean_text, n_segments, n_removed).
     """
+    from hbase_taggregator_spark.util import ensure_parallelism
+
     arr = F.split(F.col(text_col), F.lit(delimiter), -1)
     kept = F.filter(
         F.zip_with(
@@ -860,6 +875,11 @@ def dedup_doc_segments(
         ),
         lambda e: F.array_position(arr, e["s"]) == e["i"],
     )
+    # spread a one-partition scan first: the per-doc cost is quadratic in
+    # segment count, and on a small file the whole corpus would otherwise
+    # evaluate on a single core (the projection itself stays shuffle-free
+    # on any input that is already parallel)
+    df = ensure_parallelism(df.select(id_col, text_col))
     return df.select(
         F.col(id_col),
         F.array_join(
