@@ -101,16 +101,21 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s"),
     )
-    # Kirsch-Mitzenmacher double hashing: two md5-derived bases per shingle,
-    # h_i = (lo + i*hi) mod 2^60 — k-independent hashing cost (2 md5s, not
-    # k), with every term < 2^63 so the arithmetic is portable (no silent
-    # wraparound in Spark, no overflow error in DuckDB)
+    # Kirsch-Mitzenmacher double hashing, h_i = (lo + i*hi) mod 2^60 —
+    # k-independent hashing cost — from ONE md5 per shingle: lo is the
+    # digest's first 15 hex digits (60 bits), hi the next 15 (÷4 →
+    # 58 bits, keeping lo + 15·hi < 2^63 so the arithmetic is portable:
+    # no silent wraparound in Spark, no overflow error in DuckDB). The
+    # two halves of one digest are as independent as two salted digests
+    # for K-M purposes, at half the hashing cost — md5 dominates the
+    # signature stage's runtime (~300 shingles × corpus rows).
     based = sh.select(
         id_col,
-        _hash60(F.concat(F.lit("lo#"), F.col("s"))).alias("lo"),
-        F.expr(
-            "CAST(conv(substring(md5(concat('hi#', s)), 1, 15), 16, 10) AS BIGINT) div 4"
-        ).alias("hi"),
+        F.md5(F.concat(F.lit("mh#"), F.col("s"))).alias("__m"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.col("__m"), 1, 15), 16, 10).cast("long").alias("lo"),
+        F.expr("CAST(conv(substring(__m, 16, 15), 16, 10) AS BIGINT) div 4").alias("hi"),
     )
     hashed = based.select(
         id_col,
@@ -332,12 +337,16 @@ def simhash_table(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s"),
     )
+    # one md5 per shingle; the two 32-bit hash words are the digest's
+    # first and second 8-hex-digit halves (same cost halving as
+    # minhash_signatures)
     hashed = sh.select(
         id_col,
-        F.conv(F.substring(F.md5(F.concat(F.lit("s0#"), F.col("s"))), 1, 8), 16, 10)
-        .cast("long").alias("h0"),
-        F.conv(F.substring(F.md5(F.concat(F.lit("s1#"), F.col("s"))), 1, 8), 16, 10)
-        .cast("long").alias("h1"),
+        F.md5(F.concat(F.lit("sh#"), F.col("s"))).alias("__m"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.col("__m"), 1, 8), 16, 10).cast("long").alias("h0"),
+        F.conv(F.substring(F.col("__m"), 9, 8), 16, 10).cast("long").alias("h1"),
     )
 
     def vote(h: str, bit: int) -> Column:

@@ -52,8 +52,8 @@ def _simhash_sql() -> str:
     WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
     sh AS (SELECT doc_id, unnest({shingles2}) AS s FROM t),
     h AS (SELECT doc_id,
-                 CAST(concat('0x', substr(md5(concat('s0#', s)), 1, 8)) AS BIGINT) AS h0,
-                 CAST(concat('0x', substr(md5(concat('s1#', s)), 1, 8)) AS BIGINT) AS h1
+                 CAST(concat('0x', substr(md5(concat('sh#', s)), 1, 8)) AS BIGINT) AS h0,
+                 CAST(concat('0x', substr(md5(concat('sh#', s)), 9, 8)) AS BIGINT) AS h1
           FROM sh),
     votes AS (
       SELECT doc_id, b.bit,
@@ -84,8 +84,8 @@ def _minhash_band_ctes(k: int = 16, bands: int = 4) -> str:
     comma-joined band keys — the algebra of
     operators/dedup.py::minhash_signatures + _band_rows."""
     rows = k // bands
-    lo = "CAST(concat('0x', substr(md5(concat('lo#', s)), 1, 15)) AS BIGINT)"
-    hi = "CAST(concat('0x', substr(md5(concat('hi#', s)), 1, 15)) AS BIGINT) // 4"
+    lo = "CAST(concat('0x', substr(md5(concat('mh#', s)), 1, 15)) AS BIGINT)"
+    hi = "CAST(concat('0x', substr(md5(concat('mh#', s)), 16, 15)) AS BIGINT) // 4"
     mins = ", ".join(
         f"list_min(list_transform(shingles, s -> ({lo} + {i} * ({hi})) % {1 << 60}))"
         f" AS m{i}"

@@ -162,8 +162,8 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql(k: int = 16, bands: int = 4, max_bucket: int = 1000) -> str:
     rows = k // bands
-    lo = "CAST(concat('0x', substr(md5(concat('lo#', s)), 1, 15)) AS BIGINT)"
-    hi = "CAST(concat('0x', substr(md5(concat('hi#', s)), 1, 15)) AS BIGINT) // 4"
+    lo = "CAST(concat('0x', substr(md5(concat('mh#', s)), 1, 15)) AS BIGINT)"
+    hi = "CAST(concat('0x', substr(md5(concat('mh#', s)), 16, 15)) AS BIGINT) // 4"
     mins = ", ".join(
         f"list_min(list_transform(shingles, s -> ({lo} + {i} * ({hi})) % {1 << 60}))"
         f" AS m{i}"
@@ -1307,8 +1307,8 @@ def _funnel_sql(
     k: int = 16, bands: int = 4, threshold: float = 0.4, max_bucket: int = 1000
 ) -> str:
     rows = k // bands
-    lo = "CAST(concat('0x', substr(md5(concat('lo#', s)), 1, 15)) AS BIGINT)"
-    hi = "CAST(concat('0x', substr(md5(concat('hi#', s)), 1, 15)) AS BIGINT) // 4"
+    lo = "CAST(concat('0x', substr(md5(concat('mh#', s)), 1, 15)) AS BIGINT)"
+    hi = "CAST(concat('0x', substr(md5(concat('mh#', s)), 16, 15)) AS BIGINT) // 4"
     mins = ", ".join(
         f"list_min(list_transform(shingles, s -> ({lo} + {i} * ({hi})) % {1 << 60}))"
         f" AS m{i}"
@@ -4376,6 +4376,9 @@ _GATE_WINDOW = [
     # re-gate the two LSH queries built on it
     "dedup_minhash_lsh_candidates",
     "dedup_funnel_survivors",
+    # single-md5 hash derivation changed the SimHash signature values too
+    "dedup_simhash_signatures",
+    "dedup_simhash_pairs",
     # the final never-driver-gated remainder of the catalog (judge-green
     # in the r4 re-run; this rotation completes full-catalog driver
     # conversion)
@@ -4397,7 +4400,6 @@ _GATE_WINDOW = [
     "window_rank_functions_showcase",
     # rotation fill: r1/r2-gated representatives across every family
     "ts_max_900",
-    "ts_avg_900",
     "ts_rowkey_mode_3600",
     "ts_max_28800_compat",
     "decoder_registry_long_be",
@@ -4417,7 +4419,6 @@ _GATE_WINDOW = [
     "text_bpe_token_count",
     "corpus_stratified_mix",
     "corpus_negative_pairs",
-    "ts_ewma_smoothed_3600",
     "ts_rolling_zscore_outliers",
     "multimodal_binary_features",
 ]
