@@ -194,8 +194,8 @@ SF1_SUBSET = [
     "asof_purchase_to_click",
     "dedup_exact",
     "dedup_minhash_lsh_candidates",
-    # NOTE on the funnel's sf1 ratio: the sf1 fixture is ~838× denser in
-    # LSH candidate pairs than sf0.1 (251 451 vs 300 pairs from 10× the
+    # NOTE on the funnel's sf1 ratio: the sf1 fixture is ~800× denser in
+    # LSH candidate pairs than sf0.1 (~251k vs ~300 pairs from 10× the
     # docs), so wall-clock scales with OUTPUT pair count, not corpus size;
     # the r4 array_intersect verify keeps per-pair cost flat (the exploded
     # formulation it replaced was pairs × shingles-per-doc).
@@ -214,6 +214,9 @@ SF1_SUBSET = [
     # driven like the funnel) and the boilerplate broadcast-filter pass
     "dedup_incremental_admitted",
     "corpus_clean_boilerplate",
+    # adaptive-nlist SemDeDup: isqrt(N) centroids keep total work
+    # O(N^1.5 d) — measured 1.9x wall for 10x data (5.1s -> 9.5s)
+    "semdedup_survivors",
 ]
 
 

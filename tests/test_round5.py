@@ -344,3 +344,58 @@ def test_streaming_incremental_admission(spark, tmp_path):
     ).start()
     q.awaitTermination(120)
     assert sorted(admitted) == [11, 12]
+
+
+# --- algebraic properties of the round-5 operators -------------------------
+
+
+def test_incremental_dedup_partitions_the_batch(spark):
+    """Admitted ∪ rejected = the new batch, and admitted against an EMPTY
+    corpus is the whole batch (no corpus, no rejection)."""
+    from hbase_taggregator_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    admitted = {r["doc_id"] for r in incremental_dedup(corpus, new, threshold=0.4).collect()}
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert admitted <= new_ids
+    empty = corpus.filter(F.lit(False))
+    all_in = {r["doc_id"] for r in incremental_dedup(empty, new, threshold=0.4).collect()}
+    assert all_in == new_ids
+
+
+def test_source_mixing_budget_and_caps(spark):
+    """Targets never exceed source sizes, and their sum never exceeds the
+    budget by more than the per-source floor loss."""
+    from hbase_taggregator_spark.operators.text import source_mixing
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = source_mixing(docs, budget=200, group_col="lang").collect()
+    assert all(r["target_n"] <= r["n_docs"] for r in rows)
+    assert sum(r["target_n"] for r in rows) <= 200
+
+
+def test_dedup_doc_segments_is_idempotent(spark):
+    """A deduped document has no repeats left: applying the operator to
+    its own output changes nothing."""
+    from hbase_taggregator_spark.operators.text import dedup_doc_segments
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    once = dedup_doc_segments(docs, delimiter=" ").select(
+        F.col("doc_id"), F.col("clean_text").alias("text")
+    )
+    twice = dedup_doc_segments(once, delimiter=" ")
+    assert twice.filter(F.col("n_removed") != 0).count() == 0
+
+
+def test_remove_boilerplate_threshold_above_corpus_is_noop(spark):
+    from hbase_taggregator_spark.operators.text import remove_boilerplate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    out = remove_boilerplate(docs, min_docs=n + 1, delimiter=" ")
+    assert out.filter(F.col("n_removed") != 0).count() == 0
+    # and reassembly round-trips the original text
+    joined = out.join(docs, "doc_id")
+    assert joined.filter(F.col("clean_text") != F.col("text")).count() == 0
