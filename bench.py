@@ -165,6 +165,8 @@ HEADLINE = [
     # rare-bigram LM-proxy scoring, boilerplate segment removal
     "dedup_incremental_admitted",
     "corpus_dedup_doc_segments",
+    "graph_pagerank_suppliers",
+    "sink_orc_roundtrip",
     "corpus_source_mixing",
     "text_rare_bigram_ratio",
     "corpus_clean_boilerplate",

@@ -4354,7 +4354,7 @@ _register(
 # the 4 new queries, every consumer of code whose algebra or implementation
 # changed this round (adaptive-nlist semdedup, two-phase ivf_assign, the
 # _band_rows refactor), the 16 never-driver-gated leftovers (completing
-# full-catalog driver conversion — union of r1-r5 windows = all 170), and a
+# full-catalog driver conversion — union of r1-r5 windows = all 172), and a
 # cross-family fill of r1/r2-gated representatives. Every query pushed out
 # is green in CORRECTNESS_r01-r04, the judge's r4 re-run (VERDICT r4: 16/16
 # on the remainder), or tools/oracle_full_r5.log.
@@ -4363,6 +4363,8 @@ _GATE_WINDOW = [
     # new this round (r5) — first driver rows
     "dedup_incremental_admitted",
     "corpus_dedup_doc_segments",
+    "graph_pagerank_suppliers",
+    "sink_orc_roundtrip",
     "corpus_source_mixing",
     "text_rare_bigram_ratio",
     "corpus_clean_boilerplate",
@@ -4405,11 +4407,9 @@ _GATE_WINDOW = [
     "decoder_registry_long_be",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_forecast_revenue",
     "q9_profit_by_nation_year",
     "q18_large_orders",
     "q21_waiting_suppliers",
-    "similarity_cosine_topk",
     "similarity_pq_recall_at_5",
     "dedup_exact",
     "dedup_ngram_jaccard_pairs",

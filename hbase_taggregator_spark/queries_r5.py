@@ -230,6 +230,115 @@ _register(
 )
 
 
+
+
+# ---------------------------------------------------------------------------
+# link-graph PageRank quality signal (operators/graph.py::pagerank)
+# ---------------------------------------------------------------------------
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier → customer fulfillment graph (distinct
+    edges from lineitem ⋈ orders; customer nodes offset by 1e6 so the two
+    integer key spaces cannot collide) — the relational power method the
+    URL-graph quality priors of web-corpus curation use, run for 3 fixed
+    steps."""
+    from hbase_taggregator_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1_000_000) + F.col("o_custkey")).alias("dst"),
+    )
+    return pagerank(edges, n_iter=3, damping=0.85).orderBy("node")
+
+
+def _pagerank_sql(n_iter: int = 3, damping: float = 0.85) -> str:
+    # embed the EXACT IEEE constants the Spark side computes in Python so
+    # both engines run the identical arithmetic (1 - 0.85 is NOT 0.15 in
+    # binary floating point)
+    d = repr(damping)
+    base = repr(1.0 - damping)
+    ctes = [
+        """e AS (SELECT DISTINCT l_suppkey AS src, 1000000 + o_custkey AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+           FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""r{i} AS (
+      SELECT nodes.node,
+             {base} / (SELECT n FROM nn)
+             + {d} * COALESCE(c.s, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(r.rank / od.od AS DECIMAL(38,18))) AS DOUBLE) AS s
+        FROM e JOIN r{i - 1} r ON r.node = e.src
+               JOIN od ON od.src = e.src
+        GROUP BY e.dst) c ON c.node = nodes.node)""")
+    return (
+        "\n    WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, rank FROM r{n_iter} ORDER BY node\n    "
+    )
+
+
+_register("graph_pagerank_suppliers", _q_pagerank, _pagerank_sql())
+
+
+
+
+# ---------------------------------------------------------------------------
+# ORC sink/source round-trip (sources/sinks.py::write_orc)
+# ---------------------------------------------------------------------------
+
+
+def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-sink gate for ORC (same checksum discipline as the
+    CSV/JSON round-trip): write the corpus to ORC, read it back, and
+    aggregate per language with an md5-derived content checksum — any
+    codec corruption breaks the hash against the parquet-sourced
+    oracle."""
+    import tempfile
+
+    from hbase_taggregator_spark.operators.dedup import _hash60
+    from hbase_taggregator_spark.sources.sinks import write_orc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    ck = _hash60(F.concat(F.lit("ck#"), F.col("text"))) % 1_000_003
+    with tempfile.TemporaryDirectory() as d:
+        write_orc(docs, f"{d}/orc")
+        back = spark.read.schema(docs.schema).orc(f"{d}/orc")
+        out = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(ck).alias("text_checksum"),
+        )
+        res = spark.createDataFrame(out.collect(), out.schema)
+    return res.orderBy("lang")
+
+
+_register(
+    "sink_orc_roundtrip",
+    _q_orc_roundtrip,
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(concat('0x', substr(md5(concat('ck#', text)), 1, 15))
+                    AS BIGINT) % 1000003) AS BIGINT) AS text_checksum
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+
+
 # re-apply the gate-window ordering now that round-5 queries are
 # registered (tolerant on every import path, same as queries_r3/r4 —
 # whichever module finishes last sees the full catalog).

@@ -44,3 +44,9 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar ORC sink (native Spark codec — the other columnar
+    interchange format large warehouses standardize on)."""
+    df.write.mode(mode).orc(path)

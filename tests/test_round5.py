@@ -399,3 +399,43 @@ def test_remove_boilerplate_threshold_above_corpus_is_noop(spark):
     # and reassembly round-trips the original text
     joined = out.join(docs, "doc_id")
     assert joined.filter(F.col("clean_text") != F.col("text")).count() == 0
+
+
+# --- PageRank: hand-computed power iteration -------------------------------
+
+
+def test_pagerank_hand_computed_triangle(spark):
+    """3-node graph A→B, B→C, C→A (a cycle): uniform out-degree 1 means
+    every power step is rank-preserving, so ranks stay exactly 1/3 at
+    every iteration — any drift is an arithmetic bug. Then a chain A→B,
+    A→C, B→C: C collects from two paths, hand-checkable after one step."""
+    from hbase_taggregator_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(cycle, n_iter=4).collect()}
+    third = 1.0 / 3.0
+    for v in got.values():
+        assert abs(v - third) < 1e-12
+
+    chain = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(chain, n_iter=1, damping=0.85).collect()}
+    base = (1.0 - 0.85) / 3.0
+    assert abs(got[1] - base) < 1e-12                       # no in-edges
+    assert abs(got[2] - (base + 0.85 * (1 / 3 / 2))) < 1e-12  # from A (outdeg 2)
+    assert abs(got[3] - (base + 0.85 * (1 / 3 / 2 + 1 / 3))) < 1e-9  # A + B
+
+
+def test_pagerank_dedups_multi_edges(spark):
+    from hbase_taggregator_spark.operators.graph import pagerank
+
+    multi = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2), (2, 1)], "src long, dst long"
+    )
+    single = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    a = sorted((r["node"], r["rank"]) for r in pagerank(multi, n_iter=2).collect())
+    b = sorted((r["node"], r["rank"]) for r in pagerank(single, n_iter=2).collect())
+    assert a == b
