@@ -167,6 +167,10 @@ HEADLINE = [
     "corpus_dedup_doc_segments",
     "graph_pagerank_suppliers",
     "sink_orc_roundtrip",
+    "profile_skew_report",
+    # similarity_dup_clusters is gate-only for the same reason as
+    # dedup_duplicate_clusters: its driver-side fixpoint loop pays a
+    # per-job scheduling floor that would mis-read as operator throughput
     "corpus_source_mixing",
     "text_rare_bigram_ratio",
     "corpus_clean_boilerplate",

@@ -101,3 +101,55 @@ def parse_json_quarantine(
         & F.get_json_object(F.col(json_col), "$").isNull()
     )
     return df.withColumn(parsed_col, parsed).withColumn(flag_col, malformed)
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Hot-key skew report — the diagnostic every 100 TB shuffle decision
+    starts from: before keying a join/aggregate on ``key_cols``, measure
+    how concentrated the key distribution is. A top key holding 10% of a
+    100 TB table means one 10 TB shuffle partition — the straggler the
+    salted-join / AQE-skew machinery in this package exists for; this
+    operator is how you find out BEFORE the job hangs.
+
+    One partial/final count aggregate over the table, then top-k by count
+    (rank window over the tiny per-key frame) with the total riding along
+    as a broadcast 1-row frame. Output per top-k key:
+    (rank, key, n_rows, share, ratio_to_avg) — ``ratio_to_avg`` is the
+    skew factor (1.0 = perfectly uniform; the salting threshold). Shares
+    are exact rationals cast to double, deterministic ties by key string.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__nkeys"),
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "key",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__total").cast("double"))
+            .alias("share"),
+            (
+                F.col("n_rows").cast("double")
+                / (
+                    F.col("__total").cast("double")
+                    / F.col("__nkeys").cast("double")
+                )
+            ).alias("ratio_to_avg"),
+        )
+        .orderBy("rank")
+    )

@@ -4354,7 +4354,7 @@ _register(
 # the 4 new queries, every consumer of code whose algebra or implementation
 # changed this round (adaptive-nlist semdedup, two-phase ivf_assign, the
 # _band_rows refactor), the 16 never-driver-gated leftovers (completing
-# full-catalog driver conversion — union of r1-r5 windows = all 172), and a
+# full-catalog driver conversion — union of r1-r5 windows = all 174), and a
 # cross-family fill of r1/r2-gated representatives. Every query pushed out
 # is green in CORRECTNESS_r01-r04, the judge's r4 re-run (VERDICT r4: 16/16
 # on the remainder), or tools/oracle_full_r5.log.
@@ -4365,6 +4365,8 @@ _GATE_WINDOW = [
     "corpus_dedup_doc_segments",
     "graph_pagerank_suppliers",
     "sink_orc_roundtrip",
+    "profile_skew_report",
+    "similarity_dup_clusters",
     "corpus_source_mixing",
     "text_rare_bigram_ratio",
     "corpus_clean_boilerplate",
@@ -4406,12 +4408,10 @@ _GATE_WINDOW = [
     "ts_max_28800_compat",
     "decoder_registry_long_be",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q9_profit_by_nation_year",
     "q18_large_orders",
     "q21_waiting_suppliers",
     "similarity_pq_recall_at_5",
-    "dedup_exact",
     "dedup_ngram_jaccard_pairs",
     "dedup_duplicate_clusters",
     "text_quality_features",

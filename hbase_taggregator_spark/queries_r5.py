@@ -339,6 +339,95 @@ _register(
 )
 
 
+
+
+# ---------------------------------------------------------------------------
+# hot-key skew report (operators/profile.py::skew_report)
+# ---------------------------------------------------------------------------
+
+
+def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hottest (event_type, user_id % 100) composite keys in the
+    events table — the pre-shuffle diagnostic for salting decisions."""
+    from hbase_taggregator_spark.operators.profile import skew_report
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_mod", F.col("user_id") % 100
+    )
+    return skew_report(ev, ["event_type", "user_mod"], k=10)
+
+
+_register(
+    "profile_skew_report",
+    _q_skew_report,
+    """
+    WITH counts AS (
+      SELECT concat_ws('|', event_type, CAST(user_id % 100 AS VARCHAR)) AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS total,
+                   CAST(COUNT(*) AS DOUBLE) AS nkeys FROM counts),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC) AS rank
+      FROM counts)
+    SELECT CAST(rank AS INTEGER) AS rank, key, n_rows,
+           CAST(n_rows AS DOUBLE) / total AS share,
+           CAST(n_rows AS DOUBLE) / (total / nkeys) AS ratio_to_avg
+    FROM ranked, tot
+    WHERE rank <= 10
+    ORDER BY rank
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# embedding duplicate clusters (lsh_neardup_pairs ∘ duplicate_components)
+# ---------------------------------------------------------------------------
+
+# Safe top-level import from the ring: _lsh_neardup_sql is defined ~3000
+# lines BEFORE queries_ext's end-of-module import of this module, so the
+# name is bound on every entry path (unlike the r4 regression, where the
+# imported name was defined AFTER the ring's import point).
+from hbase_taggregator_spark.queries_ext import _lsh_neardup_sql  # noqa: E402
+
+
+def _q_emb_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate CLUSTERS: sign-LSH bucketed cosine pairs
+    at 0.42 collapsed by min-label connected components — 'A~B, B~C' is
+    one keep-decision for {A,B,C}, the same composition the text funnel
+    uses, over the vector modality."""
+    from hbase_taggregator_spark.operators.dedup import duplicate_components
+    from hbase_taggregator_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(emb, threshold=0.42)
+    return duplicate_components(pairs).select(
+        F.col("node_id").alias("vec_id"), "component_id", "component_size"
+    ).orderBy("vec_id")
+
+
+_register(
+    "similarity_dup_clusters",
+    _q_emb_clusters,
+    f"""
+    WITH RECURSIVE pairs0 AS ({_lsh_neardup_sql()}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs0
+              UNION SELECT id_b, id_a FROM pairs0),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl),
+    comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id),
+    csize AS (SELECT component_id, CAST(COUNT(*) AS BIGINT)
+                AS component_size FROM comp GROUP BY 1)
+    SELECT id AS vec_id, component_id, component_size
+    FROM comp JOIN csize USING (component_id)
+    ORDER BY vec_id
+    """,
+)
+
+
 # re-apply the gate-window ordering now that round-5 queries are
 # registered (tolerant on every import path, same as queries_r3/r4 —
 # whichever module finishes last sees the full catalog).

@@ -439,3 +439,41 @@ def test_pagerank_dedups_multi_edges(spark):
     a = sorted((r["node"], r["rank"]) for r in pagerank(multi, n_iter=2).collect())
     b = sorted((r["node"], r["rank"]) for r in pagerank(single, n_iter=2).collect())
     assert a == b
+
+
+def test_skew_report_hand_computed(spark):
+    from hbase_taggregator_spark.operators.profile import skew_report
+
+    df = spark.createDataFrame(
+        [(i, "hot") for i in range(8)] + [(100, "a"), (101, "b")],
+        "id long, k string",
+    )
+    rows = skew_report(df, ["k"], k=2).collect()
+    assert [r["key"] for r in rows] == ["hot", "a"]  # tie a<b by key
+    top = rows[0]
+    assert top["rank"] == 1 and top["n_rows"] == 8
+    assert abs(top["share"] - 0.8) < 1e-12
+    assert abs(top["ratio_to_avg"] - 8 / (10 / 3)) < 1e-12
+
+
+def test_embedding_dup_clusters_transitive(spark):
+    """A~B and B~C near-dups (LSH same bucket, cosine over threshold)
+    collapse into ONE component with min-id labeling."""
+    from hbase_taggregator_spark.operators.dedup import duplicate_components
+    from hbase_taggregator_spark.operators.similarity import lsh_neardup_pairs
+
+    base = [1.0, 0.5, 0.25, 0.125]
+    emb = spark.createDataFrame(
+        [
+            (1, base),
+            (2, [x * 2 for x in base]),       # cosine 1.0 with 1
+            (3, [x * 0.5 for x in base]),     # cosine 1.0 with 1 and 2
+            (4, [-1.0, 0.9, -0.8, 0.7]),      # unrelated direction
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = lsh_neardup_pairs(emb, threshold=0.9, dim=4)
+    comp = {r["node_id"]: (r["component_id"], r["component_size"])
+            for r in duplicate_components(pairs).collect()}
+    assert comp[1] == (1, 3) and comp[2] == (1, 3) and comp[3] == (1, 3)
+    assert 4 not in comp  # singleton never enters the graph
