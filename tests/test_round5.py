@@ -1,7 +1,11 @@
-"""Round-5 fixes: circular-import-proof oracle fragments, adaptive
+"""Round-5 tests: circular-import-proof oracle fragments, adaptive
 semdedup nlist, ivf_assign two-phase (double-prune / exact-fallback)
 argmax, simhash_pairs max_bucket recall contract, Jackson-lenient JSON
-quarantine contract."""
+quarantine contract, and the round-5 operators — incremental admission
+dedup (batch + streaming foreachBatch composition), temperature source
+mixing, boilerplate removal, intra-document segment dedup, PageRank,
+hot-key skew report, embedding duplicate clusters — with hand-computed
+fixtures and algebraic properties."""
 
 from __future__ import annotations
 
