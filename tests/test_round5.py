@@ -481,3 +481,55 @@ def test_embedding_dup_clusters_transitive(spark):
             for r in duplicate_components(pairs).collect()}
     assert comp[1] == (1, 3) and comp[2] == (1, 3) and comp[3] == (1, 3)
     assert 4 not in comp  # singleton never enters the graph
+
+
+# --- edge cases: empty inputs, nulls, self-loops ---------------------------
+
+
+def test_incremental_dedup_empty_batch(spark):
+    from hbase_taggregator_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    empty = corpus.filter(F.lit(False))
+    assert incremental_dedup(corpus, empty).count() == 0
+
+
+def test_skew_report_null_keys_counted(spark):
+    """NULL key values must not vanish from the census — concat_ws folds
+    them to the empty string, which ranks like any other key."""
+    from hbase_taggregator_spark.operators.profile import skew_report
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "id long, k string"
+    )
+    rows = {r["key"]: r["n_rows"] for r in skew_report(df, ["k"], k=5).collect()}
+    assert rows == {"": 2, "x": 1}
+
+
+def test_doc_segment_ops_on_empty_text(spark):
+    """Empty text splits to one empty segment in both operators — a row
+    is never silently dropped."""
+    from hbase_taggregator_spark.operators.text import (
+        dedup_doc_segments,
+        remove_boilerplate,
+    )
+
+    df = spark.createDataFrame([(1, ""), (2, "a b")], "doc_id long, text string")
+    d = {r["doc_id"]: r for r in dedup_doc_segments(df, delimiter=" ").collect()}
+    assert d[1]["clean_text"] == "" and d[1]["n_segments"] == 1
+    b = {r["doc_id"]: r for r in remove_boilerplate(df, min_docs=99, delimiter=" ").collect()}
+    assert set(b) == {1, 2} and b[1]["n_removed"] == 0
+
+
+def test_pagerank_self_loop(spark):
+    """A self-loop keeps its mass: node 1 with only (1,1) retains rank
+    (1-d)/N + d*rank each step — hand-checkable against the operator."""
+    from hbase_taggregator_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 1), (2, 1)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=1).collect()}
+    base = 0.15 / 2
+    assert abs(got[1] - (base + 0.85 * (0.5 + 0.5))) < 1e-12  # self + from 2
+    assert abs(got[2] - base) < 1e-12
