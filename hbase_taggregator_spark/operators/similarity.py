@@ -906,7 +906,7 @@ def semdedup(
     # exactly once — the standard persisted-stage shape of a SemDeDup
     # pipeline (cluster once, then dedup within cells).
     assigned = ivf_assign(
-        corpus, centroids, vec_col, id_col, n_probe=1
+        ensure_parallelism(corpus), centroids, vec_col, id_col, n_probe=1
     ).localCheckpoint(eager=False)
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
