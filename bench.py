@@ -204,7 +204,11 @@ SF1_SUBSET = [
     # LSH candidate pairs than sf0.1 (~251k vs ~300 pairs from 10× the
     # docs), so wall-clock scales with OUTPUT pair count, not corpus size;
     # the r4 array_intersect verify keeps per-pair cost flat (the exploded
-    # formulation it replaced was pairs × shingles-per-doc).
+    # formulation it replaced was pairs × shingles-per-doc). r5 stage
+    # breakdown at sf1 (10.3s total): signatures 6.9s (the engine-portable
+    # md5 contract — already halved to one digest/shingle in r5; a
+    # Spark-private xxhash64 would cut it further but break the DuckDB
+    # oracle), banding+self-join 1.8s, verify+anti-join 1.6s.
     "dedup_funnel_survivors",
     "text_repetition_features",
     "similarity_lsh_neardup_pairs",
