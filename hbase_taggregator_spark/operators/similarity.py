@@ -407,7 +407,9 @@ def kmeans_refine(
     Returns a (cent_id, cvec) DataFrame suitable for
     :func:`ivf_topk`'s ``centroids`` parameter."""
     for _ in range(n_iter):
-        assigned = ivf_assign(corpus, centroids, vec_col, id_col, n_probe=1)
+        assigned = ivf_assign(
+            ensure_parallelism(corpus), centroids, vec_col, id_col, n_probe=1
+        )
         comp = (
             assigned.select(
                 "cent_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
