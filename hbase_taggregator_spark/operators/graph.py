@@ -7,7 +7,10 @@ host graph. The operator here is the fixed-iteration power method,
 expressed relationally the way the other iterative algorithms in this
 package are (k-means refinement, connected components): a driver-side
 Python loop that DEEPENS one declarative plan per iteration, never
-collecting intermediate state.
+collecting intermediate state. The loop-invariant inputs (distinct
+edges, node list, out-degrees) are pinned with an eager localCheckpoint
+before the first step so every iteration reuses them structurally
+instead of hoping the planner's exchange-reuse fires.
 
 100 TB shape per iteration: one shuffle keyed on the edge source (attach
 ranks to edges), one shuffle keyed on the destination (sum contributions)
@@ -49,20 +52,39 @@ def pagerank(
     pass a pre-aggregated or distinct edge list (the operator distincts
     defensively so the contract holds regardless).
 
+    Node ids keep their INPUT type (string URLs, longs, binary keys all
+    work): the operator never casts the key columns, it only requires
+    src/dst to share one type (mismatched types raise at analysis via the
+    union). The earlier long-cast contract silently nulled string ids —
+    collapsing every URL into one null node — and is gone.
+
+    Physical pinning: the distinct edge list and the out-degree table are
+    materialized ONCE (eager ``localCheckpoint``) before the loop —
+    without it every unrolled iteration re-derives both, and whether the
+    planner reuses those exchanges is its choice, not a guarantee (at 3
+    iterations the audited plan carried ~70 exchanges). Checkpointing
+    makes reuse structural: each iteration reads the pinned RDDs. The
+    trade-off (shared with ``duplicate_components``): local checkpoints
+    are unreplicated, so on a multi-executor cluster a lost executor
+    fails the job instead of recomputing — acceptable for a short
+    fixed-iteration job; use a reliable ``checkpoint()`` dir for
+    long-running production runs.
+
     Returns (node, rank) — rank as double, deterministic.
     """
     e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).distinct()
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+    ).distinct().localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     # node count rides along as a broadcast 1-row frame — no driver collect
     n_frame = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od")).localCheckpoint()
     ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
         "node", (F.lit(1.0) / F.col("__n").cast("double")).alias("rank")
     )

@@ -115,16 +115,35 @@ def skew_report(
     salted-join / AQE-skew machinery in this package exists for; this
     operator is how you find out BEFORE the job hangs.
 
-    One partial/final count aggregate over the table, then top-k by count
-    (rank window over the tiny per-key frame) with the total riding along
-    as a broadcast 1-row frame. Output per top-k key:
+    One partial/final count aggregate over the table, then a DISTRIBUTED
+    top-k by count (``orderBy(...).limit(k)`` → TakeOrderedAndProject:
+    per-partition heaps merged on the driver, never a single-partition
+    global sort — with near-unique keys, exactly the population this
+    diagnostic targets, the per-key count frame is table-sized and a bare
+    rank window over it would make the diagnostic its own straggler); the
+    rank window then runs over the ≤ k surviving rows only, with the
+    total riding along as a broadcast 1-row frame. Output per top-k key:
     (rank, key, n_rows, share, ratio_to_avg) — ``ratio_to_avg`` is the
     skew factor (1.0 = perfectly uniform; the salting threshold). Shares
     are exact rationals cast to double, deterministic ties by key string.
+
+    Composite-key encoding is injective: components are joined with
+    ``|`` after escaping (``\\`` → ``\\\\``, ``|`` → ``\\|``) and NULL
+    encodes as the unescaped sentinel ``\\N`` (unforgeable — an escaped
+    component can never be the 2-char string ``\\N``), so ('a', NULL)
+    never collides with ('a',) and values containing the separator never
+    merge across columns.
     """
     from pyspark.sql.window import Window
 
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    def enc(c: str):
+        s = F.col(c).cast("string")
+        esc = F.replace(
+            F.replace(s, F.lit("\\"), F.lit("\\\\")), F.lit("|"), F.lit("\\|")
+        )
+        return F.when(s.isNull(), F.lit("\\N")).otherwise(esc)
+
+    key = F.concat_ws("|", *[enc(c) for c in key_cols])
     counts = df.select(key.alias("key")).groupBy("key").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
@@ -132,10 +151,10 @@ def skew_report(
         F.sum("n_rows").alias("__total"),
         F.count(F.lit(1)).alias("__nkeys"),
     )
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(k)
     w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .crossJoin(F.broadcast(totals))
         .select(
             "rank",

@@ -904,12 +904,17 @@ def semdedup(
     # The assignment feeds THREE plan branches (both sides of the in-cell
     # self-join plus the survivor anti-join); without materialization Spark
     # re-evaluates the nearest-centroid projection once per branch.
-    # localCheckpoint pins it to executor storage so the corpus is assigned
-    # exactly once — the standard persisted-stage shape of a SemDeDup
-    # pipeline (cluster once, then dedup within cells).
+    # persist(MEMORY_AND_DISK) caches it so the corpus is assigned exactly
+    # once — and, unlike the earlier lazy localCheckpoint, keeps lineage:
+    # on a multi-executor cluster a lost executor RECOMPUTES the missing
+    # partitions instead of failing the job (an unreplicated local
+    # checkpoint is unrecoverable), and there is no first-action recompute
+    # hazard over the round-robin ensure_parallelism split.
+    from pyspark.storagelevel import StorageLevel
+
     assigned = ivf_assign(
         ensure_parallelism(corpus), centroids, vec_col, id_col, n_probe=1
-    ).localCheckpoint(eager=False)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         F.col("nrm").alias("__na"), "cent_id",

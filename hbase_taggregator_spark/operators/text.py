@@ -668,6 +668,18 @@ def source_mixing(
     :func:`deterministic_sample` (k = target_n per source) to realize the
     draw.
 
+    Budget discipline: per-source floors alone undershoot the budget by
+    up to |sources| - 1 rows, so a largest-remainder pass redistributes
+    the rounding residual — uncapped sources ranked by fractional
+    remainder (ties by group name) each take +1 until the residual is
+    spent. Mass lost to CAPPED sources (target pinned at n_docs) is
+    deliberately NOT reallocated: pushing it onto the uncapped sources
+    would re-weight them away from the requested temperature curve. When
+    caps bite, ``sum(target_n) < budget`` by exactly the capped shortfall
+    — visible in the output as ``n_docs == target_n`` rows; callers who
+    want the full budget re-run on the uncapped remainder with the
+    reduced budget (one more |sources|-row pass).
+
     Engine-portable arithmetic discipline: the default alpha = 0.5 keeps
     every number exactly reproducible cross-engine — n^0.5 is ``sqrt``
     (IEEE-correctly-rounded in both engines, unlike ``pow``), weights are
@@ -686,23 +698,49 @@ def source_mixing(
         w = F.col("n_docs").cast("double")
     else:
         w = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    from pyspark.sql.window import Window
+
     weighted = counts.withColumn("weight", w.cast("decimal(28,12)"))
     total = weighted.agg(F.sum("weight").alias("__tw"))
+    raw = F.lit(float(budget)) * (
+        F.col("weight").cast("double") / F.col("__tw").cast("double")
+    )
+    alloc = weighted.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "n_docs",
+        F.col("weight").cast("double").alias("weight"),
+        F.least(F.col("n_docs"), F.floor(raw).cast("long")).alias("__t0"),
+        (raw - F.floor(raw)).alias("__frac"),
+        # can absorb +1 iff the floor target sits strictly below the cap
+        F.when(F.floor(raw).cast("long") < F.col("n_docs"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__unc"),
+    )
+    # largest-remainder pass over the |sources|-row frame: residual units
+    # (bounded by the uncapped-source count) go +1 each to the largest
+    # fractional remainders; the window and aggregates run on a frame of
+    # |sources| rows, never the corpus
+    tots = alloc.agg(
+        F.sum("__t0").alias("__st"), F.sum("__unc").alias("__nu")
+    )
+    rk = Window.orderBy(
+        F.desc("__unc"), F.desc("__frac"), F.asc(group_col)
+    )
+    units = F.least(
+        F.greatest(F.lit(budget) - F.col("__st"), F.lit(0)), F.col("__nu")
+    )
     return (
-        weighted.crossJoin(F.broadcast(total))
+        alloc.withColumn("__r", F.row_number().over(rk))
+        .crossJoin(F.broadcast(tots))
         .select(
             group_col,
             "n_docs",
-            F.col("weight").cast("double").alias("weight"),
-            F.least(
-                F.col("n_docs"),
-                F.floor(
-                    F.lit(float(budget))
-                    * (
-                        F.col("weight").cast("double")
-                        / F.col("__tw").cast("double")
-                    )
-                ).cast("long"),
+            "weight",
+            (
+                F.col("__t0")
+                + F.when(
+                    (F.col("__unc") == 1) & (F.col("__r") <= units), F.lit(1)
+                ).otherwise(F.lit(0))
             ).alias("target_n"),
         )
         .orderBy(group_col)

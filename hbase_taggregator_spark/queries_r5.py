@@ -95,14 +95,28 @@ _register(
       SELECT lang, n_docs,
              CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,12)) AS w
       FROM counts),
-    tot AS (SELECT SUM(w) AS tw FROM weighted)
-    SELECT lang, n_docs,
-           CAST(w AS DOUBLE) AS weight,
-           CAST(LEAST(
-             CAST(n_docs AS DOUBLE),
-             FLOOR(300.0 * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)))
-           ) AS BIGINT) AS target_n
-    FROM weighted, tot
+    tot AS (SELECT SUM(w) AS tw FROM weighted),
+    alloc AS (
+      SELECT lang, n_docs, CAST(w AS DOUBLE) AS weight,
+             300.0 * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)) AS raw
+      FROM weighted, tot),
+    a2 AS (
+      SELECT lang, n_docs, weight,
+             LEAST(n_docs, CAST(FLOOR(raw) AS BIGINT)) AS t0,
+             raw - FLOOR(raw) AS frac,
+             CASE WHEN CAST(FLOOR(raw) AS BIGINT) < n_docs
+                  THEN 1 ELSE 0 END AS unc
+      FROM alloc),
+    tots AS (SELECT SUM(t0) AS st, SUM(unc) AS nu FROM a2),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY unc DESC, frac DESC, lang ASC)
+               AS r
+      FROM a2)
+    SELECT lang, n_docs, weight,
+           CAST(t0 + CASE WHEN unc = 1
+                           AND r <= LEAST(GREATEST(300 - st, 0), nu)
+                          THEN 1 ELSE 0 END AS BIGINT) AS target_n
+    FROM rk, tots
     ORDER BY lang
     """,
 )
@@ -360,9 +374,16 @@ def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "profile_skew_report",
     _q_skew_report,
-    """
+    r"""
     WITH counts AS (
-      SELECT concat_ws('|', event_type, CAST(user_id % 100 AS VARCHAR)) AS key,
+      SELECT concat_ws('|',
+               CASE WHEN event_type IS NULL THEN '\N'
+                    ELSE replace(replace(event_type, '\', '\\'), '|', '\|')
+               END,
+               CASE WHEN user_id IS NULL THEN '\N'
+                    ELSE replace(replace(CAST(user_id % 100 AS VARCHAR),
+                                         '\', '\\'), '|', '\|')
+               END) AS key,
              CAST(COUNT(*) AS BIGINT) AS n_rows
       FROM events GROUP BY 1),
     tot AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS total,

@@ -239,8 +239,10 @@ def test_source_mixing_flattens_and_caps(spark):
     from hbase_taggregator_spark.operators.text import source_mixing
 
     rows = {r["source"]: r for r in source_mixing(df, budget=50).collect()}
-    # sqrt weights: 10, 2, 1 -> shares 10/13, 2/13, 1/13 of 50
-    assert rows["a"]["n_docs"] == 100 and rows["a"]["target_n"] == 38
+    # sqrt weights: 10, 2, 1 -> shares 10/13, 2/13, 1/13 of 50; a floors
+    # to 38 then takes the single largest-remainder unit the uncapped set
+    # can absorb (b/c are capped, so their shortfall stays unallocated)
+    assert rows["a"]["n_docs"] == 100 and rows["a"]["target_n"] == 39
     assert rows["b"]["n_docs"] == 4 and rows["b"]["target_n"] == 4  # capped: floor(7.69)=7 > 4
     assert rows["c"]["n_docs"] == 1 and rows["c"]["target_n"] == 1  # capped: floor(3.8)=3 > 1
     # alpha=1 is proportional: a dominates
@@ -497,15 +499,16 @@ def test_incremental_dedup_empty_batch(spark):
 
 
 def test_skew_report_null_keys_counted(spark):
-    """NULL key values must not vanish from the census — concat_ws folds
-    them to the empty string, which ranks like any other key."""
+    """NULL key values must not vanish from the census — they encode as
+    the explicit \\N sentinel (r6: injective encoding replaced the old
+    concat_ws null-folding, which collided NULL with the empty string)."""
     from hbase_taggregator_spark.operators.profile import skew_report
 
     df = spark.createDataFrame(
         [(1, None), (2, None), (3, "x")], "id long, k string"
     )
     rows = {r["key"]: r["n_rows"] for r in skew_report(df, ["k"], k=5).collect()}
-    assert rows == {"": 2, "x": 1}
+    assert rows == {"\\N": 2, "x": 1}
 
 
 def test_doc_segment_ops_on_empty_text(spark):

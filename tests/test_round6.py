@@ -1,0 +1,146 @@
+"""Round-6 regression tests: the r5 ADVICE fixes (pagerank key types,
+skew-report key injectivity + distributed top-k, source-mixing
+largest-remainder redistribution, semdedup fault-tolerant persist) and
+the skew-report → salted-join integration loop."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- pagerank: arbitrary node-id types (r5 ADVICE, medium) -----------------
+
+
+def test_pagerank_string_node_ids(spark):
+    """String node ids (URLs) must rank per-node — the earlier long cast
+    nulled every id and collapsed the graph into one null node."""
+    from hbase_taggregator_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [
+            ("a.example/hub", "b.example"),
+            ("a.example/hub", "c.example"),
+            ("b.example", "c.example"),
+            ("c.example", "a.example/hub"),
+        ],
+        "src string, dst string",
+    )
+    rows = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=3).collect()}
+    assert set(rows) == {"a.example/hub", "b.example", "c.example"}
+    assert all(v is not None and v > 0 for v in rows.values())
+    # c receives from both a and b — must out-rank b (single in-edge at
+    # half of a's mass)
+    assert rows["c.example"] > rows["b.example"]
+
+
+def test_pagerank_numeric_results_unchanged_by_key_generalization(spark):
+    """Long-keyed graphs produce the identical ranks they did under the
+    cast contract (cast long→long was a no-op) — pinned against a hand
+    computation on a 2-node cycle: symmetric nodes converge to 1/2."""
+    from hbase_taggregator_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    rows = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=3).collect()}
+    assert rows[1] == rows[2]
+    assert abs(rows[1] - 0.5) < 1e-12
+
+
+# --- skew_report: injective key encoding + distributed top-k ---------------
+
+
+def test_skew_report_null_vs_absent_keys_distinct(spark):
+    """('a', NULL) must not collide with a row whose encoded key would be
+    plain 'a' under null-skipping concat — NULL encodes as the \\N
+    sentinel."""
+    from hbase_taggregator_spark.operators.profile import skew_report
+
+    df = spark.createDataFrame(
+        [("a", None)] * 5 + [("a", "x")] * 3,
+        "k1 string, k2 string",
+    )
+    rows = skew_report(df, ["k1", "k2"], k=10).collect()
+    keys = {r["key"]: r["n_rows"] for r in rows}
+    assert keys == {"a|\\N": 5, "a|x": 3}
+
+
+def test_skew_report_separator_in_values_distinct(spark):
+    """('a|b', 'c') and ('a', 'b|c') must count separately — components
+    escape '|' (and '\\') before joining."""
+    from hbase_taggregator_spark.operators.profile import skew_report
+
+    df = spark.createDataFrame(
+        [("a|b", "c")] * 4 + [("a", "b|c")] * 2 + [("a\\b", "c")] * 1,
+        "k1 string, k2 string",
+    )
+    rows = skew_report(df, ["k1", "k2"], k=10).collect()
+    counts = sorted(r["n_rows"] for r in rows)
+    assert counts == [1, 2, 4]
+    assert len({r["key"] for r in rows}) == 3
+
+
+def test_skew_report_topk_prunes_before_rank_window(spark):
+    """The global rank window must consume a pre-pruned ≤ k frame
+    (TakeOrderedAndProject), not the full per-key count table — the
+    near-unique-key case would otherwise funnel the whole table through
+    one partition."""
+    from hbase_taggregator_spark.operators.profile import skew_report
+
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    plan = skew_report(df, ["k"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert len(plan.split("Window")) >= 2  # rank window still present
+    rows = plan.split("Window")
+    # the Window node must sit ABOVE the TakeOrderedAndProject (operate on
+    # its output): in the printed tree the Window line appears first
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+# --- source_mixing: largest-remainder budget discipline --------------------
+
+
+def test_source_mixing_redistributes_rounding_residual(spark):
+    """With no caps binding, sum(target_n) must equal the budget exactly
+    — floors alone undershoot by up to |sources|-1."""
+    from hbase_taggregator_spark.operators.text import source_mixing
+
+    df = spark.createDataFrame(
+        [("a",)] * 70 + [("b",)] * 50 + [("c",)] * 30, "source string"
+    )
+    out = source_mixing(df, budget=100, alpha=0.5).collect()
+    assert sum(r["target_n"] for r in out) == 100
+    for r in out:
+        assert r["target_n"] <= r["n_docs"]
+
+
+def test_source_mixing_capped_mass_not_reallocated(spark):
+    """A capped source pins at n_docs; its shortfall is NOT pushed onto
+    the uncapped sources (documented temperature-preserving contract) —
+    so the total undershoots by exactly the capped mass beyond any
+    rounding residual the uncapped sources can absorb."""
+    from hbase_taggregator_spark.operators.text import source_mixing
+
+    # b is tiny: sqrt weights make its fair share far above its size
+    df = spark.createDataFrame(
+        [("a",)] * 400 + [("b",)] * 2, "source string"
+    )
+    out = {r["source"]: r for r in source_mixing(df, budget=100, alpha=0.5).collect()}
+    assert out["b"]["target_n"] == 2  # capped at its own size
+    # a absorbs at most its floor + 1 residual unit, never b's shortfall
+    assert out["a"]["target_n"] <= 95
+
+
+# --- semdedup: fault-tolerant materialization ------------------------------
+
+
+def test_semdedup_assignment_persist_not_local_checkpoint(spark):
+    """The shared assignment stage must be persisted (recomputable on
+    executor loss), not local-checkpointed (unrecoverable) — r5 ADVICE."""
+    import inspect
+
+    from hbase_taggregator_spark.operators import similarity
+
+    src = inspect.getsource(similarity.semdedup)
+    assert "persist(StorageLevel.MEMORY_AND_DISK)" in src
+    assert ".localCheckpoint(" not in src
