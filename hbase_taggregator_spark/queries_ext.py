@@ -4349,78 +4349,74 @@ _register(
     """,
 )
 # ---------------------------------------------------------------------------
-# Driver gate window (round 5): the driver records CORRECTNESS rows for the
-# FIRST 50 catalog entries, so this list is rotated per round. r5 priority:
-# the 4 new queries, every consumer of code whose algebra or implementation
-# changed this round (adaptive-nlist semdedup, two-phase ivf_assign, the
-# _band_rows refactor), the 16 never-driver-gated leftovers (completing
-# full-catalog driver conversion — union of r1-r5 windows = all 174), and a
-# cross-family fill of r1/r2-gated representatives. Every query pushed out
-# is green in CORRECTNESS_r01-r04, the judge's r4 re-run (VERDICT r4: 16/16
-# on the remainder), or tools/oracle_full_r5.log.
+# Driver gate window (round 6): the driver records CORRECTNESS rows for the
+# FIRST 50 catalog entries, so this list is rotated per round. r6 priority:
+# the new HBase row-shape gate query (the last SURVEY §2.1 seam without a
+# driver row), every query whose implementation or oracle changed this
+# round (injective skew keys + distributed top-k, source-mixing
+# largest-remainder, pagerank key-type generalization + pinned reuse,
+# semdedup persist, the minhash hash_fn pass-through), then the ENTIRE
+# 40-query block whose last driver gate was r1/r2 (the stalest rows in the
+# catalog — this rotation refreshes all of them at once) and two r3
+# representatives. Every query pushed out is green in CORRECTNESS_r03-r05
+# and the round-6 full-catalog oracle log.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # new this round (r5) — first driver rows
-    "dedup_incremental_admitted",
-    "corpus_dedup_doc_segments",
-    "graph_pagerank_suppliers",
-    "sink_orc_roundtrip",
+    # new this round (r6) — first driver row for the connector row-shape
+    # contract: cells → latest-version pivot → decode → mask → buckets
+    "hbase_rowshape_bucketed_agg",
+    # implementation or oracle changed this round — re-gate first
     "profile_skew_report",
-    "similarity_dup_clusters",
     "corpus_source_mixing",
-    "text_rare_bigram_ratio",
-    "corpus_clean_boilerplate",
-    # implementation or oracle changed this round: semdedup's nlist is now
-    # adaptive (oracle restates COUNT-derived nlist) and ivf_assign gained
-    # the double-prune/exact-fallback argmax — re-gate every consumer
+    "graph_pagerank_suppliers",
     "semdedup_survivors",
-    "similarity_ivf_recall_at_5",
-    "similarity_ivf_kmeans_recall_at_5",
-    # minhash banding refactored into the shared _band_rows helper —
-    # re-gate the two LSH queries built on it
     "dedup_minhash_lsh_candidates",
     "dedup_funnel_survivors",
-    # single-md5 hash derivation changed the SimHash signature values too
-    "dedup_simhash_signatures",
-    "dedup_simhash_pairs",
-    # the final never-driver-gated remainder of the catalog (judge-green
-    # in the r4 re-run; this rotation completes full-catalog driver
-    # conversion)
-    "bi_mom_growth_per_segment",
-    "bi_pareto_customers_80pct",
-    "decoder_registry_double_be",
-    "decoder_registry_decimal_be",
-    "feature_quantile_bins_decile",
-    "feature_winsorize_p05_p95",
-    "json_props_extract",
-    "reshape_pivot_unpivot_roundtrip",
-    "sink_csv_json_roundtrip",
-    "sink_partitioned_roundtrip",
-    "text_conjunctive_search",
-    "text_posting_lists",
-    "text_vocabulary",
-    "ts_lttb_downsample_50",
-    "udtf_sentence_split",
-    "window_rank_functions_showcase",
-    # rotation fill: r1/r2-gated representatives across every family
-    "ts_max_900",
-    "ts_rowkey_mode_3600",
-    "ts_max_28800_compat",
-    "decoder_registry_long_be",
-    "q1_pricing_summary",
-    "q9_profit_by_nation_year",
-    "q18_large_orders",
-    "q21_waiting_suppliers",
-    "similarity_pq_recall_at_5",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_duplicate_clusters",
-    "text_quality_features",
-    "text_bm25_retrieval",
-    "text_bpe_token_count",
-    "corpus_stratified_mix",
-    "corpus_negative_pairs",
-    "ts_rolling_zscore_outliers",
-    "multimodal_binary_features",
+    "dedup_incremental_admitted",
+    # the full stale block: every query last driver-gated in r1/r2
+    "ts_min_900",
+    "ts_sum_900",
+    "ts_avg_900",
+    "ts_count_900",
+    "ts_avg_900_odd_start",
+    "ts_multi_verb_28800",
+    "ts_grouped_by_type_86400",
+    "ts_count_900_gapfilled",
+    "sliding_window_1h_15m",
+    "session_windows_6h_per_user",
+    "rowkey_range_scan",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "window_topk_parts_per_brand",
+    "window_running_order_total",
+    "window_lag_user_gaps",
+    "rollup_order_status_priority",
+    "cube_returnflag_linestatus",
+    "setops_purchase_error_users",
+    "semi_anti_customer_orders",
+    "distinct_counts_lineitem",
+    "approx_distinct_lineitem",
+    "multiversion_latest_2_per_user",
+    "asof_purchase_to_click",
+    "text_language_id",
+    "text_fingerprint_tokens",
+    "dedup_exact",
+    "similarity_cosine_topk",
+    "similarity_neardup_pairs",
+    "similarity_ann_lsh_topk",
+    "streaming_ts_count_max_3600",
+    "streaming_stateful_running_extrema",
+    "pivot_event_type_daily",
+    "scalar_functions_showcase",
+    "date_functions_orders",
+    "correlated_above_avg_balance",
+    # two r3-gated representatives complete the 50
+    "argmax_event_per_type",
+    "asof_nearest_click",
 ]
 
 
@@ -4447,5 +4443,6 @@ def _apply_gate_window(strict: bool = True) -> None:
 import hbase_taggregator_spark.queries_r3  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r4  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r5  # noqa: E402,F401
+import hbase_taggregator_spark.queries_r6  # noqa: E402,F401
 
 _apply_gate_window(strict=False)
