@@ -4071,11 +4071,13 @@ _register(
 
 def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB shape-preserving downsampling to 50 points/series via
-    applyInPandas (grouped map). Rows-only by nature: the interior
-    selection is sequential (each bucket's pick depends on the previous
-    pick), i.e. genuinely non-SQL-expressible — correctness is pinned by
-    unit tests (known-shape fixtures, endpoint/count/spike properties)
-    with exact integer area math making the pick deterministic."""
+    applyInPandas (grouped map). Rows-only at the DRIVER by nature: the
+    interior selection is sequential (each bucket's pick depends on the
+    previous pick), i.e. genuinely non-SQL-expressible — but correctness
+    is oracle-equivalent in CI: a pinned pure-Python reference
+    implementation (tests/reference_sim.py::lttb_reference) asserts
+    EXACT row equality per series on this very query
+    (tests/test_round6.py), on top of the shape-property unit tests."""
     from hbase_taggregator_spark.operators.timeseries import lttb_downsample
 
     events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))

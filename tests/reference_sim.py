@@ -65,3 +65,58 @@ def aggregate(
         else:
             raise ValueError(verb)
     return out
+
+
+def lttb_reference(
+    points: list[tuple[int, float, int]], n_out: int
+) -> list[tuple[int, float, int]]:
+    """Pinned pure-Python LTTB (Steinarsson 2013) — the in-CI oracle for
+    the ``ts_lttb_downsample_50`` catalog query, whose backward-sequential
+    pick has no SQL restatement. Implements the operator's documented
+    determinism contract from scratch: points sorted by (ts_us, tiebreak),
+    y in exact cents (double → shortest-decimal string → HALF_UP cents,
+    the Java ``BigDecimal.valueOf`` path Spark's DECIMAL(18,2) cast
+    takes), doubled-triangle areas as exact integer cross products with
+    the next bucket's centroid multiplied through by its size (no float
+    anywhere), strict > so ties keep the earliest point.
+
+    ``points``: (ts_us, value, tiebreak); returns the selected points in
+    time order.
+    """
+    import decimal
+
+    pts = sorted(points, key=lambda p: (p[0], p[2]))
+    n = len(pts)
+    if n <= n_out:
+        return pts
+
+    def cents(v: float) -> int:
+        return int(
+            decimal.Decimal(repr(v)).quantize(
+                decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+            )
+            * 100
+        )
+
+    xs = [p[0] for p in pts]
+    ys = [cents(p[1]) for p in pts]
+    interior, nb = n - 2, n_out - 2
+    bounds = [1 + (interior * b) // nb for b in range(nb + 1)]
+    idx = [0]
+    prev = 0
+    for b in range(nb):
+        lo, hi = bounds[b], bounds[b + 1]
+        nlo, nhi = (bounds[b + 1], bounds[b + 2]) if b + 1 < nb else (n - 1, n)
+        m = nhi - nlo
+        csx, csy = sum(xs[nlo:nhi]), sum(ys[nlo:nhi])
+        ax, ay = xs[prev], ys[prev]
+        best, best_area = lo, -1
+        for i in range(lo, hi):
+            bx, by = xs[i], ys[i]
+            area = abs((ax * m - csx) * (by - ay) - (ax - bx) * (csy - ay * m))
+            if area > best_area:
+                best, best_area = i, area
+        idx.append(best)
+        prev = best
+    idx.append(n - 1)
+    return [pts[i] for i in idx]

@@ -144,3 +144,50 @@ def test_semdedup_assignment_persist_not_local_checkpoint(spark):
     src = inspect.getsource(similarity.semdedup)
     assert "persist(StorageLevel.MEMORY_AND_DISK)" in src
     assert ".localCheckpoint(" not in src
+
+
+# --- LTTB: oracle-equivalent equality gate (closes the rows-only claim) ----
+
+
+def test_lttb_catalog_query_matches_pinned_reference_exactly(spark):
+    """The ts_lttb_downsample_50 catalog query (rows-only at the driver —
+    no SQL oracle exists for a backward-sequential pick) asserts EXACT
+    row equality against the pinned pure-Python reference implementation
+    per series, upgrading it from shape-properties to an
+    oracle-equivalent gate."""
+    from hbase_taggregator_spark.queries import QUERIES
+
+    from reference_sim import lttb_reference
+
+    got = QUERIES["ts_lttb_downsample_50"](spark, SF).collect()
+    by_series = {}
+    for r in got:
+        by_series.setdefault(r["event_type"], []).append(
+            (r["ts_us"], r["value"], r["event_id"])
+        )
+
+    import pyspark.sql.functions as SF_  # noqa: N812
+    from hbase_taggregator_spark.queries import T0, T_WEEK, US
+    from hbase_taggregator_spark.sources.parquet import load_table
+
+    raw = (
+        load_table(spark, SF, "events", time_range=(T0 * US, T_WEEK * US))
+        .select(
+            "event_type",
+            SF_.unix_micros("ts").alias("us"),
+            "value",
+            "event_id",
+        )
+        .collect()
+    )
+    series_in = {}
+    for r in raw:
+        series_in.setdefault(r["event_type"], []).append(
+            (r["us"], r["value"], r["event_id"])
+        )
+    assert set(by_series) == set(series_in)
+    for et, pts in series_in.items():
+        want = lttb_reference(pts, 50)
+        have = sorted(by_series[et])
+        assert have == sorted(want), f"series {et} diverges"
+        assert len(have) == min(len(pts), 50)
