@@ -124,7 +124,11 @@ def skew_report(
     rank window then runs over the ≤ k surviving rows only, with the
     total riding along as a broadcast 1-row frame. Output per top-k key:
     (rank, key, n_rows, share, ratio_to_avg) — ``ratio_to_avg`` is the
-    skew factor (1.0 = perfectly uniform; the salting threshold). Shares
+    skew factor (1.0 = perfectly uniform). Decision rule (wired to
+    ``relational.salted_join`` in tests/test_round6.py): salt the join /
+    aggregation on this key set when the top key's ``ratio_to_avg``
+    exceeds ~10× — below that AQE's skew-join splitting absorbs the
+    imbalance without paying salting's right-side replication. Shares
     are exact rationals cast to double, deterministic ties by key string.
 
     Composite-key encoding is injective: components are joined with

@@ -233,3 +233,49 @@ def test_minhash_xxhash64_fast_path_same_quality(spark):
                     assert 0 <= v < (1 << 60)
     with pytest.raises(ValueError):
         minhash_signatures(df, hash_fn="sha1")
+
+
+# --- skew_report → salted_join: the decision loop wired end-to-end ---------
+
+
+def test_skew_report_drives_salted_join_decision(spark):
+    """Closes the loop the skew story promises: ``skew_report``'s
+    ratio_to_avg is the SALTING DECISION INPUT — when the top key's
+    ratio_to_avg crosses the documented threshold (10× the uniform
+    share is the rule of thumb this package uses; below that AQE's
+    skew handling suffices), the join on that key goes through
+    ``salted_join``, and the salted result must equal the plain join
+    exactly."""
+    from hbase_taggregator_spark.operators.profile import skew_report
+    from hbase_taggregator_spark.operators.relational import salted_join
+
+    SALT_THRESHOLD = 10.0  # ratio_to_avg above which we salt
+
+    # one hot key (90% of rows) over a long uniform tail
+    left = spark.createDataFrame(
+        [(0, i) for i in range(900)] + [(k, 0) for k in range(1, 101)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 101)], "k long, name string"
+    )
+
+    top = skew_report(left, ["k"], k=1).collect()[0]
+    assert top["key"] == "0" and top["n_rows"] == 900
+    assert top["ratio_to_avg"] > SALT_THRESHOLD  # 900 / (1000/101) ≈ 90.9
+
+    joined = (
+        salted_join(left, right, ["k"], salt=8)
+        if top["ratio_to_avg"] > SALT_THRESHOLD
+        else left.join(right, ["k"])
+    )
+    plain = left.join(right, ["k"])
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    # and a uniform key distribution stays on the plain join path
+    uni = skew_report(
+        spark.range(1000).select((F.col("id") % 100).alias("k")), ["k"], k=1
+    ).collect()[0]
+    assert uni["ratio_to_avg"] <= SALT_THRESHOLD
