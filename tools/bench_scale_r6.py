@@ -1,0 +1,130 @@
+"""Round-6 third operating point for the dedup/similarity tail.
+
+The r5 bench established sf0.1 → sf1 ratios for the candidate-bounded /
+N^1.5 claims; this harness adds a SECOND decade (sf1 → sf10, 500k docs /
+200k vectors) for the five tail queries the VERDICT singled out, so the
+scaling claims are measured across two consecutive 10× steps instead of
+one. Output: tools/bench_scale_r6.json with per-query timings at both
+points and the sf10/sf1 wall ratios.
+
+sf10 derives from the in-repo sf1 set exactly the way sf1 derives from
+sf0.1 (tools/make_sf1.py): 10 key-shifted copies, per-copy text suffix /
+embedding jitter so the duplicate/candidate DENSITY of the original is
+preserved rather than multiplied (10 identical copies would drive LSH
+candidate counts quadratic and measure fixture degeneracy, not the
+engine). Only documents + embeddings are generated — the five tail
+queries read nothing else.
+
+Usage: python tools/bench_scale_r6.py  [--regen]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from hbase_taggregator_spark.session import get_spark  # noqa: E402
+
+SF1 = f"{REPO}/.benchdata/sf1"
+SF10 = f"{REPO}/.benchdata/sf10"
+COPIES = 10
+DOCID_SHIFT = 100_000_000
+VECID_SHIFT = 100_000_000
+
+TAIL = [
+    "dedup_funnel_survivors",
+    "dedup_incremental_admitted",
+    "semdedup_survivors",
+    "dedup_minhash_lsh_candidates",
+    "similarity_lsh_neardup_pairs",
+]
+
+
+def generate_sf10(spark: SparkSession) -> None:
+    os.makedirs(SF10, exist_ok=True)
+    copies = spark.range(COPIES).select(F.col("id").cast("int").alias("__c"))
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    (
+        docs.crossJoin(F.broadcast(copies))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__c").cast("long") * DOCID_SHIFT)
+        .withColumn(
+            "text",
+            F.when(F.col("__c") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" decadevariant "), F.col("__c"))
+            ),
+        )
+        .drop("__c")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{SF10}/documents.parquet")
+    )
+
+    emb = spark.read.parquet(f"{SF1}/embeddings.parquet")
+    jitter = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x.cast("double")
+            + F.col("__c").cast("double")
+            * 0.0017
+            * (F.pmod(F.hash(F.col("vec_id"), i, F.lit(10)), F.lit(7)) - 3).cast(
+                "double"
+            )
+        ).cast("float"),
+    )
+    (
+        emb.crossJoin(F.broadcast(copies))
+        .withColumn("embedding", jitter)
+        .withColumn("vec_id", F.col("vec_id") + F.col("__c").cast("long") * VECID_SHIFT)
+        .drop("__c")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{SF10}/embeddings.parquet")
+    )
+
+
+def main() -> None:
+    from make_sf1 import generate as generate_sf1  # noqa: E402
+
+    from hbase_taggregator_spark.queries import QUERIES  # noqa: E402
+
+    spark = get_spark(app_name="bench-scale-r6")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if "--regen" in sys.argv or not os.path.isdir(SF1):
+        generate_sf1(spark, SF1)
+    if "--regen" in sys.argv or not os.path.isdir(SF10):
+        generate_sf10(spark)
+
+    out: dict = {"sf1": {}, "sf10": {}, "ratio_sf10_over_sf1": {}}
+    for sf_dir, key in ((SF1, "sf1"), (SF10, "sf10")):
+        for name in TAIL:
+            t0 = time.monotonic()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.monotonic() - t0, 3)
+            out[key][name] = dt
+            print(f"{key:5s} {name}: {dt}s", flush=True)
+    for name in TAIL:
+        out["ratio_sf10_over_sf1"][name] = round(
+            out["sf10"][name] / out["sf1"][name], 2
+        )
+    out["note"] = (
+        "10x rows per step; wall ratios well under 10 indicate the "
+        "candidate-bounded / adaptive-nlist designs amortize across the "
+        "second decade too (32 local threads, single JVM)"
+    )
+    with open(f"{REPO}/tools/bench_scale_r6.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["ratio_sf10_over_sf1"]))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
