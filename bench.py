@@ -206,9 +206,14 @@ SF1_SUBSET = [
     # the r4 array_intersect verify keeps per-pair cost flat (the exploded
     # formulation it replaced was pairs × shingles-per-doc). r5 stage
     # breakdown at sf1 (10.3s total): signatures 6.9s (the engine-portable
-    # md5 contract — already halved to one digest/shingle in r5; a
-    # Spark-private xxhash64 would cut it further but break the DuckDB
-    # oracle), banding+self-join 1.8s, verify+anti-join 1.6s.
+    # md5 contract — already halved to one digest/shingle in r5; the r6
+    # hash_fn='xxhash64' production fast path cuts it further but breaks
+    # the DuckDB oracle, so gate queries stay md5), banding+self-join
+    # 1.8s, verify+anti-join 1.6s. r6 adds a SECOND decade of evidence
+    # (tools/bench_scale_r6.json, sf1→sf10): candidate pairs grow 104×
+    # by fixture construction while funnel wall grows 12.7× —
+    # ~candidates^0.55, i.e. sub-linear in the quantity that bounds the
+    # shuffle; semdedup's 23.8× sits below its O(N^1.5) 31.6× bound.
     "dedup_funnel_survivors",
     "text_repetition_features",
     "similarity_lsh_neardup_pairs",
