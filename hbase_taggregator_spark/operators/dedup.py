@@ -281,6 +281,7 @@ def dedup_funnel(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket: int | None = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The full near-dup funnel, composed end-to-end the 100 TB-safe way
     (module docstring steps 2+4 as ONE plan):
@@ -297,9 +298,15 @@ def dedup_funnel(
     (band_key, then id), so the plan is shuffle-bounded by the candidate
     set — the quadratic verify stage of :func:`jaccard_pairs` never runs on
     the whole corpus.
+
+    ``hash_fn`` passes through to the candidate stage only (the Jaccard
+    verify is exact and hash-free), so ``'xxhash64'`` accelerates the
+    funnel's dominant signature cost without touching survivor semantics
+    — same candidates up to hash-family noise, identical verify rule.
+    Gate queries keep the md5 oracle contract.
     """
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, n_shingle, k, bands, max_bucket
+        df, text_col, id_col, n_shingle, k, bands, max_bucket, hash_fn
     )
     # verify: exact Jaccard per CANDIDATE pair over per-doc shingle SETS
     # (word_shingles is array_distinct), carried as arrays. Two id-keyed

@@ -55,23 +55,32 @@ def _q_hbase_rowshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(
         spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US)
     )
-    versions = F.array(
-        F.struct(
-            F.lit(1).cast("long").alias("cell_ts"),
-            encode_value(F.col("value") + F.lit(1000.0), "double_bits_be").alias(
-                "value"
-            ),
-        ),
-        F.struct(
-            F.lit(2).cast("long").alias("cell_ts"),
-            encode_value(F.col("value"), "double_bits_be").alias("value"),
-        ),
-    )
-    cells = events.select(
+    # project the (large) IEEE-bit encode expression trees into plain
+    # columns BEFORE the explode: inlining them inside the Generate's
+    # array literal blows the generated consume function past janino's
+    # method limits and drops the stage out of whole-stage codegen
+    encoded = events.select(
         F.concat(
             encode_value(F.col("event_id"), "long_be"),
             encode_rowkey(b"", F.expr("unix_micros(ts) div 1000000")),
         ).alias("rowkey"),
+        encode_value(F.col("value") + F.lit(1000.0), "double_bits_be").alias(
+            "__v_old"
+        ),
+        encode_value(F.col("value"), "double_bits_be").alias("__v_new"),
+    )
+    versions = F.array(
+        F.struct(
+            F.lit(1).cast("long").alias("cell_ts"),
+            F.col("__v_old").alias("value"),
+        ),
+        F.struct(
+            F.lit(2).cast("long").alias("cell_ts"),
+            F.col("__v_new").alias("value"),
+        ),
+    )
+    cells = encoded.select(
+        "rowkey",
         F.lit("d").alias("cf"),
         F.lit("v").alias("qualifier"),
         F.explode(versions).alias("__c"),
