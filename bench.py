@@ -208,11 +208,13 @@ SF1_SUBSET = [
     # docs), so wall-clock scales with OUTPUT pair count, not corpus size;
     # the r4 array_intersect verify keeps per-pair cost flat (the exploded
     # formulation it replaced was pairs × shingles-per-doc). r5 stage
-    # breakdown at sf1 (10.3s total): signatures 6.9s (the engine-portable
-    # md5 contract — already halved to one digest/shingle in r5; the r6
-    # hash_fn='xxhash64' production fast path cuts it further but breaks
-    # the DuckDB oracle, so gate queries stay md5), banding+self-join
-    # 1.8s, verify+anti-join 1.6s. r6 adds a SECOND decade of evidence
+    # breakdown at sf1 (10.3s total): signature STAGE 6.9s cold / ~2.7s
+    # warm — r6 isolation shows the stage is explode/shuffle-bound, NOT
+    # hash-bound: hash_fn='xxhash64' trims it only ~12% (2.34s vs 2.67s
+    # warm) and the full funnel is unchanged (sf1_funnel_xxhash64 vs
+    # sf1_queries.dedup_funnel_survivors below), so the md5 oracle
+    # contract is nearly free at this shape; banding+self-join 1.8s,
+    # verify+anti-join 1.6s. r6 adds a SECOND decade of evidence
     # (tools/bench_scale_r6.json, sf1→sf10): candidate pairs grow 104×
     # by fixture construction while funnel wall grows 12.7× —
     # ~candidates^0.55, i.e. sub-linear in the quantity that bounds the

@@ -108,11 +108,15 @@ def minhash_signatures(
       exactly, so this is what every gate query runs.
     - ``'xxhash64'`` (production fast path): two seeded ``xxhash64``
       calls per shingle — Spark's native 64-bit hash, no hex string, no
-      base conversion, measurably cheaper on the signature stage (the
-      funnel's dominant cost at sf1: md5 hashing is ~6.9 s of 10.3 s).
-      Engine-specific, therefore NOT oracle-portable: identical dedup
-      QUALITY (uniform 60-bit hashes), different hash values — use it in
-      production pipelines, never under the DuckDB gate.
+      base conversion. Measured honestly (r6, warm, sf1 local[32]): the
+      signature stage runs ~12% faster (2.34 s vs 2.67 s) and the full
+      funnel is unchanged — the stage is explode/shuffle-bound, not
+      hash-bound, so md5's oracle portability is nearly free at this
+      shape. The knob matters where hashing IS the bottleneck: larger k,
+      longer shingles, CPU-saturated clusters. Engine-specific,
+      therefore NOT oracle-portable: identical dedup QUALITY (uniform
+      60-bit hashes), different hash values — never under the DuckDB
+      gate.
     """
     sh = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
