@@ -58,33 +58,44 @@ def pagerank(
     union). The earlier long-cast contract silently nulled string ids —
     collapsing every URL into one null node — and is gone.
 
-    Physical pinning: the distinct edge list and the out-degree table are
-    materialized ONCE (eager ``localCheckpoint``) before the loop —
-    without it every unrolled iteration re-derives both, and whether the
-    planner reuses those exchanges is its choice, not a guarantee (at 3
-    iterations the audited plan carried ~70 exchanges). Checkpointing
-    makes reuse structural: each iteration reads the pinned RDDs. The
-    trade-off (shared with ``duplicate_components``): local checkpoints
-    are unreplicated, so on a multi-executor cluster a lost executor
-    fails the job instead of recomputing — acceptable for a short
-    fixed-iteration job; use a reliable ``checkpoint()`` dir for
-    long-running production runs.
+    Physical pinning: the distinct edge list is materialized ONCE (eager
+    ``localCheckpoint``) before the loop, and the derived loop invariants
+    (node list, out-degrees) are lazily persisted — without this every
+    unrolled iteration re-derives all three, and whether the planner
+    reuses those exchanges is its choice, not a guarantee (at 3
+    iterations the audited plan carried ~70 exchanges; pinned it carries
+    ~22). The checkpoint trade-off (shared with
+    ``duplicate_components``): local checkpoints are unreplicated, so on
+    a multi-executor cluster a lost executor fails the job instead of
+    recomputing — acceptable for a short fixed-iteration job; use a
+    reliable ``checkpoint()`` dir for long-running production runs. The
+    persisted invariants recompute from the pinned edges on loss.
 
     Returns (node, rank) — rank as double, deterministic.
     """
+    from pyspark.storagelevel import StorageLevel
+
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
     ).distinct().localCheckpoint()
+    # nodes/out-degrees are loop invariants DERIVED from the pinned edge
+    # list: a lazy persist (filled on first use, recomputable from the
+    # checkpointed e on executor loss) reuses them across iterations
+    # without paying two more eager materialization jobs up front
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # node count rides along as a broadcast 1-row frame — no driver collect
     n_frame = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od")).localCheckpoint()
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("__od"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
         "node", (F.lit(1.0) / F.col("__n").cast("double")).alias("rank")
     )
