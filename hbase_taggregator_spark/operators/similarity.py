@@ -909,7 +909,9 @@ def semdedup(
     # on a multi-executor cluster a lost executor RECOMPUTES the missing
     # partitions instead of failing the job (an unreplicated local
     # checkpoint is unrecoverable), and there is no first-action recompute
-    # hazard over the round-robin ensure_parallelism split.
+    # hazard over the round-robin ensure_parallelism split. Measured price
+    # of the durability (r6, sf0.1 local): ~0.5s (2.7s → 3.2s wall) from
+    # the columnar cache serialization; accepted deliberately.
     from pyspark.storagelevel import StorageLevel
 
     assigned = ivf_assign(

@@ -279,3 +279,30 @@ def test_skew_report_drives_salted_join_decision(spark):
         spark.range(1000).select((F.col("id") % 100).alias("k")), ["k"], k=1
     ).collect()[0]
     assert uni["ratio_to_avg"] <= SALT_THRESHOLD
+
+
+# --- catalog hygiene: every oracle executes in DuckDB (no Spark) -----------
+
+
+def test_every_oracle_sql_executes_in_duckdb():
+    """Fast no-JVM guard: all 172 oracle statements must parse AND
+    execute against sf0.001 views — catches SQL drift (renamed columns,
+    engine-dialect slips) in seconds instead of a full gate run."""
+    import duckdb
+
+    from hbase_taggregator_spark.queries import ORACLES
+    from hbase_taggregator_spark.sources.parquet import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    bad = {}
+    for name, sql in ORACLES.items():
+        try:
+            con.execute(sql).fetchall()
+        except Exception as e:  # noqa: BLE001
+            bad[name] = f"{type(e).__name__}: {e}"
+    assert not bad, bad
+    assert len(ORACLES) >= 172
