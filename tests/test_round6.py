@@ -306,3 +306,47 @@ def test_every_oracle_sql_executes_in_duckdb():
             bad[name] = f"{type(e).__name__}: {e}"
     assert not bad, bad
     assert len(ORACLES) >= 172
+
+
+# --- hbase row-shape gate: the decoy version must be able to bite ----------
+
+
+def test_hbase_rowshape_gate_decoy_discipline(spark):
+    """The gate query plants an OLDER decoy version at value+1000 under
+    every true cell. Guard the apparatus: pivoting by max(cell_ts) picks
+    the true value (sums equal the plain path), while a deliberately
+    wrong pivot (min version) picks the decoy and shifts every bucket
+    sum by ~1000×count — i.e. the oracle WOULD catch a latest-version
+    regression."""
+    from hbase_taggregator_spark.queries import QUERIES, T0, US
+
+    got = {
+        r["bucket_ms"]: r
+        for r in QUERIES["hbase_rowshape_bucketed_agg"](spark, SF).collect()
+    }
+    assert got, "gate query returned nothing"
+
+    events = (
+        QUERIES["ts_count_900"](spark, SF)  # any loader would do; reuse T0
+    )
+    # plain-path restatement of the first bucket: hourly count+sum over
+    # second-floored events
+    from hbase_taggregator_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        F.expr("unix_micros(ts) div 1000000").alias("sec"), "value"
+    )
+    first = (
+        ev.filter((F.col("sec") >= T0) & (F.col("sec") < T0 + 3600))
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("s"),
+        )
+        .collect()[0]
+    )
+    b0 = got[T0 * 1000]
+    assert b0["count_value"] == first["n"]
+    assert b0["sum_value"] == first["s"]
+    # the decoy would shift this bucket's sum by +1000 per cell — orders
+    # of magnitude outside float noise, so a wrong pivot cannot hide
+    assert abs(b0["sum_value"] - (first["s"] + 1000.0 * first["n"])) > 1.0
