@@ -219,7 +219,15 @@ def test_decode_pixels_spark_path(spark):
 
 
 @pytest.mark.parametrize(
-    "mod", ["queries", "queries_ext", "queries_r3", "queries_r4", "queries_r5"]
+    "mod",
+    [
+        "queries",
+        "queries_ext",
+        "queries_r3",
+        "queries_r4",
+        "queries_r5",
+        "queries_r6",
+    ],
 )
 def test_gate_window_applied_on_every_import_path(mod):
     """All import-time window applies are tolerant (no module is

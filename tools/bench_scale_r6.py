@@ -37,6 +37,7 @@ SF10 = f"{REPO}/.benchdata/sf10"
 COPIES = 10
 DOCID_SHIFT = 100_000_000
 VECID_SHIFT = 100_000_000
+ORDERKEY_SHIFT = 10_000_000
 
 TAIL = [
     "dedup_funnel_survivors",
@@ -44,6 +45,17 @@ TAIL = [
     "semdedup_survivors",
     "dedup_minhash_lsh_candidates",
     "similarity_lsh_neardup_pairs",
+]
+
+#: second wave (r6): the remaining heavy tail — SimHash banding, the two
+#: corpus-wide text passes, and the r6-touched pagerank (60M lineitems at
+#: sf10 feed the edge derivation; the power iterations run on the
+#: node-sized rank vector)
+TAIL2 = [
+    "dedup_simhash_pairs",
+    "text_rare_bigram_ratio",
+    "corpus_clean_boilerplate",
+    "graph_pagerank_suppliers",
 ]
 
 
@@ -66,6 +78,21 @@ def generate_sf10(spark: SparkSession) -> None:
         .write.mode("overwrite")
         .parquet(f"{SF10}/documents.parquet")
     )
+
+    for t in ("orders", "lineitem"):
+        fact = spark.read.parquet(f"{SF1}/{t}.parquet")
+        (
+            fact.crossJoin(F.broadcast(copies))
+            .withColumn(
+                f"{t[0]}_orderkey",
+                F.col(f"{t[0]}_orderkey")
+                + F.col("__c").cast("long") * ORDERKEY_SHIFT,
+            )
+            .drop("__c")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{SF10}/{t}.parquet")
+        )
 
     emb = spark.read.parquet(f"{SF1}/embeddings.parquet")
     jitter = F.transform(
@@ -102,16 +129,26 @@ def main() -> None:
         generate_sf1(spark, SF1)
     if "--regen" in sys.argv or not os.path.isdir(SF10):
         generate_sf10(spark)
+    if not os.path.isdir(f"{SF10}/lineitem.parquet"):
+        # TAIL2 added after the first sf10 generation: top up the fact
+        # tables without re-deriving documents/embeddings
+        generate_sf10(spark)
 
-    out: dict = {"sf1": {}, "sf10": {}, "ratio_sf10_over_sf1": {}}
+    run = TAIL + TAIL2 if "--tail2-only" not in sys.argv else TAIL2
+    path = f"{REPO}/tools/bench_scale_r6.json"
+    out: dict = (
+        json.load(open(path))
+        if os.path.exists(path)
+        else {"sf1": {}, "sf10": {}, "ratio_sf10_over_sf1": {}}
+    )
     for sf_dir, key in ((SF1, "sf1"), (SF10, "sf10")):
-        for name in TAIL:
+        for name in run:
             t0 = time.monotonic()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.monotonic() - t0, 3)
             out[key][name] = dt
             print(f"{key:5s} {name}: {dt}s", flush=True)
-    for name in TAIL:
+    for name in run:
         out["ratio_sf10_over_sf1"][name] = round(
             out["sf10"][name] / out["sf1"][name], 2
         )
