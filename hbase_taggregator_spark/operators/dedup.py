@@ -742,6 +742,7 @@ def incremental_dedup(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket: int | None = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Admission dedup for an INCREMENTAL ingest batch: which ``new``
     documents survive against an already-deduped ``corpus`` — the
@@ -769,8 +770,8 @@ def incremental_dedup(
 
     Returns the surviving ``new`` ids (one column, ``id_col``).
     """
-    csig = minhash_signatures(corpus, text_col, id_col, n_shingle, k)
-    nsig = minhash_signatures(new, text_col, id_col, n_shingle, k)
+    csig = minhash_signatures(corpus, text_col, id_col, n_shingle, k, hash_fn)
+    nsig = minhash_signatures(new, text_col, id_col, n_shingle, k, hash_fn)
     cb = _band_rows(csig, id_col, k, bands).select(
         F.col(id_col).alias("corpus_id"), "band_idx", "band_key"
     )
