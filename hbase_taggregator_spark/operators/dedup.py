@@ -13,9 +13,11 @@ Designed as a funnel, the way a 100 TB pipeline actually runs them:
    candidate recall within chunk-equality).
 4. **exact Jaccard / cosine verify** — only on the candidate set.
 
-All hashing is md5-based (`conv(substr(md5(x),1,15),16,10)` — 60-bit ints)
+Hashing defaults to md5 (`conv(substr(md5(x),1,15),16,10)` — 60-bit ints)
 so results are engine-portable (the query-catalog oracles re-state the same
-algebra in DuckDB SQL); `xxhash64`/`hash` would be faster but Spark-private.
+algebra in DuckDB SQL); the MinHash family also takes ``hash_fn='xxhash64'``
+as a Spark-native production fast path (measured ~12% on the signature
+stage — see :func:`minhash_signatures` — never used under the gate).
 Everything is built-in expressions — higher-order functions, no Python UDFs.
 """
 
