@@ -178,3 +178,51 @@ def test_lttb_spark_equals_reference_on_random_series(spark, pts, n_out):
         )
     )
     assert got == want
+
+
+# --- hbase fixture pivot: latest version wins under random version sets ----
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # rowkey index
+            st.integers(min_value=1, max_value=50),  # cell_ts (version)
+            st.integers(min_value=-100, max_value=100),  # value
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_hbase_fixture_pivot_latest_version_wins_random(spark, cells):
+    """Random multi-version cell sets: the pivot must reproduce the
+    newest-version-wins read per rowkey (ties on cell_ts break by the
+    larger value bytes — the operator's documented max(struct) rule)."""
+    from hbase_taggregator_spark.sources.hbase import (
+        hbase_catalog,
+        load_hbase_fixture,
+    )
+
+    rows = [
+        (bytes([k]), "d", "v", (1000 + v).to_bytes(8, "big"), ts)
+        for k, ts, v in cells
+    ]
+    df = spark.createDataFrame(
+        rows, "rowkey binary, cf string, qualifier string, value binary, cell_ts long"
+    )
+    catalog = hbase_catalog(
+        "t", {"rowkey": ("rowkey", "key", "binary"), "value": ("d", "v", "bigint")}
+    )
+    got = {
+        bytes(r["rowkey"])[0]: r["value"]
+        for r in load_hbase_fixture(spark, catalog, df).collect()
+    }
+    want = {}
+    for k, ts, v in cells:
+        cur = want.get(k)
+        # max(struct(cell_ts, value-bytes)): ties by value bytes = by
+        # shifted integer since all values share sign/offset encoding
+        if cur is None or (ts, v) > cur:
+            want[k] = (ts, v)
+    assert got == {k: 1000 + v for k, (ts, v) in want.items()}
