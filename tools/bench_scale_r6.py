@@ -58,6 +58,17 @@ TAIL2 = [
     "graph_pagerank_suppliers",
 ]
 
+#: third wave: the reference-parity time-series core over ~50M events —
+#: bucketed aggregation is the engine's headline path; at a second decade
+#: the scan-prune + partial/final aggregate shape should stay ~linear in
+#: the PRUNED range (the week filter reaches the parquet scan)
+TAIL3 = [
+    "ts_max_900",
+    "ts_multi_verb_28800",
+    "ts_grouped_by_type_86400",
+]
+EVENTID_SHIFT10 = 1_000_000_000
+
 
 def generate_sf10(spark: SparkSession) -> None:
     os.makedirs(SF10, exist_ok=True)
@@ -77,6 +88,19 @@ def generate_sf10(spark: SparkSession) -> None:
         .repartition(32)
         .write.mode("overwrite")
         .parquet(f"{SF10}/documents.parquet")
+    )
+
+    events = spark.read.parquet(f"{SF1}/events.parquet")
+    (
+        events.crossJoin(F.broadcast(copies))
+        .withColumn(
+            "event_id",
+            F.col("event_id") + F.col("__c").cast("long") * EVENTID_SHIFT10,
+        )
+        .drop("__c")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{SF10}/events.parquet")
     )
 
     for t in ("orders", "lineitem"):
@@ -129,18 +153,29 @@ def main() -> None:
         generate_sf1(spark, SF1)
     if "--regen" in sys.argv or not os.path.isdir(SF10):
         generate_sf10(spark)
-    if not os.path.isdir(f"{SF10}/lineitem.parquet"):
-        # TAIL2 added after the first sf10 generation: top up the fact
-        # tables without re-deriving documents/embeddings
+    if not os.path.isdir(f"{SF10}/lineitem.parquet") or not os.path.isdir(
+        f"{SF10}/events.parquet"
+    ):
+        # later waves added tables after the first sf10 generation: top
+        # up without worrying about re-deriving the others (idempotent)
         generate_sf10(spark)
 
-    run = TAIL + TAIL2 if "--tail2-only" not in sys.argv else TAIL2
+    if "--tail2-only" in sys.argv:
+        run = TAIL2
+    elif "--tail3-only" in sys.argv:
+        run = TAIL3
+    else:
+        run = TAIL + TAIL2 + TAIL3
     path = f"{REPO}/tools/bench_scale_r6.json"
     out: dict = (
         json.load(open(path))
         if os.path.exists(path)
         else {"sf1": {}, "sf10": {}, "ratio_sf10_over_sf1": {}}
     )
+    # untimed warmup: the first query of a fresh session pays JVM boot +
+    # codegen + scan-cache fill — for sub-second ts queries that swamps
+    # the measurement entirely (observed 6.1s cold vs 1.1s warm)
+    QUERIES[run[0]](spark, SF1).write.format("noop").mode("overwrite").save()
     for sf_dir, key in ((SF1, "sf1"), (SF10, "sf10")):
         for name in run:
             t0 = time.monotonic()
