@@ -350,3 +350,55 @@ def test_hbase_rowshape_gate_decoy_discipline(spark):
     # the decoy would shift this bucket's sum by +1000 per cell — orders
     # of magnitude outside float noise, so a wrong pivot cannot hide
     assert abs(b0["sum_value"] - (first["s"] + 1000.0 * first["n"])) > 1.0
+
+
+# --- thin public-API seams: exercise the last unreferenced entry points ----
+
+
+def test_register_decoder_plugin_roundtrip(spark):
+    """The ColumnInterpreter-analog plug-in point (SURVEY §2.1 row 16):
+    a caller-registered decoder participates in decode_value exactly like
+    the built-ins."""
+    from pyspark.sql import functions as F2
+
+    from hbase_taggregator_spark.functions.decoders import (
+        decode_value,
+        register_decoder,
+    )
+
+    # 2-byte big-endian UNSIGNED short — not a built-in
+    register_decoder(
+        "u16_be_r6test",
+        lambda c: F2.conv(F2.hex(c), 16, 10).cast("long"),
+    )
+    df = spark.createDataFrame(
+        [(bytes([0x01, 0x02]),), (bytes([0xFF, 0xFE]),)], "raw binary"
+    )
+    got = [r["v"] for r in df.select(
+        decode_value(F2.col("raw"), "u16_be_r6test").alias("v")
+    ).collect()]
+    assert got == [0x0102, 0xFFFE]
+
+
+def test_load_all_write_parquet_formatted_plan_roundtrip(spark, tmp_path):
+    """load_all loads every catalog table; write_parquet round-trips one;
+    formatted_plan exposes PushedFilters text — the three remaining thin
+    wrappers exercised once each."""
+    from pyspark.sql import functions as F2
+
+    from hbase_taggregator_spark.plans import formatted_plan
+    from hbase_taggregator_spark.sources.parquet import TABLES, load_all
+    from hbase_taggregator_spark.sources.sinks import write_parquet
+
+    tables = load_all(spark, SF)
+    assert set(tables) == set(TABLES)
+    region = tables["region"]
+    write_parquet(region, str(tmp_path / "region_rt"))
+    back = spark.read.parquet(str(tmp_path / "region_rt"))
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, region.collect())
+    )
+    plan = formatted_plan(
+        tables["events"].filter(F2.col("user_id") == 7).select("event_id")
+    )
+    assert "PushedFilters" in plan and "user_id" in plan
