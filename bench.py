@@ -237,6 +237,10 @@ SF1_SUBSET = [
     # adaptive-nlist SemDeDup: isqrt(N) centroids keep total work
     # O(N^1.5 d) — measured 1.9x wall for 10x data (5.1s -> 9.5s)
     "semdedup_survivors",
+    # round-6: the connector row-shape contract at 10× — cell synthesis
+    # (×2-version explode) + rowkey-keyed latest-version pivot shuffle +
+    # mask decode + bucketed agg; the pivot shuffle is the scale cost
+    "hbase_rowshape_bucketed_agg",
 ]
 
 
