@@ -209,11 +209,12 @@ SF1_SUBSET = [
     # the r4 array_intersect verify keeps per-pair cost flat (the exploded
     # formulation it replaced was pairs × shingles-per-doc). r5 stage
     # breakdown at sf1 (10.3s total): signature STAGE 6.9s cold / ~2.7s
-    # warm — r6 isolation shows the stage is explode/shuffle-bound, NOT
-    # hash-bound: hash_fn='xxhash64' trims it only ~12% (2.34s vs 2.67s
-    # warm) and the full funnel is unchanged (sf1_funnel_xxhash64 vs
-    # sf1_queries.dedup_funnel_survivors below), so the md5 oracle
-    # contract is nearly free at this shape; banding+self-join 1.8s,
+    # warm — r6 isolation shows the stage is largely explode/shuffle-
+    # bound: hash_fn='xxhash64' trims it ~12% (2.34s vs 2.67s warm) and
+    # the full funnel ~11% under IDENTICAL gate parameters (9.95s vs
+    # 11.14s; sf1_funnel_xxhash64 vs sf1_queries.dedup_funnel_survivors
+    # below uses the same matched setup), so the md5 oracle contract
+    # costs ~11% of funnel wall at this shape; banding+self-join 1.8s,
     # verify+anti-join 1.6s. r6 adds a SECOND decade of evidence
     # (tools/bench_scale_r6.json, sf1→sf10): candidate pairs grow 104×
     # by fixture construction while funnel wall grows 12.7× —
@@ -308,13 +309,19 @@ def main() -> None:
     xx_funnel = None
     if run_sf1:
         from hbase_taggregator_spark.operators.dedup import dedup_funnel
+        from hbase_taggregator_spark.sources.parquet import load_table
 
+        # EXACTLY the dedup_funnel_survivors gate parameters and loader
+        # (threshold=0.4, k=16, bands=4, load_table) so the delta vs
+        # sf1_queries.dedup_funnel_survivors isolates the hash family
+        # alone — an earlier form used default threshold=0.5 and a raw
+        # read, confounding the comparison
         for _ in range(2):
             t0 = time.time()
-            docs = spark.read.parquet(f"{sf1_dir}/documents.parquet")
-            dedup_funnel(docs, hash_fn="xxhash64").write.format("noop").mode(
-                "overwrite"
-            ).save()
+            docs = load_table(spark, sf1_dir, "documents")
+            dedup_funnel(
+                docs, threshold=0.4, k=16, bands=4, hash_fn="xxhash64"
+            ).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             xx_funnel = min(xx_funnel or dt, dt)
 

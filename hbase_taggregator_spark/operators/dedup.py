@@ -110,15 +110,16 @@ def minhash_signatures(
       exactly, so this is what every gate query runs.
     - ``'xxhash64'`` (production fast path): two seeded ``xxhash64``
       calls per shingle — Spark's native 64-bit hash, no hex string, no
-      base conversion. Measured honestly (r6, warm, sf1 local[32]): the
-      signature stage runs ~12% faster (2.34 s vs 2.67 s) and the full
-      funnel is unchanged — the stage is explode/shuffle-bound, not
-      hash-bound, so md5's oracle portability is nearly free at this
-      shape. The knob matters where hashing IS the bottleneck: larger k,
-      longer shingles, CPU-saturated clusters. Engine-specific,
-      therefore NOT oracle-portable: identical dedup QUALITY (uniform
-      60-bit hashes), different hash values — never under the DuckDB
-      gate.
+      base conversion. Measured honestly (r6, warm, sf1 local[32],
+      IDENTICAL funnel parameters both sides): signature stage ~12%
+      faster (2.34 s vs 2.67 s), full gate-shaped funnel ~11% faster
+      (9.95 s vs 11.14 s) — a real but bounded win, because the stage is
+      substantially explode/shuffle-bound; md5's oracle portability
+      costs ~11% of funnel wall at this shape. The gap widens where
+      hashing dominates: larger k, longer shingles, CPU-saturated
+      clusters. Engine-specific, therefore NOT oracle-portable:
+      identical dedup QUALITY (uniform 60-bit hashes), different hash
+      values — never under the DuckDB gate.
     """
     sh = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
@@ -126,9 +127,18 @@ def minhash_signatures(
     )
     # Kirsch-Mitzenmacher double hashing, h_i = (lo + i*hi) mod 2^60 —
     # k-independent hashing cost from one (md5) or two (xxhash64) base
-    # hashes per shingle. lo is 60 bits; hi is shrunk to 58 bits so
-    # lo + 15·hi < 2^63 and the arithmetic is portable: no silent
-    # wraparound in Spark, no overflow error in DuckDB.
+    # hashes per shingle. lo is 60 bits; hi is shrunk so that
+    # lo + (k-1)·hi < 2^63 and the arithmetic is portable: no overflow
+    # error under Spark ANSI, no silent wraparound, no overflow error in
+    # DuckDB. The shrink divisor is the smallest power of two with
+    # (k-1) ≤ 7·2^s (sum < 2^60 + 7·2^60 = 2^63) — s=2 (÷4, 58-bit hi)
+    # for every k ≤ 29 including the k=16 the oracles restate, larger
+    # for larger k (k=32 → ÷8), so big-k signatures are safe instead of
+    # overflowing at i ≥ 29.
+    shrink = 2
+    while 7 * (1 << shrink) < k - 1:
+        shrink += 1
+    div = 1 << shrink
     if hash_fn == "md5":
         # md5's first 15 hex digits → lo, next 15 → hi (one digest, two
         # K-M words — halves the hashing cost vs two salted digests)
@@ -138,14 +148,18 @@ def minhash_signatures(
         ).select(
             id_col,
             F.conv(F.substring(F.col("__m"), 1, 15), 16, 10).cast("long").alias("lo"),
-            F.expr("CAST(conv(substring(__m, 16, 15), 16, 10) AS BIGINT) div 4").alias("hi"),
+            F.expr(
+                f"CAST(conv(substring(__m, 16, 15), 16, 10) AS BIGINT) div {div}"
+            ).alias("hi"),
         )
     elif hash_fn == "xxhash64":
         # two seed-salted xxhash64 words, folded into the same ranges
         based = sh.select(
             id_col,
             F.pmod(F.xxhash64(F.lit("mh-lo"), F.col("s")), F.lit(1 << 60)).alias("lo"),
-            F.expr("pmod(xxhash64('mh-hi', s), 1152921504606846976) div 4").alias("hi"),
+            F.expr(
+                f"pmod(xxhash64('mh-hi', s), 1152921504606846976) div {div}"
+            ).alias("hi"),
         )
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")

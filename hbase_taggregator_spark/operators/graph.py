@@ -70,6 +70,12 @@ def pagerank(
     recomputing — acceptable for a short fixed-iteration job; use a
     reliable ``checkpoint()`` dir for long-running production runs. The
     persisted invariants recompute from the pinned edges on loss.
+    Lifecycle: construction materializes the edge list eagerly (Spark
+    jobs run even if the result is never consumed) and neither the
+    cache nor the checkpoint is released by this function — when calling
+    pagerank repeatedly in one session (per-subgraph loops), drop them
+    between calls (``spark.catalog.clearCache()``; checkpoint blocks are
+    reclaimed by the ContextCleaner once unreferenced) or reuse one call.
 
     Returns (node, rank) — rank as double, deterministic.
     """

@@ -911,7 +911,10 @@ def semdedup(
     # checkpoint is unrecoverable), and there is no first-action recompute
     # hazard over the round-robin ensure_parallelism split. Measured price
     # of the durability (r6, sf0.1 local): ~0.5s (2.7s → 3.2s wall) from
-    # the columnar cache serialization; accepted deliberately.
+    # the columnar cache serialization; accepted deliberately. The cache
+    # is not released here — callers looping semdedup over many corpora
+    # in one session should clearCache() between calls (LRU eviction
+    # otherwise handles it under pressure).
     from pyspark.storagelevel import StorageLevel
 
     assigned = ivf_assign(

@@ -675,10 +675,13 @@ def source_mixing(
     spent. Mass lost to CAPPED sources (target pinned at n_docs) is
     deliberately NOT reallocated: pushing it onto the uncapped sources
     would re-weight them away from the requested temperature curve. When
-    caps bite, ``sum(target_n) < budget`` by exactly the capped shortfall
-    — visible in the output as ``n_docs == target_n`` rows; callers who
-    want the full budget re-run on the uncapped remainder with the
-    reduced budget (one more |sources|-row pass).
+    caps bite, ``sum(target_n) < budget``; the undershoot is the capped
+    mass minus whatever rounding units the remainder pass could absorb
+    (so compute a residual budget as ``budget - sum(target_n)`` from the
+    OUTPUT, not from the raw shares). Capped rows are visible as
+    ``n_docs == target_n``; callers who want the full budget re-run on
+    the uncapped remainder with that residual budget (one more
+    |sources|-row pass).
 
     Engine-portable arithmetic discipline: the default alpha = 0.5 keeps
     every number exactly reproducible cross-engine — n^0.5 is ``sqrt``

@@ -5,6 +5,7 @@ the skew-report → salted-join integration loop."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -91,7 +92,6 @@ def test_skew_report_topk_prunes_before_rank_window(spark):
     plan = skew_report(df, ["k"], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert len(plan.split("Window")) >= 2  # rank window still present
-    rows = plan.split("Window")
     # the Window node must sit ABOVE the TakeOrderedAndProject (operate on
     # its output): in the printed tree the Window line appears first
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
@@ -313,12 +313,20 @@ def test_every_oracle_sql_executes_in_duckdb():
 
 def test_hbase_rowshape_gate_decoy_discipline(spark):
     """The gate query plants an OLDER decoy version at value+1000 under
-    every true cell. Guard the apparatus: pivoting by max(cell_ts) picks
-    the true value (sums equal the plain path), while a deliberately
-    wrong pivot (min version) picks the decoy and shifts every bucket
-    sum by ~1000×count — i.e. the oracle WOULD catch a latest-version
-    regression."""
-    from hbase_taggregator_spark.queries import QUERIES, T0, US
+    every true cell. Guard the apparatus BOTH ways: the real (max
+    cell_ts) pivot equals the plain path, and an actually-run WRONG
+    pivot — same cells with the version order inverted, so
+    latest-version-wins now lands on the decoy — shifts the bucket sum
+    by exactly +1000×count. A pivot regression therefore cannot pass
+    the gate oracle."""
+    from hbase_taggregator_spark.functions.decoders import encode_value
+    from hbase_taggregator_spark.queries import QUERIES, T0, T_WEEK, US
+    from hbase_taggregator_spark.sources.hbase import (
+        hbase_catalog,
+        load_hbase_fixture,
+    )
+    from hbase_taggregator_spark.sources.parquet import load_table
+    from hbase_taggregator_spark.sources.rowkey import encode_rowkey
 
     got = {
         r["bucket_ms"]: r
@@ -326,15 +334,10 @@ def test_hbase_rowshape_gate_decoy_discipline(spark):
     }
     assert got, "gate query returned nothing"
 
-    events = (
-        QUERIES["ts_count_900"](spark, SF)  # any loader would do; reuse T0
-    )
     # plain-path restatement of the first bucket: hourly count+sum over
     # second-floored events
-    from hbase_taggregator_spark.sources.parquet import load_table
-
     ev = load_table(spark, SF, "events").select(
-        F.expr("unix_micros(ts) div 1000000").alias("sec"), "value"
+        F.expr("unix_micros(ts) div 1000000").alias("sec"), "value", "event_id", "ts"
     )
     first = (
         ev.filter((F.col("sec") >= T0) & (F.col("sec") < T0 + 3600))
@@ -347,9 +350,48 @@ def test_hbase_rowshape_gate_decoy_discipline(spark):
     b0 = got[T0 * 1000]
     assert b0["count_value"] == first["n"]
     assert b0["sum_value"] == first["s"]
-    # the decoy would shift this bucket's sum by +1000 per cell — orders
-    # of magnitude outside float noise, so a wrong pivot cannot hide
-    assert abs(b0["sum_value"] - (first["s"] + 1000.0 * first["n"])) > 1.0
+
+    # wrong-pivot demonstration: give the DECOY the newer cell_ts and
+    # run the identical pivot — the first bucket's sum must now carry
+    # the +1000/cell shift, proving version selection is observable
+    hour = ev.filter((F.col("sec") >= T0) & (F.col("sec") < T0 + 3600))
+    swapped = hour.select(
+        F.concat(
+            encode_value(F.col("event_id"), "long_be"),
+            encode_rowkey(b"", F.col("sec")),
+        ).alias("rowkey"),
+        F.lit("d").alias("cf"),
+        F.lit("v").alias("qualifier"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(2).cast("long").alias("cell_ts"),
+                    encode_value(
+                        F.col("value") + F.lit(1000.0), "double_bits_be"
+                    ).alias("value"),
+                ),
+                F.struct(
+                    F.lit(1).cast("long").alias("cell_ts"),
+                    encode_value(F.col("value"), "double_bits_be").alias("value"),
+                ),
+            )
+        ).alias("__c"),
+    ).select(
+        "rowkey", "cf", "qualifier",
+        F.col("__c.value").alias("value"),
+        F.col("__c.cell_ts").alias("cell_ts"),
+    )
+    catalog = hbase_catalog(
+        "t", {"rowkey": ("rowkey", "key", "binary"), "value": ("d", "v", "double")}
+    )
+    decoy_sum = (
+        load_hbase_fixture(spark, catalog, swapped)
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    assert decoy_sum == pytest.approx(first["s"] + 1000.0 * first["n"])
 
 
 # --- thin public-API seams: exercise the last unreferenced entry points ----
@@ -402,3 +444,22 @@ def test_load_all_write_parquet_formatted_plan_roundtrip(spark, tmp_path):
         tables["events"].filter(F2.col("user_id") == 7).select("event_id")
     )
     assert "PushedFilters" in plan and "user_id" in plan
+
+
+def test_minhash_large_k_no_overflow(spark):
+    """k=32 (a common MinHash size) must produce valid in-range
+    signatures on both hash backends — the K-M expansion's hi word
+    shrinks adaptively so lo + (k-1)·hi stays below 2^63 (pre-fix this
+    overflowed under ANSI for k >= 30)."""
+    from hbase_taggregator_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    for fn in ("md5", "xxhash64"):
+        rows = minhash_signatures(df, k=32, hash_fn=fn).collect()
+        assert len(rows) == 1
+        vals = [v for c, v in rows[0].asDict().items() if c != "doc_id"]
+        assert len(vals) == 32
+        assert all(0 <= v < (1 << 60) for v in vals), fn
