@@ -7,10 +7,11 @@ host graph. The operator here is the fixed-iteration power method,
 expressed relationally the way the other iterative algorithms in this
 package are (k-means refinement, connected components): a driver-side
 Python loop that DEEPENS one declarative plan per iteration, never
-collecting intermediate state. The loop-invariant inputs (distinct
-edges, node list, out-degrees) are pinned with an eager localCheckpoint
-before the first step so every iteration reuses them structurally
-instead of hoping the planner's exchange-reuse fires.
+collecting intermediate state. The one loop-invariant input — the
+distinct edge list — is pinned with a single eager localCheckpoint
+before the first step; node list and out-degrees derive lazily from the
+pinned edges, so their (identical, checkpoint-rooted) subtrees are
+cheap to recompute or exchange-reuse without extra materializations.
 
 100 TB shape per iteration: one shuffle keyed on the edge source (attach
 ranks to edges), one shuffle keyed on the destination (sum contributions)
@@ -59,49 +60,47 @@ def pagerank(
     collapsing every URL into one null node — and is gone.
 
     Physical pinning: the distinct edge list is materialized ONCE (eager
-    ``localCheckpoint``) before the loop, and the derived loop invariants
-    (node list, out-degrees) are lazily persisted — without this every
-    unrolled iteration re-derives all three, and whether the planner
-    reuses those exchanges is its choice, not a guarantee (at 3
-    iterations the audited plan carried ~70 exchanges; pinned it carries
-    ~22). The checkpoint trade-off (shared with
-    ``duplicate_components``): local checkpoints are unreplicated, so on
-    a multi-executor cluster a lost executor fails the job instead of
-    recomputing — acceptable for a short fixed-iteration job; use a
-    reliable ``checkpoint()`` dir for long-running production runs. The
-    persisted invariants recompute from the pinned edges on loss.
+    ``localCheckpoint``) before the loop — it is the only input every
+    iteration re-reads, and pinning it truncates the (potentially
+    expensive) upstream lineage so no unrolled iteration re-runs the
+    edge-building joins. The derived loop invariants (node list,
+    out-degrees) stay LAZY: rooted at the checkpoint their subtrees are
+    a cheap scan + one aggregate, identical across iterations, so the
+    planner's exchange reuse handles them and a round-6 experiment
+    showed extra persists on them cost more than they save at bench
+    scale (alternating min-of-5 A/B at sf0.1, full gate query through
+    the noop sink: checkpoint-only 4.0 s vs checkpoint+2 persists
+    4.3 s, with every warm checkpoint-only run at or below its
+    counterpart — tools/ab_pagerank_r7b.py). The checkpoint trade-off
+    (shared with ``duplicate_components``): local checkpoints are
+    unreplicated, so on a multi-executor cluster a lost executor fails
+    the job instead of recomputing — acceptable for a short
+    fixed-iteration job; use a reliable ``checkpoint()`` dir for
+    long-running production runs.
     Lifecycle: construction materializes the edge list eagerly (Spark
-    jobs run even if the result is never consumed) and neither the
-    cache nor the checkpoint is released by this function — when calling
-    pagerank repeatedly in one session (per-subgraph loops), drop them
-    between calls (``spark.catalog.clearCache()``; checkpoint blocks are
-    reclaimed by the ContextCleaner once unreferenced) or reuse one call.
+    jobs run even if the result is never consumed); the checkpoint
+    blocks are reclaimed by the ContextCleaner once the result frame is
+    unreferenced. No persists are taken, so per-subgraph pagerank loops
+    no longer accumulate executor storage across calls.
 
     Returns (node, rank) — rank as double, deterministic.
     """
-    from pyspark.storagelevel import StorageLevel
-
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
     ).distinct().localCheckpoint()
     # nodes/out-degrees are loop invariants DERIVED from the pinned edge
-    # list: a lazy persist (filled on first use, recomputable from the
-    # checkpointed e on executor loss) reuses them across iterations
-    # without paying two more eager materialization jobs up front
+    # list: left lazy on purpose — identical checkpoint-rooted subtrees
+    # that the planner exchange-reuses; measured faster than persisting
+    # them (see docstring)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # node count rides along as a broadcast 1-row frame — no driver collect
     n_frame = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    outdeg = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("__od"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
     ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
         "node", (F.lit(1.0) / F.col("__n").cast("double")).alias("rank")
     )
