@@ -294,35 +294,64 @@ def lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+#: ``ivf_assign(strategy="auto")`` switches from the pure-JVM expression
+#: argmax to the Arrow-batched numpy ranking at this centroid count: the
+#: interpreted higher-order dot costs ~1 µs per (row, centroid) on this
+#: class of hardware, so nlist in the hundreds puts MINUTES of expression
+#: eval against milliseconds of BLAS matmul per 10k-row Arrow batch.
+ARROW_ASSIGN_MIN_NLIST = 128
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_probe: int = 1,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by cosine
     (IVF coarse quantization) — **entirely map-side, zero shuffle**.
 
     The centroid set is tiny by construction, so it is materialized once at
-    plan time (one 16-row job that also computes each centroid's norm with
+    plan time (one small job that also computes each centroid's norm with
     the SAME decimal-exact algebra the oracle restates) and inlined as
     THREE single ``Literal`` nodes — an ``array<array<double>>`` of
-    centroid vectors plus flat arrays of norms and ids. Each row builds an
-    ``array<struct<negcos, cent_id>>`` by ``transform`` over
-    ``sequence(1, nlist)`` (``element_at`` into the literals) and takes
-    ``slice(array_sort(...), 1, n_probe)`` — the argmax is a per-row
-    expression, not a window, and the expression tree is O(1) in nlist and
-    dim. The earlier per-centroid formulation unrolled O(nlist × dim)
-    literal expression nodes (hostile to Catalyst analysis/codegen at a
-    realistic nlist ≥ 1k × 128-dim); the r2 form before it shuffled
+    centroid vectors plus flat arrays of norms and ids. The earlier
+    per-centroid formulation unrolled O(nlist × dim) literal expression
+    nodes (hostile to Catalyst analysis/codegen at a realistic
+    nlist ≥ 1k × 128-dim); the r2 form before it shuffled
     corpus × n_centroids rows through a ``row_number`` window — at 100 TB
     that is 16× the corpus through an Exchange for what a projection can
     compute.
 
-    Deterministic: struct sort ascending on (-cos, cent_id) = cosine
-    descending, ties by centroid id — identical ordering to the window
-    form. Output: (id_col, vec_col, nrm, cent_id), ≤ n_probe rows per id.
+    Two physical strategies compute the SAME output (two-phase fast
+    ranking + exact-decimal fallback for boundary-ambiguous rows — the
+    soundness argument is in the body):
+
+    - ``"expr"`` — per-row JVM expression: an ``array<struct<negcos,
+      pos>>`` built by ``transform`` over ``sequence(1, nlist)``, argmin
+      via ``array_min`` (n_probe=1) or one ``array_sort`` (n_probe>1).
+      Zero Python anywhere in the plan; the right choice for small
+      centroid sets (every recall-gate query: nlist ≤ ~32).
+    - ``"arrow"`` — ``mapInPandas`` numpy ranking: one float64
+      ``V @ C.T`` matmul per Arrow batch ranks all centroids at BLAS
+      speed. Interpreted higher-order expression eval costs ~1 µs per
+      (row, centroid); at production centroid counts (the cell-capped
+      SemDeDup sizing: nlist ∝ N, thousands of centroids) that is the
+      difference between minutes of expression eval and milliseconds of
+      matmul per batch — measured 82 s → ~2 s for 20k rows × nlist=2000
+      at sf1. This is a DECLARED Arrow boundary (the embedding family's
+      one, like the multimodal decodes); ambiguous rows still resolve
+      through the exact JVM expression, so the boundary never decides a
+      near-tie.
+    - ``"auto"`` — ``arrow`` iff ``nlist >= ARROW_ASSIGN_MIN_NLIST``.
+
+    Deterministic: ranking ascending on (-cos, position) with centroids
+    collected in cent_id order, so position ties ⟺ cent_id ties —
+    identical ordering to the window form and to the oracle's
+    ``ORDER BY ccos DESC, cent_id``. Output: (id_col, vec_col, nrm,
+    cent_id), ≤ n_probe rows per id.
     """
     cents = (
         centroids.select(
@@ -333,11 +362,15 @@ def ivf_assign(
     )
     if not cents:
         raise ValueError("ivf_assign requires a non-empty centroid set")
-    lvecs = F.lit([[float(v) for v in r["cvec"]] for r in cents])
-    lnrms = F.lit([float(r["cnrm"]) for r in cents])
+    if strategy not in ("auto", "expr", "arrow"):
+        raise ValueError(f"unknown ivf_assign strategy: {strategy!r}")
+    cvec_py = [[float(v) for v in r["cvec"]] for r in cents]
+    cnrm_py = [float(r["cnrm"]) for r in cents]
+    lvecs = F.lit(cvec_py)
+    lnrms = F.lit(cnrm_py)
     lids = F.lit([r["cent_id"] for r in cents])
-    min_cnrm = min(float(r["cnrm"]) for r in cents)
-    nd = with_norm(df, vec_col)
+    min_cnrm = min(cnrm_py)
+    nd = with_norm(df, vec_col).select(id_col, vec_col, "nrm")
     seq = F.sequence(F.lit(1), F.lit(len(cents)))
 
     def _entries(dotf):
@@ -350,40 +383,153 @@ def ivf_assign(
                         / (F.col("nrm") * F.element_at(lnrms, i))
                     )
                 ).alias("negcos"),
-                F.element_at(lids, i).alias("cent_id"),
+                i.cast("int").alias("pos"),
             ),
         )
 
-    # Two-phase argmax: a plain-double dot (2 interpreted FP ops/element)
-    # ranks the centroids; the exact-decimal algebra (the oracle contract,
-    # ~5 Decimal ops/element) re-ranks ONLY rows where the double ranking
-    # is ambiguous. Soundness: the double and exact cosines differ by at
-    # most 64·(half-ulp-of-12dp)=3.2e-11 on the dot (per-product rounding)
-    # plus ~1e-12 of float summation error, so with |nrm·cnrm| > 1e-3 the
-    # cosine gap between the two algebras is < 1e-7 ≪ EPS; a boundary gap
-    # > EPS in double therefore pins the same top-n_probe SET the exact
-    # sort would pick (membership is what matters — callers consume only
-    # the exploded cent_id). Ambiguous rows (gap ≤ EPS, a ~0-probability
-    # measure on real embeddings) and degenerate near-zero norms fall back
-    # to the exact tree, so the output is bit-identical to the pure exact
-    # form at a fraction of its cost.
+    # Two-phase argmax: a plain-double ranking (JVM double dot or numpy
+    # float64 matmul) ranks the centroids; the exact-decimal algebra (the
+    # oracle contract, ~5 Decimal ops/element) re-ranks ONLY rows where
+    # the double ranking is ambiguous. Soundness: any correctly-rounded
+    # float64 dot — REGARDLESS of accumulation order, so the bound covers
+    # BLAS's blocked/pairwise summation too — differs from the exact
+    # decimal dot by < dim·ulp ≈ 1e-13 relative, so with |nrm·cnrm| >
+    # 1e-3 the cosine gap between any two algebras is < 1e-7 ≪ EPS; a
+    # boundary gap > EPS in the fast ranking therefore pins the same
+    # top-n_probe SET the exact sort would pick (membership is what
+    # matters — callers consume only the exploded cent_id). Ambiguous
+    # rows (gap ≤ EPS, a ~0-probability measure on real embeddings) and
+    # degenerate near-zero norms fall back to the exact tree, so the
+    # output is identical to the pure exact form at a fraction of its
+    # cost — and identical ACROSS strategies.
+    #
+    # expr-path staging (r7): the O(nlist·dim) entry array is ALIASED in
+    # its own projection instead of inlined — higher-order functions run
+    # interpreted (no whole-stage codegen, hence no codegen subexpression
+    # elimination), so every textual reference re-evaluated the full
+    # transform; the earlier inline form referenced it up to 4 times.
+    # CollapseProject keeps the stages separate (it never merges a
+    # non-cheap expression consumed more than once). For n_probe=1 the
+    # argmin is array_min (one O(nlist) pass; struct ordering = (negcos,
+    # pos) = exactly array_sort's head) and ambiguity is an O(nlist)
+    # count of entries within EPS of the min — no O(nlist log nlist)
+    # struct sort in the hot path.
     EPS = 1e-6
 
-    fast_sorted = F.array_sort(_entries(_ddot))
-    if len(cents) > n_probe:
-        gap = (
-            F.element_at(fast_sorted, n_probe + 1)["negcos"]
-            - F.element_at(fast_sorted, n_probe)["negcos"]
-        )
-        unambiguous = (gap > EPS) & (F.col("nrm") * F.lit(min_cnrm) > 1e-3)
-    else:  # every centroid is in the output set — no ranking needed
-        unambiguous = F.lit(True)
-    best = F.when(unambiguous, F.slice(fast_sorted, 1, n_probe)).otherwise(
-        F.slice(F.array_sort(_entries(dot)), 1, n_probe)
+    exact_pos = F.transform(
+        F.slice(F.array_sort(_entries(dot)), 1, n_probe), lambda e: e["pos"]
     )
-    return nd.select(
-        id_col, vec_col, "nrm", F.explode(best).alias("__e")
-    ).select(id_col, vec_col, "nrm", F.col("__e.cent_id").alias("cent_id"))
+    norm_ok = F.col("nrm") * F.lit(min_cnrm) > 1e-3
+    use_arrow = strategy == "arrow" or (
+        strategy == "auto" and len(cents) >= ARROW_ASSIGN_MIN_NLIST
+    )
+    if len(cents) <= n_probe:
+        # every centroid is in the output set — no ranking ambiguity
+        staged = nd
+        best_pos = F.transform(
+            F.array_sort(_entries(_ddot)), lambda e: e["pos"]
+        )
+    elif use_arrow:
+        staged = _arrow_rank(
+            nd, cvec_py, cnrm_py, vec_col, n_probe, min_cnrm, EPS
+        )
+        best_pos = F.coalesce(F.col("__fast_pos"), exact_pos)
+    elif n_probe == 1:
+        staged = nd.select(
+            id_col, vec_col, "nrm", _entries(_ddot).alias("__fent")
+        ).select(
+            id_col, vec_col, "nrm", "__fent",
+            F.array_min("__fent").alias("__m1"),
+        )
+        near = F.size(
+            F.filter(
+                F.col("__fent"),
+                lambda e: e["negcos"] <= F.col("__m1")["negcos"] + F.lit(EPS),
+            )
+        )
+        best_pos = F.when(
+            (near == 1) & norm_ok, F.array(F.col("__m1")["pos"])
+        ).otherwise(exact_pos)
+    else:
+        staged = nd.select(
+            id_col, vec_col, "nrm", _entries(_ddot).alias("__fent")
+        ).select(
+            id_col, vec_col, "nrm",
+            F.array_sort("__fent").alias("__fs"),
+        )
+        gap = (
+            F.element_at(F.col("__fs"), n_probe + 1)["negcos"]
+            - F.element_at(F.col("__fs"), n_probe)["negcos"]
+        )
+        best_pos = F.when(
+            (gap > EPS) & norm_ok,
+            F.transform(F.slice(F.col("__fs"), 1, n_probe), lambda e: e["pos"]),
+        ).otherwise(exact_pos)
+    return staged.select(
+        id_col, vec_col, "nrm", F.explode(best_pos).alias("__pos")
+    ).select(
+        id_col, vec_col, "nrm",
+        F.element_at(lids, F.col("__pos")).alias("cent_id"),
+    )
+
+
+def _arrow_rank(
+    nd: DataFrame,
+    cvec_py: list,
+    cnrm_py: list,
+    vec_col: str,
+    n_probe: int,
+    min_cnrm: float,
+    eps: float,
+) -> DataFrame:
+    """Arrow-batched numpy centroid ranking for :func:`ivf_assign`.
+
+    Appends ``__fast_pos: array<int>`` — the 1-based positions of the
+    row's top-``n_probe`` centroids by (-cosine, position), or NULL when
+    the ranking is boundary-ambiguous (gap ≤ eps between ranks n_probe
+    and n_probe+1, NaN anywhere near the boundary, a degenerate norm, or
+    a NULL vector) so the caller's exact-decimal expression decides.
+    One ``V @ C.T`` float64 matmul per batch; everything else is O(rows ×
+    nlist). ``kind='stable'`` argsort breaks exact ties by position,
+    matching the struct ordering of the expression path."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    C = np.asarray(cvec_py, dtype=np.float64)
+    cn = np.asarray(cnrm_py, dtype=np.float64)
+    out_schema = StructType(
+        list(nd.schema.fields)
+        + [StructField("__fast_pos", ArrayType(IntegerType()))]
+    )
+
+    def rank(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = [None] * n
+            valid = pdf[vec_col].notna().to_numpy()
+            if valid.any():
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][valid]]
+                )
+                nrm = pdf["nrm"].to_numpy(dtype=np.float64)[valid]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    neg = -(V @ C.T) / (nrm[:, None] * cn[None, :])
+                idx = np.argsort(neg, axis=1, kind="stable")
+                s = np.take_along_axis(neg, idx, axis=1)
+                gap = s[:, n_probe] - s[:, n_probe - 1]
+                ok = (gap > eps) & (nrm * min_cnrm > 1e-3)
+                top = idx[:, :n_probe] + 1  # 1-based positions
+                vi = 0
+                for i in range(n):
+                    if valid[i]:
+                        if ok[vi]:
+                            out[i] = top[vi].tolist()
+                        vi += 1
+            yield pdf.assign(__fast_pos=out)
+
+    return nd.mapInPandas(rank, out_schema)
 
 
 def kmeans_refine(

@@ -4446,5 +4446,6 @@ import hbase_taggregator_spark.queries_r3  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r4  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r5  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r6  # noqa: E402,F401
+import hbase_taggregator_spark.queries_r7  # noqa: E402,F401
 
 _apply_gate_window(strict=False)
