@@ -121,9 +121,12 @@ def minhash_signatures(
       identical dedup QUALITY (uniform 60-bit hashes), different hash
       values — never under the DuckDB gate.
     """
+    # internal columns use dunder names and Column-object references (no
+    # F.expr strings) so a caller's id_col can never be captured by an
+    # internal name resolving against the wrong column
     sh = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s"),
+        F.explode(word_shingles(F.col(text_col), n_shingle)).alias("__s"),
     )
     # Kirsch-Mitzenmacher double hashing, h_i = (lo + i*hi) mod 2^60 —
     # k-independent hashing cost from one (md5) or two (xxhash64) base
@@ -141,24 +144,28 @@ def minhash_signatures(
     div = 1 << shrink
     if hash_fn == "md5":
         # md5's first 15 hex digits → lo, next 15 → hi (one digest, two
-        # K-M words — halves the hashing cost vs two salted digests)
+        # K-M words — halves the hashing cost vs two salted digests).
+        # div is a power of two and the conv result is a non-negative
+        # 60-bit value, so shiftright ≡ the oracle's integer `div`.
         based = sh.select(
             id_col,
-            F.md5(F.concat(F.lit("mh#"), F.col("s"))).alias("__m"),
+            F.md5(F.concat(F.lit("mh#"), F.col("__s"))).alias("__m"),
         ).select(
             id_col,
             F.conv(F.substring(F.col("__m"), 1, 15), 16, 10).cast("long").alias("lo"),
-            F.expr(
-                f"CAST(conv(substring(__m, 16, 15), 16, 10) AS BIGINT) div {div}"
+            F.shiftright(
+                F.conv(F.substring(F.col("__m"), 16, 15), 16, 10).cast("long"),
+                shrink,
             ).alias("hi"),
         )
     elif hash_fn == "xxhash64":
         # two seed-salted xxhash64 words, folded into the same ranges
         based = sh.select(
             id_col,
-            F.pmod(F.xxhash64(F.lit("mh-lo"), F.col("s")), F.lit(1 << 60)).alias("lo"),
-            F.expr(
-                f"pmod(xxhash64('mh-hi', s), 1152921504606846976) div {div}"
+            F.pmod(F.xxhash64(F.lit("mh-lo"), F.col("__s")), F.lit(1 << 60)).alias("lo"),
+            F.shiftright(
+                F.pmod(F.xxhash64(F.lit("mh-hi"), F.col("__s")), F.lit(1 << 60)),
+                shrink,
             ).alias("hi"),
         )
     else:

@@ -672,9 +672,13 @@ def source_mixing(
     up to |sources| - 1 rows, so a largest-remainder pass redistributes
     the rounding residual — uncapped sources ranked by fractional
     remainder (ties by group name) each take +1 until the residual is
-    spent. Mass lost to CAPPED sources (target pinned at n_docs) is
-    deliberately NOT reallocated: pushing it onto the uncapped sources
-    would re-weight them away from the requested temperature curve. When
+    spent. The residual is computed as ``budget - sum(floored targets)``,
+    so capped shortfall DOES feed the remainder pool — but each uncapped
+    source can absorb at most its one +1 unit, so at most one rounding
+    unit per uncapped source of capped mass is reallocated; the BULK of
+    the capped shortfall is deliberately left unallocated (pushing it
+    onto the uncapped sources wholesale would re-weight them away from
+    the requested temperature curve). When
     caps bite, ``sum(target_n) < budget``; the undershoot is the capped
     mass minus whatever rounding units the remainder pass could absorb
     (so compute a residual budget as ``budget - sum(target_n)`` from the
