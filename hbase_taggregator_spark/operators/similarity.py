@@ -489,9 +489,12 @@ def _arrow_rank(
     the ranking is boundary-ambiguous (gap ≤ eps between ranks n_probe
     and n_probe+1, NaN anywhere near the boundary, a degenerate norm, or
     a NULL vector) so the caller's exact-decimal expression decides.
-    One ``V @ C.T`` float64 matmul per batch; everything else is O(rows ×
-    nlist). ``kind='stable'`` argsort breaks exact ties by position,
-    matching the struct ordering of the expression path."""
+    One ``V @ C.T`` float64 matmul per batch; ranking is ``argpartition``
+    to the n_probe+1 boundary (O(nlist) per row — a full argsort of
+    thousands of centroids dominated the batch at production nlist)
+    followed by a lexsort of just those candidates on (value, position),
+    so tie order matches the expression path's (negcos, pos) struct
+    ordering."""
     import numpy as np
     import pandas as pd  # noqa: F401  (mapInPandas contract)
 
@@ -516,11 +519,15 @@ def _arrow_rank(
                 nrm = pdf["nrm"].to_numpy(dtype=np.float64)[valid]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     neg = -(V @ C.T) / (nrm[:, None] * cn[None, :])
-                idx = np.argsort(neg, axis=1, kind="stable")
-                s = np.take_along_axis(neg, idx, axis=1)
+                m = n_probe + 1  # boundary candidate rides along for gap
+                part = np.argpartition(neg, m - 1, axis=1)[:, :m]
+                vals = np.take_along_axis(neg, part, axis=1)
+                order = np.lexsort((part, vals), axis=1)
+                cand = np.take_along_axis(part, order, axis=1)
+                s = np.take_along_axis(vals, order, axis=1)
                 gap = s[:, n_probe] - s[:, n_probe - 1]
                 ok = (gap > eps) & (nrm * min_cnrm > 1e-3)
-                top = idx[:, :n_probe] + 1  # 1-based positions
+                top = cand[:, :n_probe] + 1  # 1-based positions
                 vi = 0
                 for i in range(n):
                     if valid[i]:
@@ -1042,10 +1049,19 @@ def semdedup(
     ``.select(F.col(my_id).alias("cent_id"), F.col(my_vec).alias("cvec"))``
     before calling.
 
-    At 1000-executor scale nlist is sized so cells stay ~thousands of
-    vectors (nlist ≈ N / 4096); cell skew is bounded by k-means balance,
-    and a hot cell degrades to that one cell's pair count, not the
-    corpus's. Returns survivors ``(id_col, cent_id)``.
+    At 1000-executor scale nlist is sized so cells stay bounded (a fixed
+    cell size C, nlist = N/C — e.g. C ≈ 4096 at web scale), which makes
+    total pair work N·C/2, LINEAR in the corpus; cell skew is bounded by
+    k-means balance, and a hot cell degrades to that one cell's pair
+    count, not the corpus's. This is a MEASURED operating point, not
+    prose: the ``semdedup_survivors_cellcap`` gate query runs the
+    cell-capped regime across the committed sf1→sf10 decade with an
+    in-cell pair census (`tools/bench_scale_r7.json`: pairs grow ~9.3×
+    per 10× vectors, wall ~10.7×, vs 33.7× pair growth for the isqrt(N)
+    sizing); `queries_r7.py` derives why the fixture-scale cap is 100
+    (N/4096 only binds above N = 4096²). The large-nlist assignment cost
+    this sizing implies is handled by :func:`ivf_assign`'s Arrow
+    strategy. Returns survivors ``(id_col, cent_id)``.
     """
     # The assignment feeds THREE plan branches (both sides of the in-cell
     # self-join plus the survivor anti-join); without materialization Spark
