@@ -1,10 +1,20 @@
 """Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line {"metric", "value", "unit", "queries", "sf"}.
+JSON line {"metric", "value", "unit", "queries", "sf", ...}.
+
+The printed line is deliberately COMPACT (suite totals + the slowest five
+queries + a pointer): every prior round's driver artifact ended up with
+"parsed": null because the full 136-query line outgrew the driver's tail
+capture. The complete per-query dict (sf0.1 + sf1 + ratios + run counts)
+is written by this script itself to $SPARK_GRAFT_BENCH_OUT (default
+tools/bench_local_r7.json).
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect — the number measures the distributed plan, not result
-transfer)."""
+transfer). Timing is min-of-runs: 2 passes over everything, plus a third
+pass for queries under SHORT_QUERY_SEC (min-of-2 let a phantom 68% funnel
+"regression" into the r6 artifact that an isolated min-of-3 A/B showed
+was flat); per-query run counts are recorded in the full artifact."""
 
 from __future__ import annotations
 
@@ -177,6 +187,8 @@ HEADLINE = [
     # round-6: the HBase connector row-shape contract end-to-end (cell
     # synthesis + latest-version pivot + decode + mask + buckets)
     "hbase_rowshape_bucketed_agg",
+    # round-7: SemDeDup at the production cell-capped sizing (nlist ∝ N)
+    "semdedup_survivors_cellcap",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would
@@ -219,7 +231,9 @@ SF1_SUBSET = [
     # (tools/bench_scale_r6.json, sf1→sf10): candidate pairs grow 104×
     # by fixture construction while funnel wall grows 12.7× —
     # ~candidates^0.55, i.e. sub-linear in the quantity that bounds the
-    # shuffle; semdedup's 23.8× sits below its O(N^1.5) 31.6× bound.
+    # shuffle. (Semdedup's r6 23.8× point predates the r7 Arrow
+    # assignment; its current decade evidence lives in
+    # tools/bench_scale_r7.json.)
     "dedup_funnel_survivors",
     "text_repetition_features",
     "similarity_lsh_neardup_pairs",
@@ -235,9 +249,14 @@ SF1_SUBSET = [
     # driven like the funnel) and the boilerplate broadcast-filter pass
     "dedup_incremental_admitted",
     "corpus_clean_boilerplate",
-    # adaptive-nlist SemDeDup: isqrt(N) centroids keep total work
-    # O(N^1.5 d) — measured 1.9x wall for 10x data (5.1s -> 9.5s)
+    # adaptive-nlist SemDeDup (isqrt(N) centroids, O(N^1.5 d) total) plus
+    # the r7 production cell-capped sizing (nlist = N//100, pair work
+    # LINEAR in N) — decade evidence with a measured in-cell pair census
+    # in tools/bench_scale_r7.json: cellcap pairs grow ~9.3x per decade,
+    # wall ~10.7x; isqrt pairs grow 33.7x. Both ride ivf_assign's Arrow
+    # ranking at sf1+ centroid counts (expr path below 128 centroids).
     "semdedup_survivors",
+    "semdedup_survivors_cellcap",
     # round-6: the connector row-shape contract at 10× — cell synthesis
     # (×2-version explode) + rowkey-keyed latest-version pivot shuffle +
     # mask decode + bucketed agg; the pivot shuffle is the scale cost
@@ -261,18 +280,28 @@ def main() -> None:
     # one warm-up pass: JVM/codegen/file-listing costs land here, not in q1
     QUERIES["ts_max_900"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query: the box this runs on shows multi-minute one-off
-    # stalls unrelated to the plans; min-of-runs measures the engine, not
-    # the neighbor
+    # min-of-runs per query: the box this runs on shows multi-minute
+    # one-off stalls unrelated to the plans; min-of-runs measures the
+    # engine, not the neighbor. Queries under SHORT_QUERY_SEC get a third
+    # run — at sub-3s scale two samples are too few to reject one-off
+    # scheduling noise (the r6 phantom funnel regression).
+    SHORT_QUERY_SEC = 3.0
     timings: dict[str, float] = {}
-    for _ in range(2):
-        for name in HEADLINE:
+    run_counts: dict[str, int] = {}
+
+    def _time_pass(names):
+        for name in names:
             if name not in QUERIES:
                 continue
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            run_counts[name] = run_counts.get(name, 0) + 1
+
+    _time_pass(HEADLINE)
+    _time_pass(HEADLINE)
+    _time_pass([n for n, t in timings.items() if t < SHORT_QUERY_SEC])
 
     # --- sf1 section: same engine, 10× the data -------------------------
     # Generated in-repo (testdata is read-only and stops at sf0.1); skipped
@@ -290,8 +319,8 @@ def main() -> None:
             from make_sf1 import generate  # noqa: E402
 
             generate(spark, sf1_dir)
-        for _ in range(2):
-            for name in SF1_SUBSET:
+        def _time_sf1_pass(names):
+            for name in names:
                 if name not in QUERIES:
                     continue
                 t0 = time.time()
@@ -300,6 +329,13 @@ def main() -> None:
                 ).save()
                 dt = round(time.time() - t0, 3)
                 sf1_timings[name] = min(sf1_timings.get(name, dt), dt)
+                run_counts[f"sf1:{name}"] = run_counts.get(f"sf1:{name}", 0) + 1
+
+        _time_sf1_pass(SF1_SUBSET)
+        _time_sf1_pass(SF1_SUBSET)
+        _time_sf1_pass(
+            [n for n, t in sf1_timings.items() if t < SHORT_QUERY_SEC]
+        )
 
     # production-hash comparison: the funnel's dominant cost is the md5
     # signature stage (the oracle-portable contract); hash_fn='xxhash64'
@@ -325,23 +361,53 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             xx_funnel = min(xx_funnel or dt, dt)
 
-    out = {
+    full = {
         "metric": "headline_suite_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "runs_per_query": 2,
+        "runs_per_query": run_counts,
         "aggregation": "min",
+        "short_query_third_run_under_sec": SHORT_QUERY_SEC,
     }
     if sf1_timings:
-        out["sf1_queries"] = sf1_timings
-        out["sf1_total"] = round(sum(sf1_timings.values()), 3)
-        out["sf1_vs_sf01_ratio"] = {
+        full["sf1_queries"] = sf1_timings
+        full["sf1_total"] = round(sum(sf1_timings.values()), 3)
+        full["sf1_vs_sf01_ratio"] = {
             k: round(sf1_timings[k] / timings[k], 2)
             for k in sf1_timings
             if timings.get(k)
         }
+    if xx_funnel is not None:
+        full["sf1_funnel_xxhash64"] = xx_funnel
+
+    # full per-query artifact goes to a file; stdout gets ONE compact line
+    # (totals + slowest five + pointer) that survives the driver's tail
+    # capture — every earlier round recorded "parsed": null because the
+    # full line outgrew it
+    repo_rel = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", f"{repo}/tools/bench_local_r7.json"
+    )
+    with open(repo_rel, "w") as f:
+        json.dump(full, f, indent=1)
+
+    slowest5 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    out = {
+        "metric": "headline_suite_total",
+        "value": full["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": slowest5,
+        "queries_note": f"slowest 5 of {len(timings)}; full per-query dict"
+        f" (+{len(sf1_timings)} sf1 points) in {os.path.relpath(repo_rel, repo)}",
+        "aggregation": "min",
+    }
+    if sf1_timings:
+        out["sf1_total"] = full["sf1_total"]
     if xx_funnel is not None:
         out["sf1_funnel_xxhash64"] = xx_funnel
     print(json.dumps(out))
