@@ -188,9 +188,17 @@ def main() -> None:
             out["sf10"][name] / out["sf1"][name], 2
         )
     out["note"] = (
-        "10x rows per step; wall ratios well under 10 indicate the "
-        "candidate-bounded / adaptive-nlist designs amortize across the "
-        "second decade too (32 local threads, single JVM)"
+        "10x rows per step. Read each wall ratio against the quantity "
+        "that BOUNDS the query, not raw row count (candidate_census "
+        "below): the funnel/lsh families are candidate-pair-bound and "
+        "the census pairs grow ~100x per decade by fixture construction "
+        "(near-duplicate cliques), so funnel 12.7x / lsh_neardup 12.45x "
+        "wall for ~100x pairs is ~candidates^0.55 — sub-linear in the "
+        "bound; semdedup's isqrt(N) sizing is O(N^1.5), so its 23.8x "
+        "sits under the 31.6x bound (the cell-capped production sizing "
+        "is measured separately in bench_scale_r7.json); the remaining "
+        "queries are row-bound and land at 0.7-7.4x. 32 local threads, "
+        "single JVM."
     )
     with open(f"{REPO}/tools/bench_scale_r6.json", "w") as f:
         json.dump(out, f, indent=1)
