@@ -4351,74 +4351,75 @@ _register(
     """,
 )
 # ---------------------------------------------------------------------------
-# Driver gate window (round 6): the driver records CORRECTNESS rows for the
-# FIRST 50 catalog entries, so this list is rotated per round. r6 priority:
-# the new HBase row-shape gate query (the last SURVEY §2.1 seam without a
-# driver row), every query whose implementation or oracle changed this
-# round (injective skew keys + distributed top-k, source-mixing
-# largest-remainder, pagerank key-type generalization + pinned reuse,
-# semdedup persist, the minhash hash_fn pass-through), then the ENTIRE
-# 40-query block whose last driver gate was r1/r2 (the stalest rows in the
-# catalog — this rotation refreshes all of them at once) and two r3
-# representatives. Every query pushed out is green in CORRECTNESS_r03-r05
-# and the round-6 full-catalog oracle log.
+# Driver gate window (round 7): the driver records CORRECTNESS rows for the
+# FIRST 50 catalog entries, so this list is rotated per round. r7 priority:
+# the new cell-capped SemDeDup gate query (the production-sizing evidence,
+# VERDICT r6 task #2), every query whose implementation changed this round
+# (pagerank checkpoint-only pinning; the ivf_assign strategy split touching
+# both semdedup variants and the three recall gates; the minhash internal-
+# name/shiftright rewrite touching the three minhash-family queries), then
+# the stale r3 block (the 38 queries last driver-gated in round 3, minus
+# the two already re-gated in the r6 window) and the five oldest r4-gated
+# queries to complete the 50. Every query pushed out is green in
+# CORRECTNESS_r03-r05, the judge's r6 full-catalog run, and this round's
+# full-catalog oracle log (tools/oracle_full_r7.log).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # new this round (r6) — first driver row for the connector row-shape
-    # contract: cells → latest-version pivot → decode → mask → buckets
-    "hbase_rowshape_bucketed_agg",
-    # implementation or oracle changed this round — re-gate first
-    "profile_skew_report",
-    "corpus_source_mixing",
+    # new this round (r7) — SemDeDup at the production operating point
+    "semdedup_survivors_cellcap",
+    # implementation changed this round — re-gate first
     "graph_pagerank_suppliers",
     "semdedup_survivors",
+    "similarity_ivf_recall_at_5",
+    "similarity_ivf_kmeans_recall_at_5",
+    "similarity_pq_recall_at_5",
     "dedup_minhash_lsh_candidates",
     "dedup_funnel_survivors",
     "dedup_incremental_admitted",
-    # the full stale block: every query last driver-gated in r1/r2
-    "ts_min_900",
-    "ts_sum_900",
-    "ts_avg_900",
-    "ts_count_900",
-    "ts_avg_900_odd_start",
-    "ts_multi_verb_28800",
-    "ts_grouped_by_type_86400",
-    "ts_count_900_gapfilled",
-    "sliding_window_1h_15m",
-    "session_windows_6h_per_user",
-    "rowkey_range_scan",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "window_topk_parts_per_brand",
-    "window_running_order_total",
-    "window_lag_user_gaps",
-    "rollup_order_status_priority",
-    "cube_returnflag_linestatus",
-    "setops_purchase_error_users",
-    "semi_anti_customer_orders",
-    "distinct_counts_lineitem",
-    "approx_distinct_lineitem",
-    "multiversion_latest_2_per_user",
-    "asof_purchase_to_click",
-    "text_language_id",
-    "text_fingerprint_tokens",
-    "dedup_exact",
-    "similarity_cosine_topk",
-    "similarity_neardup_pairs",
-    "similarity_ann_lsh_topk",
-    "streaming_ts_count_max_3600",
-    "streaming_stateful_running_extrema",
-    "pivot_event_type_daily",
-    "scalar_functions_showcase",
-    "date_functions_orders",
-    "correlated_above_avg_balance",
-    # two r3-gated representatives complete the 50
-    "argmax_event_per_type",
-    "asof_nearest_click",
+    # the stale r3 block: every query last driver-gated in round 3 except
+    # argmax_event_per_type / asof_nearest_click (re-gated in the r6 window)
+    "ts_resample_interpolate_7200",
+    "corpus_pipeline_stats",
+    "percentiles_per_event_type",
+    "stats_moments_per_type",
+    "ts_ewma_smoothed_3600",
+    "streaming_dedup_exact",
+    "q2_min_cost_supplier",
+    "funnel_click_to_purchase_1h",
+    "interval_overlap_regimes_sessions",
+    "histogram_value_25",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "streaming_static_join_segments",
+    "streaming_stream_join_pairs",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q15_top_supplier",
+    "q20_potential_promotions",
+    "multimodal_decode_headers",
+    "dedup_exact_survivor_rows",
+    "dedup_jaccard_df_capped",
+    "ts_rollup_hourly_to_daily",
+    "streaming_dedup_within_watermark",
+    "ts_time_weighted_avg_21600",
+    "ts_counter_rate_21600",
+    "merge_upsert_customers",
+    "text_top_terms_per_lang",
+    "layout_zorder_values",
+    "streaming_continuous_rollup",
+    "multimodal_frame_sample",
+    "bloom_runtime_filter_orders",
+    "sketch_count_min_estimates",
+    "udaf_weighted_mean_cents",
+    "ts_linear_trend_per_type",
+    "ts_rollup_incremental_merge",
+    # five oldest r4-gated queries complete the 50
+    "multimodal_decode_pixels",
+    "sketch_kmv_distinct_users",
+    "sketch_kmv_set_ops_users",
+    "sketch_kmv_grouped_distinct",
+    "ts_qualifier_offset_900",
 ]
 
 

@@ -1,7 +1,12 @@
 """Plan audit: dump scale-relevant physical-plan properties for every
-catalog query at sf0.001 (plan shape is sf-independent) — the evidence
-file behind the 100 TB design claims: Python-eval node count (0 on hot
-paths), exchange counts, broadcast-join usage, and parquet pushdown.
+catalog query at sf0.001 (plan shape is sf-independent, with one
+DECLARED exception as of r7: ivf_assign's auto strategy switches from
+the pure-JVM expression argmax to an Arrow/MapInPandas numpy ranking at
+>= 128 centroids, so the semdedup queries — whose nlist grows with the
+corpus — carry one additional declared Arrow boundary at sf1+ that this
+sf0.001 audit shows in the expr form) — the evidence file behind the
+100 TB design claims: Python-eval node count (0 on hot paths), exchange
+counts, broadcast-join usage, and parquet pushdown.
 
 Usage: python tools/plan_audit.py [sf_dir] > tools/plan_audit_r3.txt
 """
