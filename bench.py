@@ -189,6 +189,8 @@ HEADLINE = [
     "hbase_rowshape_bucketed_agg",
     # round-7: SemDeDup at the production cell-capped sizing (nlist ∝ N)
     "semdedup_survivors_cellcap",
+    # round-7: Lee-et-al cross-document repeated-substring dedup
+    "corpus_dedup_repeated_substrings",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would
@@ -249,6 +251,10 @@ SF1_SUBSET = [
     # driven like the funnel) and the boilerplate broadcast-filter pass
     "dedup_incremental_admitted",
     "corpus_clean_boilerplate",
+    # round-7: Lee-et-al repeated-substring dedup at 10× — positional
+    # gram explode + fingerprint-keyed dup aggregate + doc-keyed
+    # span-merge/reassembly; cost tracks total tokens + dup density
+    "corpus_dedup_repeated_substrings",
     # adaptive-nlist SemDeDup (isqrt(N) centroids, O(N^1.5 d) total) plus
     # the r7 production cell-capped sizing (nlist = N//100, pair work
     # LINEAR in N) — decade evidence with a measured in-cell pair census

@@ -933,3 +933,140 @@ def dedup_doc_segments(
         F.size(arr).cast("long").alias("n_segments"),
         (F.size(arr) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def dedup_repeated_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """CROSS-document repeated-substring removal — the token-window dedup
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (arXiv:2107.06499), re-expressed relationally: any run of
+    ``k`` consecutive tokens that occurs more than once ANYWHERE in the
+    corpus (other documents or elsewhere in the same document) is
+    removed from every occurrence except the globally first one.
+
+    This is the third member of the segment-dedup family and covers what
+    the other two cannot: :func:`dedup_doc_segments` is intra-document
+    and delimiter-bound; :func:`remove_boilerplate` drops whole segments
+    only when they repeat across ``min_docs`` DISTINCT documents. Neither
+    catches a paragraph pasted twice into two documents mid-sentence —
+    token windows do, with no delimiter assumption.
+
+    Semantics (exact, oracle-restatable):
+
+    - tokens = lowercased whitespace split (the catalog-wide
+      :func:`tokens` convention); positions are 1-based.
+    - every k-gram occurrence ``(doc, p)`` is fingerprinted with md5 over
+      the space-joined window — the same engine-portable fingerprint
+      contract as ``dedup.exact_dedup`` (a collision could merge two
+      distinct windows; md5's 128 bits make that negligible and the
+      oracle shares the identical contract).
+    - the globally FIRST occurrence of each duplicated fingerprint is
+      ``min(struct(doc, p))`` — lexicographic, deterministic.
+    - COVER rule: a token survives iff no duplicated NON-FIRST occurrence
+      window covers it. Tokens of a first occurrence therefore survive
+      unless an overlapping different duplicated window covers them —
+      cover semantics remove at least as much as the paper's
+      maximal-match formulation and need no suffix array.
+    - output text is the NORMALIZED rejoin (lowercased, single-spaced) —
+      the same contract as every text operator here.
+
+    Physical shape at 100 TB: one map-side projection explodes ~one gram
+    per token (positional, NOT distinct — positions matter); one
+    partial-aggregated shuffle on fingerprint finds duplicated grams and
+    their first occurrences; duplicated fingerprints (a small minority on
+    real corpora — Lee et al. measure ~3% of tokens) join back against
+    the gram stream (AQE broadcasts the dup side when it fits, and its
+    skew-join splitter bounds a hot fingerprint — a boilerplate line
+    repeated millions of times lands in ONE aggregate row, not a
+    quadratic bucket, because the stats side is count+min, never
+    pair-expanded); span merge + reassembly are one doc-keyed shuffle
+    reused across the window, the groupBy, and the join. Everything else
+    is array higher-order functions at scan speed. k is the recall knob:
+    50 tokens in the paper's setting; 8 here so fixture-scale documents
+    (tens of tokens) exercise the path.
+
+    Output: (id_col, text_clean, n_tokens, n_removed), one row per input
+    document, n_* as long.
+    """
+    from pyspark.sql import Window
+
+    from hbase_taggregator_spark.util import ensure_parallelism
+
+    base = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+    )
+    nt = F.size(F.col("__tk"))
+    # sequence(1, 0) would yield a DESCENDING [1, 0] — short docs must
+    # short-circuit to an empty gram set (same guard as word_shingles)
+    idx = F.when(nt >= k, F.sequence(F.lit(1), nt - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    occ = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                idx,
+                lambda p: F.struct(
+                    p.alias("p"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(F.col("__tk"), p, k))
+                    ).alias("fp"),
+                ),
+            )
+        ).alias("__g"),
+    ).select(id_col, F.col("__g.p").alias("__p"), F.col("__g.fp").alias("__fp"))
+    # duplicated fingerprints only: count + lexicographic first — partial
+    # aggregation collapses a hot fingerprint map-side; non-duplicated
+    # grams (the vast majority) never reach the join
+    stats = (
+        occ.groupBy("__fp")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct(F.col(id_col), F.col("__p"))).alias("__f"),
+        )
+        .filter(F.col("__c") >= 2)
+    )
+    dup = (
+        occ.join(stats, "__fp")
+        .filter(F.struct(F.col(id_col), F.col("__p")) != F.col("__f"))
+        .select(id_col, "__p")
+    )
+    # merge covered spans per doc (equal window lengths: islands break
+    # exactly when the next start clears the previous start by > k)
+    w = Window.partitionBy(id_col).orderBy("__p")
+    islands = dup.withColumn(
+        "__brk",
+        F.when(F.col("__p") > F.lag("__p").over(w) + k, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn("__grp", F.sum("__brk").over(w))
+    spans = islands.groupBy(id_col, "__grp").agg(
+        F.min("__p").alias("s"), (F.max("__p") + (k - 1)).alias("e")
+    )
+    iv = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("__iv")
+    )
+    withidx = F.transform(
+        F.col("__tk"), lambda t, i: F.struct(t.alias("t"), (i + 1).alias("q"))
+    )
+    ivc = F.coalesce(
+        F.col("__iv"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    kept = F.filter(
+        withidx,
+        lambda x: ~F.exists(
+            ivc, lambda v: (v["s"] <= x["q"]) & (x["q"] <= v["e"])
+        ),
+    )
+    return base.join(iv, id_col, "left").select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda x: x["t"])).alias(
+            "text_clean"
+        ),
+        nt.cast("long").alias("n_tokens"),
+        (nt - F.size(kept)).cast("long").alias("n_removed"),
+    )

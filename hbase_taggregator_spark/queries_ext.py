@@ -4353,20 +4353,23 @@ _register(
 # ---------------------------------------------------------------------------
 # Driver gate window (round 7): the driver records CORRECTNESS rows for the
 # FIRST 50 catalog entries, so this list is rotated per round. r7 priority:
-# the new cell-capped SemDeDup gate query (the production-sizing evidence,
-# VERDICT r6 task #2), every query whose implementation changed this round
-# (pagerank checkpoint-only pinning; the ivf_assign strategy split touching
-# both semdedup variants and the three recall gates; the minhash internal-
+# the two NEW queries (the cell-capped SemDeDup production-sizing evidence,
+# VERDICT r6 task #2, and the Lee-et-al cross-document repeated-substring
+# dedup), every query whose implementation changed this round (pagerank
+# checkpoint-only pinning; the ivf_assign strategy split touching both
+# semdedup variants and the three recall gates; the minhash internal-
 # name/shiftright rewrite touching the three minhash-family queries), then
 # the stale r3 block (the 38 queries last driver-gated in round 3, minus
-# the two already re-gated in the r6 window) and the five oldest r4-gated
+# the two already re-gated in the r6 window) and the four oldest r4-gated
 # queries to complete the 50. Every query pushed out is green in
 # CORRECTNESS_r03-r05, the judge's r6 full-catalog run, and this round's
 # full-catalog oracle log (tools/oracle_full_r7.log).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # new this round (r7) — SemDeDup at the production operating point
+    # new this round (r7) — SemDeDup at the production operating point,
+    # then the Lee-et-al cross-document repeated-substring dedup
     "semdedup_survivors_cellcap",
+    "corpus_dedup_repeated_substrings",
     # implementation changed this round — re-gate first
     "graph_pagerank_suppliers",
     "semdedup_survivors",
@@ -4414,12 +4417,11 @@ _GATE_WINDOW = [
     "udaf_weighted_mean_cents",
     "ts_linear_trend_per_type",
     "ts_rollup_incremental_merge",
-    # five oldest r4-gated queries complete the 50
+    # four oldest r4-gated queries complete the 50
     "multimodal_decode_pixels",
     "sketch_kmv_distinct_users",
     "sketch_kmv_set_ops_users",
     "sketch_kmv_grouped_distinct",
-    "ts_qualifier_offset_900",
 ]
 
 

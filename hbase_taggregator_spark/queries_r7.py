@@ -97,6 +97,63 @@ _register(
 )
 
 
+#: k-gram window for the repeated-substring gate query — 8 so the
+#: fixture documents (tens of tokens) actually contain duplicated
+#: windows; the paper setting is 50 (see the operator docstring)
+SUBSTR_K = 8
+
+
+def _q_dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al cross-document repeated-substring removal over the
+    documents table (arXiv:2107.06499 re-expressed relationally): every
+    duplicated k-token window loses all occurrences except the globally
+    first; output is the cleaned normalized text with removal counts.
+    The oracle restates the FULL algebra — positional gram explode,
+    md5 fingerprints, lexicographic first-occurrence, cover rule,
+    ordered rejoin."""
+    from hbase_taggregator_spark.operators.text import (
+        dedup_repeated_substrings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_repeated_substrings(docs, k=SUBSTR_K).orderBy("doc_id")
+
+
+_register(
+    "corpus_dedup_repeated_substrings",
+    _q_dedup_repeated_substrings,
+    rf"""
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), '\s+') AS tk
+               FROM documents),
+    occ AS (SELECT doc_id, unnest(range(1, len(tk) - {SUBSTR_K} + 2)) AS p, tk
+            FROM t WHERE len(tk) >= {SUBSTR_K}),
+    g AS (SELECT doc_id, p,
+                 md5(array_to_string(tk[p:p+{SUBSTR_K - 1}], ' ')) AS fp
+          FROM occ),
+    st AS (SELECT fp, count(*) AS c, min({{'d': doc_id, 'p': p}}) AS f
+           FROM g GROUP BY fp),
+    dup AS (
+      SELECT g.doc_id, g.p FROM g JOIN st USING (fp)
+      WHERE st.c >= 2 AND NOT (g.doc_id = st.f.d AND g.p = st.f.p)),
+    tok AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS q, tk FROM t),
+    kept AS (
+      SELECT tok.doc_id, tok.tk[tok.q] AS tkn, tok.q FROM tok
+      WHERE NOT EXISTS (SELECT 1 FROM dup d
+                        WHERE d.doc_id = tok.doc_id
+                          AND d.p BETWEEN tok.q - {SUBSTR_K - 1} AND tok.q)),
+    agg AS (SELECT doc_id, string_agg(tkn, ' ' ORDER BY q) AS text_clean,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(agg.text_clean, '') AS text_clean,
+           len(t.tk) AS n_tokens,
+           len(t.tk) - COALESCE(agg.n_kept, 0) AS n_removed
+    FROM t LEFT JOIN agg USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+
+
 # re-apply the gate-window ordering now that round-7 queries are
 # registered (tolerant on every import path, same as queries_r3..r6 —
 # whichever module finishes last sees the full catalog).
