@@ -120,3 +120,36 @@ def lttb_reference(
         prev = best
     idx.append(n - 1)
     return [pts[i] for i in idx]
+
+
+def repeated_substring_reference(
+    docs: list[tuple[int, str]], k: int
+) -> dict[int, tuple[str, int, int]]:
+    """Pure-Python reference for
+    ``text.dedup_repeated_substrings`` (Lee et al. arXiv:2107.06499
+    cover semantics): lowercased whitespace tokens, positional k-gram
+    occurrences compared by CONTENT (no hashing — the md5 fingerprint in
+    the operator stands in for exact window equality), lexicographic
+    (doc, p) first occurrence kept, every other occurrence's [p, p+k-1]
+    window removed. Returns {doc_id: (text_clean, n_tokens, n_removed)}.
+    """
+    import re
+    from collections import defaultdict
+
+    toks = {d: re.split(r"\s+", t.strip().lower()) for d, t in docs}
+    by: dict[tuple, list[tuple[int, int]]] = defaultdict(list)
+    for d, tk in toks.items():
+        for p in range(1, len(tk) - k + 2):
+            by[tuple(tk[p - 1 : p - 1 + k])].append((d, p))
+    covered: dict[int, set[int]] = defaultdict(set)
+    for lst in by.values():
+        if len(lst) >= 2:
+            first = min(lst)
+            for d, p in lst:
+                if (d, p) != first:
+                    covered[d].update(range(p, p + k))
+    out = {}
+    for d, tk in toks.items():
+        kept = [t for i, t in enumerate(tk, 1) if i not in covered[d]]
+        out[d] = (" ".join(kept), len(tk), len(tk) - len(kept))
+    return out

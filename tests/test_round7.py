@@ -304,3 +304,42 @@ def test_repeated_substrings_cover_rule_overlap(spark):
     assert got[1] == ("p q r s", 0)
     assert got[2] == ("t", 4)
     assert got[3] == ("", 4)
+
+
+# --- property: operator ≡ pure-Python reference on random corpora ----------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _doc_strategy = st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(texts=_doc_strategy)
+    def test_repeated_substrings_matches_reference(spark, texts):
+        """Random tiny-alphabet corpora (dense with repeated windows by
+        construction) must agree exactly with the pure-Python reference
+        implementation of the cover semantics."""
+        from hbase_taggregator_spark.operators.text import (
+            dedup_repeated_substrings,
+        )
+        from tests.reference_sim import repeated_substring_reference
+
+        docs = list(enumerate(texts, 1))
+        want = repeated_substring_reference(docs, k=3)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+            for r in dedup_repeated_substrings(df, k=3).collect()
+        }
+        assert got == want
