@@ -259,7 +259,7 @@ SF1_SUBSET = [
     # the r7 production cell-capped sizing (nlist = N//100, pair work
     # LINEAR in N) — decade evidence with a measured in-cell pair census
     # in tools/bench_scale_r7.json: cellcap pairs grow ~9.3x per decade,
-    # wall ~10.7x; isqrt pairs grow 33.7x. Both ride ivf_assign's Arrow
+    # wall ~9.1x; isqrt pairs grow 33.7x. Both ride ivf_assign's Arrow
     # ranking at sf1+ centroid counts (expr path below 128 centroids).
     "semdedup_survivors",
     "semdedup_survivors_cellcap",

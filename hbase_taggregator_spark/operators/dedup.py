@@ -121,9 +121,12 @@ def minhash_signatures(
       identical dedup QUALITY (uniform 60-bit hashes), different hash
       values — never under the DuckDB gate.
     """
-    # internal columns use dunder names and Column-object references (no
-    # F.expr strings) so a caller's id_col can never be captured by an
-    # internal name resolving against the wrong column
+    # ALL internal columns use dunder names (__s, __m, __lo, __hi,
+    # __h{i}) and Column-object references (no F.expr strings) so a
+    # caller's id_col can never be captured by an internal name
+    # resolving against the wrong column; the m0..m{k-1} OUTPUT columns
+    # are the public signature schema, the one namespace a caller's
+    # id_col must avoid
     sh = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), n_shingle)).alias("__s"),
@@ -152,33 +155,33 @@ def minhash_signatures(
             F.md5(F.concat(F.lit("mh#"), F.col("__s"))).alias("__m"),
         ).select(
             id_col,
-            F.conv(F.substring(F.col("__m"), 1, 15), 16, 10).cast("long").alias("lo"),
+            F.conv(F.substring(F.col("__m"), 1, 15), 16, 10).cast("long").alias("__lo"),
             F.shiftright(
                 F.conv(F.substring(F.col("__m"), 16, 15), 16, 10).cast("long"),
                 shrink,
-            ).alias("hi"),
+            ).alias("__hi"),
         )
     elif hash_fn == "xxhash64":
         # two seed-salted xxhash64 words, folded into the same ranges
         based = sh.select(
             id_col,
-            F.pmod(F.xxhash64(F.lit("mh-lo"), F.col("__s")), F.lit(1 << 60)).alias("lo"),
+            F.pmod(F.xxhash64(F.lit("mh-lo"), F.col("__s")), F.lit(1 << 60)).alias("__lo"),
             F.shiftright(
                 F.pmod(F.xxhash64(F.lit("mh-hi"), F.col("__s")), F.lit(1 << 60)),
                 shrink,
-            ).alias("hi"),
+            ).alias("__hi"),
         )
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     hashed = based.select(
         id_col,
         *[
-            ((F.col("lo") + F.lit(i) * F.col("hi")) % F.lit(1 << 60)).alias(f"h{i}")
+            ((F.col("__lo") + F.lit(i) * F.col("__hi")) % F.lit(1 << 60)).alias(f"__h{i}")
             for i in range(k)
         ],
     )
     return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
+        *[F.min(f"__h{i}").alias(f"m{i}") for i in range(k)]
     )
 
 

@@ -487,8 +487,12 @@ def _arrow_rank(
     Appends ``__fast_pos: array<int>`` — the 1-based positions of the
     row's top-``n_probe`` centroids by (-cosine, position), or NULL when
     the ranking is boundary-ambiguous (gap ≤ eps between ranks n_probe
-    and n_probe+1, NaN anywhere near the boundary, a degenerate norm, or
-    a NULL vector) so the caller's exact-decimal expression decides.
+    and n_probe+1, NaN anywhere near the boundary, a degenerate norm, a
+    NULL vector, or a vector whose length differs from the centroid
+    dimension — ragged rows would break ``np.stack``, and the expr path
+    resolves them through its null-padded exact tree, so routing them to
+    the same fallback keeps the strategies output-identical) so the
+    caller's exact-decimal expression decides.
     One ``V @ C.T`` float64 matmul per batch; ranking is ``argpartition``
     to the n_probe+1 boundary (O(nlist) per row — a full argsort of
     thousands of centroids dominated the batch at production nlist)
@@ -511,7 +515,19 @@ def _arrow_rank(
         for pdf in batches:
             n = len(pdf)
             out = [None] * n
-            valid = pdf[vec_col].notna().to_numpy()
+            dim = C.shape[1]
+            # null OR length-mismatched vectors stay NULL (exact
+            # fallback) — np.stack requires a rectangular batch
+            notna = pdf[vec_col].notna().to_numpy()
+            vals = pdf[vec_col].to_numpy()
+            valid = np.fromiter(
+                (
+                    bool(notna[i]) and len(vals[i]) == dim
+                    for i in range(n)
+                ),
+                dtype=bool,
+                count=n,
+            )
             if valid.any():
                 V = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][valid]]
@@ -1057,7 +1073,7 @@ def semdedup(
     prose: the ``semdedup_survivors_cellcap`` gate query runs the
     cell-capped regime across the committed sf1→sf10 decade with an
     in-cell pair census (`tools/bench_scale_r7.json`: pairs grow ~9.3×
-    per 10× vectors, wall ~10.7×, vs 33.7× pair growth for the isqrt(N)
+    per 10× vectors, wall ~9.1×, vs 33.7× pair growth for the isqrt(N)
     sizing); `queries_r7.py` derives why the fixture-scale cap is 100
     (N/4096 only binds above N = 4096²). The large-nlist assignment cost
     this sizing implies is handled by :func:`ivf_assign`'s Arrow

@@ -102,3 +102,47 @@ def _minhash_band_ctes(k: int = 16, bands: int = 4) -> str:
     sh AS (SELECT doc_id, {_SQL_SHINGLES3} AS shingles FROM t),
     sig AS (SELECT doc_id, {mins} FROM sh WHERE len(shingles) > 0),
     bands AS ({band_rows})"""
+
+
+def _semdedup_sql(nlist_sql: str, threshold: float = 0.42) -> str:
+    """SemDeDup restated relationally, parameterized by the centroid
+    SIZING expression only (`nlist_sql` — a scalar SELECT body over the
+    embeddings table): decimal-exact centroid cosines, deterministic
+    (ccos DESC, cent_id) assignment, in-cell pairwise cosines, drop-the-
+    larger-id rule. Both sizing gates (`semdedup_survivors` isqrt(N),
+    `semdedup_survivors_cellcap` N//cap) share this one copy so the drop
+    algebra can never diverge between them."""
+    return f"""
+    WITH {_SQL_E},
+    nl AS (SELECT {nlist_sql} AS nlist FROM embeddings),
+    cd AS (
+      SELECT v.vec_id, c.vec_id AS cent_id,
+             CAST(SUM(CAST(v.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS cdot
+      FROM e v JOIN e c ON v.i = c.i AND c.vec_id < (SELECT nlist FROM nl)
+      GROUP BY 1, 2),
+    cscore AS (
+      SELECT cd.vec_id, cent_id, cdot / (nv.nrm * nc.nrm) AS ccos
+      FROM cd JOIN norms nv ON nv.vec_id = cd.vec_id
+              JOIN norms nc ON nc.vec_id = cent_id),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cent_id) AS rk
+        FROM cscore) WHERE rk = 1),
+    pd AS (
+      SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
+             CAST(SUM(CAST(va.v * vb.v AS DECIMAL(18,12))) AS DOUBLE) AS pdot
+      FROM assign aa JOIN assign bb
+        ON aa.cent_id = bb.cent_id AND aa.vec_id < bb.vec_id
+      JOIN e va ON va.vec_id = aa.vec_id
+      JOIN e vb ON vb.vec_id = bb.vec_id AND va.i = vb.i
+      GROUP BY 1, 2),
+    dups AS (
+      SELECT DISTINCT id_b FROM pd
+      JOIN norms na ON na.vec_id = id_a
+      JOIN norms nb ON nb.vec_id = id_b
+      WHERE pdot / (na.nrm * nb.nrm) >= {threshold})
+    SELECT a.vec_id, a.cent_id FROM assign a
+    WHERE a.vec_id NOT IN (SELECT id_b FROM dups)
+    ORDER BY a.vec_id
+    """

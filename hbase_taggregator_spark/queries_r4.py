@@ -148,9 +148,9 @@ _register(
 # ---------------------------------------------------------------------------
 
 from hbase_taggregator_spark.oracle_fragments import (  # noqa: E402
-    _SQL_E,
     _SQL_SHINGLES5,
     _SQL_TOKENS,
+    _semdedup_sql,
     _simhash_sql,
 )
 
@@ -180,41 +180,10 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "semdedup_survivors",
     _q_semdedup,
-    f"""
-    WITH {_SQL_E},
-    nl AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS nlist
-           FROM embeddings),
-    cd AS (
-      SELECT v.vec_id, c.vec_id AS cent_id,
-             CAST(SUM(CAST(v.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS cdot
-      FROM e v JOIN e c ON v.i = c.i AND c.vec_id < (SELECT nlist FROM nl)
-      GROUP BY 1, 2),
-    cscore AS (
-      SELECT cd.vec_id, cent_id, cdot / (nv.nrm * nc.nrm) AS ccos
-      FROM cd JOIN norms nv ON nv.vec_id = cd.vec_id
-              JOIN norms nc ON nc.vec_id = cent_id),
-    assign AS (
-      SELECT vec_id, cent_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY ccos DESC, cent_id) AS rk
-        FROM cscore) WHERE rk = 1),
-    pd AS (
-      SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
-             CAST(SUM(CAST(va.v * vb.v AS DECIMAL(18,12))) AS DOUBLE) AS pdot
-      FROM assign aa JOIN assign bb
-        ON aa.cent_id = bb.cent_id AND aa.vec_id < bb.vec_id
-      JOIN e va ON va.vec_id = aa.vec_id
-      JOIN e vb ON vb.vec_id = bb.vec_id AND va.i = vb.i
-      GROUP BY 1, 2),
-    dups AS (
-      SELECT DISTINCT id_b FROM pd
-      JOIN norms na ON na.vec_id = id_a
-      JOIN norms nb ON nb.vec_id = id_b
-      WHERE pdot / (na.nrm * nb.nrm) >= 0.42)
-    SELECT a.vec_id, a.cent_id FROM assign a
-    WHERE a.vec_id NOT IN (SELECT id_b FROM dups)
-    ORDER BY a.vec_id
-    """,
+    # one shared algebra, parameterized by sizing only (oracle_fragments)
+    _semdedup_sql(
+        "GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))"
+    ),
 )
 
 

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hbase_taggregator_spark.oracle_fragments import _SQL_E
+from hbase_taggregator_spark.oracle_fragments import _semdedup_sql
 from hbase_taggregator_spark.queries import _register, load_table
 
 #: fixture-scale cell cap (see module docstring for why not 4096)
@@ -59,41 +59,9 @@ def _q_semdedup_cellcap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "semdedup_survivors_cellcap",
     _q_semdedup_cellcap,
-    f"""
-    WITH {_SQL_E},
-    nl AS (SELECT GREATEST(16, COUNT(*) // {SEMDEDUP_CELL_CAP}) AS nlist
-           FROM embeddings),
-    cd AS (
-      SELECT v.vec_id, c.vec_id AS cent_id,
-             CAST(SUM(CAST(v.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS cdot
-      FROM e v JOIN e c ON v.i = c.i AND c.vec_id < (SELECT nlist FROM nl)
-      GROUP BY 1, 2),
-    cscore AS (
-      SELECT cd.vec_id, cent_id, cdot / (nv.nrm * nc.nrm) AS ccos
-      FROM cd JOIN norms nv ON nv.vec_id = cd.vec_id
-              JOIN norms nc ON nc.vec_id = cent_id),
-    assign AS (
-      SELECT vec_id, cent_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY ccos DESC, cent_id) AS rk
-        FROM cscore) WHERE rk = 1),
-    pd AS (
-      SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
-             CAST(SUM(CAST(va.v * vb.v AS DECIMAL(18,12))) AS DOUBLE) AS pdot
-      FROM assign aa JOIN assign bb
-        ON aa.cent_id = bb.cent_id AND aa.vec_id < bb.vec_id
-      JOIN e va ON va.vec_id = aa.vec_id
-      JOIN e vb ON vb.vec_id = bb.vec_id AND va.i = vb.i
-      GROUP BY 1, 2),
-    dups AS (
-      SELECT DISTINCT id_b FROM pd
-      JOIN norms na ON na.vec_id = id_a
-      JOIN norms nb ON nb.vec_id = id_b
-      WHERE pdot / (na.nrm * nb.nrm) >= 0.42)
-    SELECT a.vec_id, a.cent_id FROM assign a
-    WHERE a.vec_id NOT IN (SELECT id_b FROM dups)
-    ORDER BY a.vec_id
-    """,
+    # same shared drop algebra as semdedup_survivors (oracle_fragments.
+    # _semdedup_sql) — only the sizing expression differs
+    _semdedup_sql(f"GREATEST(16, COUNT(*) // {SEMDEDUP_CELL_CAP})"),
 )
 
 

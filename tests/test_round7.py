@@ -15,11 +15,13 @@ SF = "/root/testdata/sf0.001"
 # --- minhash: internal column names cannot capture a caller's id_col -------
 
 
-def test_minhash_id_col_named_s_not_captured(spark):
-    """r6 ADVICE: the signature builder used expression strings that
-    referenced the internal shingle column 's' literally — a caller
-    whose id column is named 's' collided with it. Signatures must be
-    identical to the same data under an innocuous id name."""
+@pytest.mark.parametrize("clash_name", ["s", "lo", "hi", "h0"])
+def test_minhash_id_col_clashing_names_not_captured(spark, clash_name):
+    """r6 ADVICE (completed r7): every internal column of the signature
+    builder is dunder-named ('s' was the r6 fix; 'lo'/'hi'/'h{i}' were
+    still capturable after it). A caller id column using any of those
+    names must produce signatures identical to the same data under an
+    innocuous id name."""
     from hbase_taggregator_spark.operators.dedup import minhash_signatures
 
     rows = [
@@ -27,7 +29,7 @@ def test_minhash_id_col_named_s_not_captured(spark):
         (2, "another document with distinct words entirely"),
     ]
     plain = spark.createDataFrame(rows, "doc_id long, text string")
-    clash = spark.createDataFrame(rows, "s long, text string")
+    clash = spark.createDataFrame(rows, f"{clash_name} long, text string")
     for fn in ("md5", "xxhash64"):
         want = sorted(
             tuple(r) for r in minhash_signatures(plain, hash_fn=fn).collect()
@@ -35,7 +37,7 @@ def test_minhash_id_col_named_s_not_captured(spark):
         got = sorted(
             tuple(r)
             for r in minhash_signatures(
-                clash, id_col="s", hash_fn=fn
+                clash, id_col=clash_name, hash_fn=fn
             ).collect()
         )
         assert got == want, fn
@@ -155,6 +157,44 @@ def test_ivf_assign_arrow_handles_null_vectors(spark):
             (2, 10),
             (3, 20),
         ], strategy
+
+
+def test_ivf_assign_arrow_handles_ragged_vectors(spark):
+    """Empty and dimension-mismatched vectors must not crash the Arrow
+    batch (np.stack needs a rectangular batch) and must land exactly
+    where the expr path lands them — both route through the exact
+    fallback, keeping the strategies output-identical."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    from hbase_taggregator_spark.operators.similarity import ivf_assign
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, []),  # empty
+            (3, [0.5, 0.5, 0.5]),  # wrong dimension
+            (4, [0.0, 1.0]),
+        ],
+        schema,
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (20, [0.1, 1.0])], "cent_id long, cvec array<float>"
+    )
+    out = {}
+    for strategy in ("expr", "arrow"):
+        rows = ivf_assign(emb, cents, n_probe=1, strategy=strategy).collect()
+        out[strategy] = sorted((r["vec_id"], r["cent_id"]) for r in rows)
+        assert len(rows) == 4, strategy
+        assert dict(out[strategy])[1] == 10 and dict(out[strategy])[4] == 20
+    assert out["expr"] == out["arrow"]
 
 
 # --- cell-capped semdedup gate query ----------------------------------------
