@@ -285,6 +285,13 @@ def main() -> None:
 
     # one warm-up pass: JVM/codegen/file-listing costs land here, not in q1
     QUERIES["ts_max_900"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # ...plus one tiny Arrow query so the Python worker pool is warm
+    # before any multimodal/UDTF timing: worker cold-start is ~2s and
+    # showed up as a phantom 1.6x multimodal "regression" in the r7
+    # in-suite numbers that an isolated min-of-4 showed was absent
+    QUERIES["multimodal_frame_sample"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # min-of-runs per query: the box this runs on shows multi-minute
     # one-off stalls unrelated to the plans; min-of-runs measures the
