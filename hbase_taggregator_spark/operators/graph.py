@@ -40,6 +40,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    persist_invariants: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -80,8 +81,21 @@ def pagerank(
     Lifecycle: construction materializes the edge list eagerly (Spark
     jobs run even if the result is never consumed); the checkpoint
     blocks are reclaimed by the ContextCleaner once the result frame is
-    unreferenced. No persists are taken, so per-subgraph pagerank loops
-    no longer accumulate executor storage across calls.
+    unreferenced. By default no persists are taken, so per-subgraph
+    pagerank loops no longer accumulate executor storage across calls.
+
+    ``persist_invariants=True`` opts the derived invariants (node list,
+    out-degrees) back into ``MEMORY_AND_DISK`` persists. The lazy
+    default relies on Catalyst EXCHANGE REUSE to avoid recomputing the
+    identical checkpoint-rooted subtrees per iteration — the planner's
+    choice, not a guarantee, and the A/B that justified it is a
+    single-JVM sf0.1 measurement (checkpoint-only 4.0 s vs
+    checkpoint+persists 4.3 s, tools/ab_pagerank_r7b.py). On a
+    multi-executor cluster with AQE the distinct-union and out-degree
+    aggregate may be recomputed every unrolled iteration; re-measure
+    there, and flip this flag if they are. Callers who enable it own
+    the unpersist (or a ``clearCache()``) once the result is consumed —
+    the persists are LAZY, so an unconsumed result costs nothing.
 
     Returns (node, rank) — rank as double, deterministic.
     """
@@ -98,9 +112,15 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if persist_invariants:
+        from pyspark.storagelevel import StorageLevel
+
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     # node count rides along as a broadcast 1-row frame — no driver collect
     n_frame = nodes.agg(F.count(F.lit(1)).alias("__n"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    if persist_invariants:
+        outdeg = outdeg.persist(StorageLevel.MEMORY_AND_DISK)
     ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
         "node", (F.lit(1.0) / F.col("__n").cast("double")).alias("rank")
     )

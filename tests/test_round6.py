@@ -97,11 +97,30 @@ def test_skew_report_topk_prunes_before_rank_window(spark):
     # on the pinned PySpark 4.1.2 that is TakeOrderedAndProject — or at
     # minimum must not funnel the full per-key count table through a
     # single-partition exchange, which is the regression this guards.
-    after_window = plan.split("Window", 1)[1]
-    assert (
-        "TakeOrderedAndProject" in after_window
-        or "Exchange SinglePartition" not in after_window
-    )
+    # r8 (ADVICE): both conditions must hold UNCONDITIONALLY — the r7 OR
+    # form passed whenever TakeOrderedAndProject appeared anywhere after
+    # the Window line, even if a single-partition exchange also funneled
+    # the full per-key count table underneath it. Scope the checks to the
+    # window's INPUT SUBTREE (lines carrying the window's branch marker
+    # column), not the whole tail of the plan: the sibling scalar-total
+    # branch legitimately ends in an Exchange SinglePartition (a global
+    # one-row aggregate), which is not the regression this guards.
+    def _node_pos(line):
+        cands = [p for p in (line.find(":-"), line.find("+-")) if p >= 0]
+        return min(cands) if cands else -1
+
+    lines = plan.splitlines()
+    wi = next(i for i, line in enumerate(lines) if "Window" in line)
+    marker = _node_pos(lines[wi])
+    subtree = []
+    for line in lines[wi + 1 :]:
+        if _node_pos(line) > marker:
+            subtree.append(line)
+        else:
+            break
+    sub = "\n".join(subtree)
+    assert "TakeOrderedAndProject" in sub, sub
+    assert "Exchange SinglePartition" not in sub, sub
 
 
 # --- source_mixing: largest-remainder budget discipline --------------------

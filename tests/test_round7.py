@@ -46,17 +46,25 @@ def test_minhash_id_col_clashing_names_not_captured(spark, clash_name):
 # --- pagerank: no persists left behind (r6 ADVICE lifecycle) ----------------
 
 
-def test_pagerank_takes_no_persists(spark):
+def test_pagerank_takes_no_persists_by_default(spark):
     """r7 drops the derived-invariant persists (they cost more than they
     saved and accumulated executor storage across per-subgraph loops);
-    only the single edge-list localCheckpoint remains."""
+    only the single edge-list localCheckpoint remains on the DEFAULT
+    path. r8 adds the opt-in ``persist_invariants`` escape hatch for
+    multi-executor deployments (ADVICE) — every persist in the source
+    must sit behind that flag."""
     import inspect
 
     from hbase_taggregator_spark.operators import graph
 
     src = inspect.getsource(graph.pagerank)
-    assert ".persist(" not in src
     assert src.count(".localCheckpoint()") == 1
+    for i, line in enumerate(lines := src.splitlines()):
+        if ".persist(" in line:
+            guarded = any(
+                "if persist_invariants:" in prev for prev in lines[max(0, i - 3) : i]
+            )
+            assert guarded, f"unguarded persist at pagerank source line {i}: {line}"
 
 
 # --- ivf_assign: strategies are output-identical ---------------------------
