@@ -245,10 +245,11 @@ def test_gate_window_applied_on_every_import_path(mod):
         "names = list(q.QUERIES)\n"
         "assert len(set(_GATE_WINDOW)) == 50\n"
         "assert names[:50] == list(_GATE_WINDOW), 'window not applied'\n"
-        # the three rows-only-by-nature queries (HLL++, single-probe
-        # LSH-ANN, LTTB's sequential pick) have no oracle by design; a
-        # window slot still buys them a driver rows-only row
-        "ROWS_ONLY = {'ts_lttb_downsample_50', 'approx_distinct_lineitem',"
+        # the two rows-only-by-nature queries (single-probe LSH-ANN,
+        # LTTB's sequential pick) have no oracle by design; a window
+        # slot still buys them a driver rows-only row. (HLL++ was
+        # promoted to an oracle-matched error-bound gate in r8.)
+        "ROWS_ONLY = {'ts_lttb_downsample_50',"
         " 'similarity_ann_lsh_topk'}\n"
         "missing = [n for n in _GATE_WINDOW"
         " if n not in q.ORACLES and n not in ROWS_ONLY]\n"
