@@ -7,7 +7,7 @@ queries + a pointer): every prior round's driver artifact ended up with
 "parsed": null because the full 136-query line outgrew the driver's tail
 capture. The complete per-query dict (sf0.1 + sf1 + ratios + run counts)
 is written by this script itself to $SPARK_GRAFT_BENCH_OUT (default
-tools/bench_local_r7.json).
+tools/bench_local_r8.json).
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect — the number measures the distributed plan, not result
@@ -191,6 +191,9 @@ HEADLINE = [
     "semdedup_survivors_cellcap",
     # round-7: Lee-et-al cross-document repeated-substring dedup
     "corpus_dedup_repeated_substrings",
+    # round-8: two-level coarse-quantized assignment (the beyond-broadcast
+    # centroid-distribution path; exact-decimal candidate scoring)
+    "similarity_twolevel_assign",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would
@@ -383,6 +386,15 @@ def main() -> None:
         "runs_per_query": run_counts,
         "aggregation": "min",
         "short_query_third_run_under_sec": SHORT_QUERY_SEC,
+        # VERDICT r7 "What's wrong" #2: in-suite numbers carry suite
+        # ordering + ambient (~10%) drift; for graph_pagerank_suppliers
+        # the CANONICAL operator timing is the isolated alternating
+        # min-of-5 A/B (tools/ab_pagerank_r7b.py: 4.0 s at sf0.1) — cite
+        # that, not this dict, when quoting the operator
+        "notes": {
+            "graph_pagerank_suppliers": "in-suite; canonical isolated A/B"
+            " = tools/ab_pagerank_r7b.py (4.0s sf0.1 min-of-5)",
+        },
     }
     if sf1_timings:
         full["sf1_queries"] = sf1_timings
@@ -400,7 +412,7 @@ def main() -> None:
     # capture — every earlier round recorded "parsed": null because the
     # full line outgrew it
     repo_rel = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", f"{repo}/tools/bench_local_r7.json"
+        "SPARK_GRAFT_BENCH_OUT", f"{repo}/tools/bench_local_r8.json"
     )
     with open(repo_rel, "w") as f:
         json.dump(full, f, indent=1)

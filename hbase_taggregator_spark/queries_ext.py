@@ -4352,76 +4352,78 @@ _register(
 )
 # ---------------------------------------------------------------------------
 # Driver gate window (round 7): the driver records CORRECTNESS rows for the
-# FIRST 50 catalog entries, so this list is rotated per round. r7 priority:
-# the two NEW queries (the cell-capped SemDeDup production-sizing evidence,
-# VERDICT r6 task #2, and the Lee-et-al cross-document repeated-substring
-# dedup), every query whose implementation changed this round (pagerank
-# checkpoint-only pinning; the ivf_assign strategy split touching both
-# semdedup variants and the three recall gates; the minhash internal-
-# name/shiftright rewrite touching the three minhash-family queries), then
-# the stale r3 block (the 38 queries last driver-gated in round 3, minus
-# the two already re-gated in the r6 window) and the four oldest r4-gated
-# queries to complete the 50. Every query pushed out is green in
-# CORRECTNESS_r03-r05, the judge's r6 full-catalog run, and this round's
-# full-catalog oracle log (tools/oracle_full_r7.log).
+# FIRST 50 catalog entries, so this list is rotated per round. r8 priority:
+# the NEW two-level assignment gate (the round's scale headline, VERDICT r7
+# task #1), every query whose implementation changed this round (the HLL++
+# error-bound promotion, the pagerank persist flag, the ivf_assign arrow
+# rewrite behind the semdedup/ivf/kmeans/pq family), then the ENTIRE
+# remaining stale r4 block (42 queries — the r4 window minus the four
+# re-gated in r7), exactly filling the 50. Round 9 starts the r5 block.
+# Every query pushed out is green in CORRECTNESS_r03-r07, the judge's r7
+# full-catalog re-run, and this round's full-catalog oracle log
+# (tools/oracle_full_r8.log).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # new this round (r7) — SemDeDup at the production operating point,
-    # then the Lee-et-al cross-document repeated-substring dedup
-    "semdedup_survivors_cellcap",
-    "corpus_dedup_repeated_substrings",
-    # implementation changed this round — re-gate first
+    # new this round (r8) — the two-level coarse-quantized assignment gate
+    "similarity_twolevel_assign",
+    # implementation changed this round — re-gate first (HLL++ promoted to
+    # an error-bound verdict gate; pagerank's opt-in persist flag; the
+    # ivf_assign arrow rewrite — broadcast shipping + in-UDF exact
+    # fallback — behind the semdedup/ivf/kmeans family, plus the pq gate
+    # that shares similarity.py, re-gated with its family as in r7)
+    "approx_distinct_lineitem",
     "graph_pagerank_suppliers",
     "semdedup_survivors",
+    "semdedup_survivors_cellcap",
     "similarity_ivf_recall_at_5",
     "similarity_ivf_kmeans_recall_at_5",
     "similarity_pq_recall_at_5",
-    "dedup_minhash_lsh_candidates",
-    "dedup_funnel_survivors",
-    "dedup_incremental_admitted",
-    # the stale r3 block: every query last driver-gated in round 3 except
-    # argmax_event_per_type / asof_nearest_click (re-gated in the r6 window)
-    "ts_resample_interpolate_7200",
-    "corpus_pipeline_stats",
-    "percentiles_per_event_type",
-    "stats_moments_per_type",
-    "ts_ewma_smoothed_3600",
-    "streaming_dedup_exact",
-    "q2_min_cost_supplier",
-    "funnel_click_to_purchase_1h",
-    "interval_overlap_regimes_sessions",
-    "histogram_value_25",
-    "q4_order_priority",
-    "q13_customer_distribution",
-    "streaming_static_join_segments",
-    "streaming_stream_join_pairs",
-    "q8_market_share",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q15_top_supplier",
-    "q20_potential_promotions",
-    "multimodal_decode_headers",
-    "dedup_exact_survivor_rows",
-    "dedup_jaccard_df_capped",
-    "ts_rollup_hourly_to_daily",
-    "streaming_dedup_within_watermark",
-    "ts_time_weighted_avg_21600",
-    "ts_counter_rate_21600",
-    "merge_upsert_customers",
-    "text_top_terms_per_lang",
-    "layout_zorder_values",
-    "streaming_continuous_rollup",
-    "multimodal_frame_sample",
-    "bloom_runtime_filter_orders",
-    "sketch_count_min_estimates",
-    "udaf_weighted_mean_cents",
-    "ts_linear_trend_per_type",
-    "ts_rollup_incremental_merge",
-    # four oldest r4-gated queries complete the 50
-    "multimodal_decode_pixels",
-    "sketch_kmv_distinct_users",
-    "sketch_kmv_set_ops_users",
-    "sketch_kmv_grouped_distinct",
+    # the stale r4 block, in r4-window order: every query last
+    # driver-gated in round 4 (the four oldest were re-gated in the r7
+    # window; these 42 complete the r4 rotation — round 9 starts on the
+    # r5 block)
+    "ts_qualifier_offset_900",
+    "similarity_ann_recall_at_5",
+    "similarity_lsh_neardup_pairs",
+    "text_repetition_features",
+    "text_pattern_counts",
+    "corpus_train_val_split",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_customer_balance",
+    "corpus_doc_chunks",
+    "corpus_pack_sequences",
+    "embedding_quantize_int8",
+    "skew_salted_distinct_users",
+    "range_band_join_value",
+    "grouping_sets_status_priority",
+    "dedup_keep_best_quality",
+    "streaming_foreachbatch_sink",
+    "corpus_decontaminated",
+    "corpus_sample_per_source",
+    "corpus_global_shuffle",
+    "ingest_json_quarantine",
+    "ts_calendar_rollup_weekly",
+    "ts_largest_gaps_per_type",
+    "scd2_user_event_history",
+    "profile_documents_columns",
+    "percentile_approx_accuracy_gate",
+    "text_feature_hashing_64",
+    "fuzzy_customer_name_candidates",
+    "corpus_contamination_overlap",
+    "text_rare_token_ratio",
+    "cohort_weekly_retention",
+    "funnel_three_step_ordered",
+    "ts_mad_outliers_per_type",
+    "ts_seasonal_baseline_error",
+    "table_diff_after_merge",
+    "fuzzy_entity_resolution",
+    "sql_entry_nation_revenue",
+    "sql_entry_rollup_view",
+    "pit_feature_lookup_regimes",
+    "nullsafe_join_device_counts",
+    "setops_multiset_all_users",
 ]
 
 
@@ -4450,5 +4452,6 @@ import hbase_taggregator_spark.queries_r4  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r5  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r6  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r7  # noqa: E402,F401
+import hbase_taggregator_spark.queries_r8  # noqa: E402,F401
 
 _apply_gate_window(strict=False)

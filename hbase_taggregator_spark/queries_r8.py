@@ -1,0 +1,132 @@
+"""Round-8 catalog queries.
+
+The headline entry gates the round's scale fix (VERDICT r7 "Next
+round" #1): two-level coarse-quantized IVF assignment
+(``operators.similarity.ivf_assign_two_level``) — nearest-centroid
+assignment that NEVER materializes the centroid set on the driver, in a
+plan literal, in a task closure, or in a broadcast. The flat strategies
+now ship centroids via ``SparkContext.broadcast`` (torrent, once per
+executor), which holds to roughly ``TWO_LEVEL_MIN_NLIST``; past that,
+the cell-capped ``nlist ∝ N`` SemDeDup sizing needs assignment whose
+memory footprint is independent of nlist — vectors meet centroids
+through an equi-join on a coarse super-cell key instead.
+
+The gate runs the full two-level algebra at fixture scale (nlist=64,
+n_super=8, n_super_probe=4) and the oracle restates EVERY step in
+DuckDB: the rank-order block slicing, the decimal-exact per-dimension
+super-centroid means, both nearest-super argmins (centroid membership
+and vector probing), the super-cell candidate join, and the final
+exact-cosine argmin — so the approximation is pinned, deterministic,
+and hash-gated, not just rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hbase_taggregator_spark.oracle_fragments import _SQL_E
+from hbase_taggregator_spark.queries import _register, load_table
+
+#: fixture-scale two-level sizing: nlist=64 first-vector centroids,
+#: sliced into 8 super-cells, vectors probe their 4 nearest supers.
+#: At production the same code runs with nlist ∝ N (millions),
+#: n_super ≈ √nlist, and the probe count tuned for recall.
+TWOLEVEL_NLIST = 64
+TWOLEVEL_NSUPER = 8
+TWOLEVEL_NPROBE = 4
+
+
+def _q_twolevel_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF assignment over the embeddings table: centroids =
+    first TWOLEVEL_NLIST corpus vectors (the catalog's deterministic
+    init), output (vec_id, cent_id) per corpus vector. See
+    :func:`hbase_taggregator_spark.operators.similarity.
+    ivf_assign_two_level` for the 100 TB design."""
+    from hbase_taggregator_spark.operators.similarity import (
+        ivf_assign_two_level,
+    )
+    from hbase_taggregator_spark.util import ensure_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < TWOLEVEL_NLIST).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    return (
+        ivf_assign_two_level(
+            ensure_parallelism(emb),
+            cents,
+            n_super=TWOLEVEL_NSUPER,
+            n_super_probe=TWOLEVEL_NPROBE,
+        )
+        .select("vec_id", "cent_id")
+        .orderBy("vec_id")
+    )
+
+
+_register(
+    "similarity_twolevel_assign",
+    _q_twolevel_assign,
+    f"""
+    WITH {_SQL_E},
+    cpos AS (SELECT vec_id AS cid,
+                    ROW_NUMBER() OVER (ORDER BY vec_id) AS pos
+             FROM embeddings WHERE vec_id < {TWOLEVEL_NLIST}),
+    blk AS (SELECT cid, ((pos - 1) * {TWOLEVEL_NSUPER}) // {TWOLEVEL_NLIST}
+                        AS blk
+            FROM cpos),
+    sup AS (SELECT b.blk, e.i,
+                   CAST(SUM(CAST(e.v AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(*) AS m
+            FROM blk b JOIN e ON e.vec_id = b.cid GROUP BY 1, 2),
+    sn AS (SELECT blk,
+                  sqrt(CAST(SUM(CAST(m * m AS DECIMAL(18,12))) AS DOUBLE))
+                    AS snrm
+           FROM sup GROUP BY 1),
+    csd AS (SELECT b.cid, s.blk,
+                   CAST(SUM(CAST(e.v * s.m AS DECIMAL(18,12))) AS DOUBLE) AS d
+            FROM blk b JOIN e ON e.vec_id = b.cid JOIN sup s ON s.i = e.i
+            GROUP BY 1, 2),
+    member AS (SELECT cid, blk FROM (
+        SELECT csd.cid, csd.blk,
+               ROW_NUMBER() OVER (PARTITION BY csd.cid
+                                  ORDER BY d / (nc.nrm * sn.snrm) DESC,
+                                           csd.blk) AS rk
+        FROM csd JOIN norms nc ON nc.vec_id = csd.cid
+                 JOIN sn ON sn.blk = csd.blk) WHERE rk = 1),
+    vsd AS (SELECT e.vec_id, s.blk,
+                   CAST(SUM(CAST(e.v * s.m AS DECIMAL(18,12))) AS DOUBLE) AS d
+            FROM e JOIN sup s ON s.i = e.i GROUP BY 1, 2),
+    probe AS (SELECT vec_id, blk FROM (
+        SELECT vsd.vec_id, vsd.blk,
+               ROW_NUMBER() OVER (PARTITION BY vsd.vec_id
+                                  ORDER BY d / (nv.nrm * sn.snrm) DESC,
+                                           vsd.blk) AS rk
+        FROM vsd JOIN norms nv ON nv.vec_id = vsd.vec_id
+                 JOIN sn ON sn.blk = vsd.blk)
+        WHERE rk <= {TWOLEVEL_NPROBE}),
+    cand AS (SELECT p.vec_id, m.cid
+             FROM probe p JOIN member m ON m.blk = p.blk),
+    cdot AS (SELECT c.vec_id, c.cid,
+                    CAST(SUM(CAST(v.v * w.v AS DECIMAL(18,12))) AS DOUBLE)
+                      AS d
+             FROM cand c JOIN e v ON v.vec_id = c.vec_id
+                         JOIN e w ON w.vec_id = c.cid AND w.i = v.i
+             GROUP BY 1, 2)
+    SELECT vec_id, cid AS cent_id FROM (
+        SELECT cdot.vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY cdot.vec_id
+                                  ORDER BY d / (nv.nrm * nc.nrm) DESC,
+                                           cid) AS rk
+        FROM cdot JOIN norms nv ON nv.vec_id = cdot.vec_id
+                  JOIN norms nc ON nc.vec_id = cid)
+    WHERE rk = 1 ORDER BY vec_id
+    """,
+)
+
+
+# re-apply the gate-window ordering now that round-8 queries are
+# registered (tolerant on every import path, same as queries_r3..r7 —
+# whichever module finishes last sees the full catalog).
+from hbase_taggregator_spark.queries_ext import _apply_gate_window  # noqa: E402
+
+_apply_gate_window(strict=False)

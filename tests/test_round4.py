@@ -228,6 +228,7 @@ def test_decode_pixels_spark_path(spark):
         "queries_r5",
         "queries_r6",
         "queries_r7",
+        "queries_r8",
     ],
 )
 def test_gate_window_applied_on_every_import_path(mod):
