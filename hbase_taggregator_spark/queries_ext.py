@@ -263,13 +263,58 @@ _register(
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (bucket-pruned) — recall < 1 by design ⇒ rows-only."""
+    """Approximate ANN (single-probe bucket-pruned top-k). Recall < 1 by
+    design, but the APPROXIMATION ITSELF is deterministic relational
+    algebra — md5-derived hyperplanes, exact-decimal bucket dots,
+    in-bucket exact cosines, (cosine DESC, vec_id) rank — so it is fully
+    oracle-restatable (promoted from rows-only in r8; the companion
+    recall gate had restated the identical bucket/rank CTEs since r4)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ann_lsh_topk(emb, queries, k=5, n_planes=8)
 
 
-_register("similarity_ann_lsh_topk", _q_ann_lsh, None)
+def _ann_lsh_topk_sql(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    plane_rows = ", ".join(
+        f"({p}, {i + 1}, {w!r})"
+        for p in range(n_planes)
+        for i, w in enumerate(S._hyperplane(p, dim))
+    )
+    return f"""
+    WITH {_SQL_E},
+    planes(p, i, w) AS (VALUES {plane_rows}),
+    pd AS (
+      SELECT e.vec_id, pl.p,
+             CAST(SUM(CAST(e.v * pl.w AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM e JOIN planes pl ON pl.i = e.i
+      GROUP BY 1, 2),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+               AS BIGINT) AS bucket
+      FROM pd GROUP BY 1),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST(SUM(CAST(q.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id != c.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, d.vec_id, dot / (nq.nrm * nc.nrm) AS cosine
+      FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+                  JOIN norms nc ON nc.vec_id = d.vec_id),
+    annscored AS (
+      SELECT s.query_id, s.vec_id, s.cosine
+      FROM scored s JOIN buckets bq ON bq.vec_id = s.query_id
+                    JOIN buckets bc ON bc.vec_id = s.vec_id
+                                   AND bc.bucket = bq.bucket)
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM annscored) WHERE rk <= {k}
+    """
+
+
+_register("similarity_ann_lsh_topk", _q_ann_lsh, _ann_lsh_topk_sql())
 
 
 # ---------------------------------------------------------------------------
