@@ -4116,13 +4116,19 @@ _register(
 
 def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB shape-preserving downsampling to 50 points/series via
-    applyInPandas (grouped map). Rows-only at the DRIVER by nature: the
-    interior selection is sequential (each bucket's pick depends on the
-    previous pick), i.e. genuinely non-SQL-expressible — but correctness
-    is oracle-equivalent in CI: a pinned pure-Python reference
-    implementation (tests/reference_sim.py::lttb_reference) asserts
-    EXACT row equality per series on this very query
-    (tests/test_round6.py), on top of the shape-property unit tests."""
+    applyInPandas (grouped map). The interior selection is SEQUENTIAL
+    (each bucket's pick depends on the previous pick), which kept this
+    rows-only through r7 — but sequential is not non-relational: the
+    pick chain is a linear recursion over 48 interior buckets, and every
+    quantity in it is exact integer algebra (µs x, HALF_UP-cents y,
+    doubled-triangle areas as HUGEINT cross products with the next
+    bucket's centroid multiplied through by its size), so a RECURSIVE
+    CTE restates it with zero float divergence risk (promoted in r8).
+    The pinned pure-Python reference
+    (tests/reference_sim.py::lttb_reference) independently asserts EXACT
+    row equality per series on this very query (tests/test_round6.py) —
+    the SQL oracle and the CI reference now pin the operator from two
+    directions."""
     from hbase_taggregator_spark.operators.timeseries import lttb_downsample
 
     events = load_table(spark, sf_dir, "events", time_range=(T0 * US, T_WEEK * US))
@@ -4131,7 +4137,73 @@ def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register("ts_lttb_downsample_50", _q_lttb, None)
+def _lttb_sql(n_out: int = 50) -> str:
+    """LTTB restated as a recursive CTE. Shape: pts = per-series ordered
+    points with 1-based rank; bounds/nsum precompute each interior
+    bucket's range and its NEXT-anchor centroid sums (the last bucket's
+    next anchor is the final point); sel walks the recursion — the
+    anchor row of step b+1 is step b's pick, the argmax is a correlated
+    ORDER BY area DESC, rn LIMIT 1 (strict > keeps the earliest point,
+    exactly the operator's tie rule). DuckDB SUM(BIGINT) is HUGEINT, and
+    the cross products are forced through HUGEINT before multiplying by
+    the cents delta (ax·m ~ 1e18 times 1e5 cents overflows int64; the
+    Python sides use arbitrary-precision ints). Series with n <= n_out
+    pass through whole, like the operator."""
+    nb = n_out - 2
+    return f"""
+    WITH RECURSIVE
+    pts AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us, value,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cy,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY epoch_us(ts), event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+      WHERE epoch_us(ts) >= {T0 * US} AND epoch_us(ts) < {T_WEEK * US}),
+    big AS (SELECT DISTINCT event_type, n FROM pts WHERE n > {n_out}),
+    bounds AS (
+      SELECT big.event_type, big.n, b.b,
+             2 + ((big.n - 2) * b.b) // {nb} AS lo,
+             2 + ((big.n - 2) * (b.b + 1)) // {nb} AS hi
+      FROM big, (SELECT unnest(range(0, {nb})) AS b) b),
+    nsum AS (
+      SELECT bo.event_type, bo.b, COUNT(*) AS m,
+             SUM(p.ts_us) AS csx, SUM(p.cy) AS csy
+      FROM bounds bo JOIN pts p ON p.event_type = bo.event_type
+       AND p.rn >= CASE WHEN bo.b < {nb - 1}
+                        THEN 2 + ((bo.n - 2) * (bo.b + 1)) // {nb}
+                        ELSE bo.n END
+       AND p.rn <  CASE WHEN bo.b < {nb - 1}
+                        THEN 2 + ((bo.n - 2) * (bo.b + 2)) // {nb}
+                        ELSE bo.n + 1 END
+      GROUP BY 1, 2),
+    sel AS (
+      SELECT event_type, -1 AS b, CAST(1 AS BIGINT) AS rn FROM big
+      UNION ALL
+      SELECT s.event_type, s.b + 1,
+             (SELECT p.rn
+              FROM pts p, bounds bo, nsum ns, pts a
+              WHERE bo.event_type = s.event_type AND bo.b = s.b + 1
+                AND ns.event_type = s.event_type AND ns.b = s.b + 1
+                AND a.event_type = s.event_type AND a.rn = s.rn
+                AND p.event_type = s.event_type
+                AND p.rn >= bo.lo AND p.rn < bo.hi
+              ORDER BY abs((CAST(a.ts_us AS HUGEINT) * ns.m - ns.csx)
+                             * (p.cy - a.cy)
+                           - (a.ts_us - p.ts_us)
+                             * (ns.csy - CAST(a.cy AS HUGEINT) * ns.m)) DESC,
+                       p.rn ASC
+              LIMIT 1)
+      FROM sel s WHERE s.b + 1 < {nb})
+    SELECT p.event_type, p.event_id, p.ts_us, p.value
+    FROM (SELECT event_type, rn FROM sel
+          UNION ALL SELECT event_type, n FROM big
+          UNION ALL SELECT event_type, rn FROM pts WHERE n <= {n_out}) k
+    JOIN pts p ON p.event_type = k.event_type AND p.rn = k.rn
+    """
+
+
+_register("ts_lttb_downsample_50", _q_lttb, _lttb_sql())
 
 
 

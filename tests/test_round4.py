@@ -246,12 +246,11 @@ def test_gate_window_applied_on_every_import_path(mod):
         "names = list(q.QUERIES)\n"
         "assert len(set(_GATE_WINDOW)) == 50\n"
         "assert names[:50] == list(_GATE_WINDOW), 'window not applied'\n"
-        # the one remaining rows-only-by-nature query (LTTB's sequential
-        # pick — it carries an exact-equality CI gate vs reference_sim
-        # instead) has no oracle by design; a window slot still buys it a
-        # driver rows-only row. (HLL++ was promoted to an error-bound
-        # gate and single-probe LSH-ANN to a full restatement in r8.)
-        "ROWS_ONLY = {'ts_lttb_downsample_50'}\n"
+        # r8: the rows-only census is ZERO — every registered query has
+        # a DuckDB oracle (HLL++ promoted to an error-bound gate,
+        # single-probe LSH-ANN to a full restatement, LTTB's sequential
+        # pick to a recursive CTE over its exact integer algebra)
+        "ROWS_ONLY = set()\n"
         "missing = [n for n in _GATE_WINDOW"
         " if n not in q.ORACLES and n not in ROWS_ONLY]\n"
         "assert not missing, f'window names without oracle: {missing}'\n"
