@@ -194,6 +194,9 @@ HEADLINE = [
     # round-8: two-level coarse-quantized assignment (the beyond-broadcast
     # centroid-distribution path; exact-decimal candidate scoring)
     "similarity_twolevel_assign",
+    # round-8: one-pass embedding covariance (map-side outer products,
+    # partial agg to dim^2 cells before the single shuffle)
+    "embedding_covariance_matrix",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

@@ -1052,6 +1052,89 @@ def ann_lsh_topk(
     )
 
 
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Population covariance matrix of the embedding space — the
+    embedding-table diagnostic behind whitening / PCA / dimension-pruning
+    decisions in a training-data pipeline (which dimensions carry the
+    variance, which pairs are redundant). Returns the upper triangle
+    ``(i, j, cov)`` (1-based dims, ``i <= j`` — dim(dim+1)/2 rows).
+
+    Physical shape for 100 TB — ONE corpus pass, no row-to-row joins:
+    each vector emits its upper-triangle products PLUS its linear terms
+    (sentinel ``j = 0``) as one flattened higher-order array, entirely
+    map-side; partial aggregation collapses every partition to the
+    dim(dim+1)/2 + dim cells before the single shuffle, so the exchange
+    carries O(partitions · dim²) rows regardless of corpus size, and the
+    final join of linear onto quadratic terms is over dim² rows
+    (broadcast). Sums accumulate in DECIMAL(28,12) (exact, order-free —
+    |elements| < 1 keeps every product in range at 10¹⁶ rows); the
+    covariance is then evaluated in a PINNED IEEE order the oracle
+    restates: ``(sxy − (sx · sy) / n) / n`` with n cast to double once.
+    Rows whose vector is NULL or not ``dim`` long are excluded (a
+    covariance over ragged vectors is undefined), matching the oracle's
+    length filter."""
+    e = F.col(vec_col)
+    d = df.filter(e.isNotNull() & (F.size(e) == dim))
+    upper = F.flatten(
+        F.transform(
+            e,
+            lambda vi, i: F.transform(
+                F.slice(e, i + 1, F.lit(dim) - i),
+                lambda vj, j: F.struct(
+                    (i + 1).alias("i"),
+                    (i + 1 + j).alias("j"),
+                    (vi.cast("double") * vj.cast("double")).alias("p"),
+                ),
+            ),
+        )
+    )
+    linear = F.transform(
+        e,
+        lambda vi, i: F.struct(
+            (i + 1).alias("i"),
+            F.lit(0).cast("int").alias("j"),
+            vi.cast("double").alias("p"),
+        ),
+    )
+    cells = d.select(
+        F.explode(F.concat(upper, linear)).alias("c")
+    ).select(
+        F.col("c.i").alias("i"), F.col("c.j").alias("j"), F.col("c.p").alias("p")
+    )
+    stats = cells.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(28,12)")).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lin = stats.filter(F.col("j") == 0).select(
+        F.col("i").alias("li"), F.col("s").alias("sx"), F.col("n").alias("n")
+    )
+    quad = stats.filter(F.col("j") > 0).select("i", "j", F.col("s").alias("sxy"))
+    return (
+        quad.join(F.broadcast(lin), F.col("i") == F.col("li"))
+        .join(
+            F.broadcast(
+                lin.select(F.col("li").alias("lj"), F.col("sx").alias("sy"))
+            ),
+            F.col("j") == F.col("lj"),
+        )
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("sxy")
+                    - (F.col("sx") * F.col("sy")) / F.col("n").cast("double")
+                )
+                / F.col("n").cast("double")
+            ).alias("cov"),
+        )
+    )
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
@@ -1380,6 +1463,7 @@ def semdedup(
     threshold: float = 0.42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_strategy: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then drop
@@ -1416,7 +1500,12 @@ def semdedup(
     sizing); `queries_r7.py` derives why the fixture-scale cap is 100
     (N/4096 only binds above N = 4096²). The large-nlist assignment cost
     this sizing implies is handled by :func:`ivf_assign`'s Arrow
-    strategy. Returns survivors ``(id_col, cent_id)``.
+    strategy (broadcast-shipped centroids, r8) up to
+    ``TWO_LEVEL_MIN_NLIST``, and past the broadcast ceiling by
+    ``assign_strategy="twolevel"`` (centroids distributed end-to-end;
+    approximate assignment — cell membership shifts slightly, the drop
+    rule inside each cell is unchanged). Returns survivors
+    ``(id_col, cent_id)``.
     """
     # The assignment feeds THREE plan branches (both sides of the in-cell
     # self-join plus the survivor anti-join); without materialization Spark
@@ -1434,8 +1523,15 @@ def semdedup(
     # otherwise handles it under pressure).
     from pyspark.storagelevel import StorageLevel
 
+    # assign_strategy passes straight to :func:`ivf_assign`: at the
+    # cell-capped web-scale sizing where the centroid set outgrows the
+    # broadcast ceiling (TWO_LEVEL_MIN_NLIST), "twolevel" keeps this
+    # whole pipeline running with the centroids distributed end-to-end —
+    # the in-cell pair phase below is identical either way (it only
+    # consumes cent_id).
     assigned = ivf_assign(
-        ensure_parallelism(corpus), centroids, vec_col, id_col, n_probe=1
+        ensure_parallelism(corpus), centroids, vec_col, id_col,
+        n_probe=1, strategy=assign_strategy,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),

@@ -4470,21 +4470,29 @@ _register(
 # ---------------------------------------------------------------------------
 # Driver gate window (round 7): the driver records CORRECTNESS rows for the
 # FIRST 50 catalog entries, so this list is rotated per round. r8 priority:
-# the NEW two-level assignment gate (the round's scale headline, VERDICT r7
-# task #1), every query whose implementation changed this round (the HLL++
-# error-bound promotion, the pagerank persist flag, the ivf_assign arrow
-# rewrite behind the semdedup/ivf/kmeans/pq family), then the ENTIRE
-# remaining stale r4 block (42 queries — the r4 window minus the four
-# re-gated in r7), exactly filling the 50. Round 9 starts the r5 block.
-# Every query pushed out is green in CORRECTNESS_r03-r07, the judge's r7
-# full-catalog re-run, and this round's full-catalog oracle log
-# (tools/oracle_full_r8.log).
+# the two NEW queries (the two-level assignment gate — the round's scale
+# headline, VERDICT r7 task #1 — and the embedding covariance diagnostic),
+# the two queries PROMOTED from rows-only to oracle-matched (single-probe
+# LSH-ANN, LTTB via recursive CTE), every query whose implementation
+# changed this round (the HLL++ error-bound promotion, the pagerank
+# persist flag, the ivf_assign arrow rewrite behind the
+# semdedup/ivf/kmeans/pq family), then 39 of the 42 remaining stale-r4
+# queries in r4-window order (the final three roll to r9, which then
+# starts the r5 block). Every query pushed out is green in
+# CORRECTNESS_r03-r07, the judge's r7 full-catalog re-run, and this
+# round's full-catalog oracle log (tools/oracle_full_r8.log).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # new this round (r8) — the two-level coarse-quantized assignment gate
+    # new this round (r8) — the two-level coarse-quantized assignment
+    # gate (the scale headline) and the embedding covariance diagnostic
     "similarity_twolevel_assign",
-    # implementation changed this round — re-gate first (HLL++ promoted to
-    # an error-bound verdict gate; pagerank's opt-in persist flag; the
+    "embedding_covariance_matrix",
+    # promoted from rows-only to oracle-matched this round — a window
+    # slot now buys a full hash verdict instead of a rows-only row
+    "similarity_ann_lsh_topk",
+    "ts_lttb_downsample_50",
+    # implementation changed this round — re-gate first (HLL++ promoted
+    # to an error-bound verdict gate; pagerank's opt-in persist flag; the
     # ivf_assign arrow rewrite — broadcast shipping + in-UDF exact
     # fallback — behind the semdedup/ivf/kmeans family, plus the pq gate
     # that shares similarity.py, re-gated with its family as in r7)
@@ -4495,10 +4503,11 @@ _GATE_WINDOW = [
     "similarity_ivf_recall_at_5",
     "similarity_ivf_kmeans_recall_at_5",
     "similarity_pq_recall_at_5",
-    # the stale r4 block, in r4-window order: every query last
-    # driver-gated in round 4 (the four oldest were re-gated in the r7
-    # window; these 42 complete the r4 rotation — round 9 starts on the
-    # r5 block)
+    # the stale r4 block, in r4-window order: 39 of the 42 queries last
+    # driver-gated in round 4 (the four oldest were re-gated in r7; the
+    # final three — pit_feature_lookup_regimes, nullsafe_join_device_
+    # counts, setops_multiset_all_users — roll to the r9 window, which
+    # then starts the r5 block)
     "ts_qualifier_offset_900",
     "similarity_ann_recall_at_5",
     "similarity_lsh_neardup_pairs",
@@ -4538,9 +4547,6 @@ _GATE_WINDOW = [
     "fuzzy_entity_resolution",
     "sql_entry_nation_revenue",
     "sql_entry_rollup_view",
-    "pit_feature_lookup_regimes",
-    "nullsafe_join_device_counts",
-    "setops_multiset_all_users",
 ]
 
 

@@ -124,6 +124,54 @@ _register(
 )
 
 
+def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle population covariance of the embedding table —
+    one corpus pass, map-side outer products, partial aggregation to
+    dim(dim+1)/2 cells before the single shuffle. The oracle restates
+    the identical decimal-sum + pinned-IEEE-order algebra."""
+    from hbase_taggregator_spark.operators.similarity import (
+        embedding_covariance,
+    )
+    from hbase_taggregator_spark.util import ensure_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(ensure_parallelism(emb)).orderBy("i", "j")
+
+
+_register(
+    "embedding_covariance_matrix",
+    _q_embedding_covariance,
+    """
+    -- products route through VARCHAR before the decimal cast: DuckDB's
+    -- double->VARCHAR is shortest-repr and VARCHAR->DECIMAL rounds
+    -- HALF_UP, which is EXACTLY Spark's double->decimal path
+    -- (BigDecimal.valueOf + setScale HALF_UP). Casting the raw double
+    -- instead rounds its exact binary expansion — with ~1M products per
+    -- matrix and catastrophic cancellation in (sxy - sx*sy/n), the
+    -- handful of shortest-repr/exact-value midpoint straddles showed up
+    -- as 1-ulp hash mismatches.
+    WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+               FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+               WHERE len(embedding) = 64),
+    lin AS (SELECT i,
+                   CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12)))
+                     AS DOUBLE) AS sx,
+                   COUNT(*) AS n
+            FROM e GROUP BY 1),
+    quad AS (SELECT a.i AS i, b.i AS j,
+                    CAST(SUM(CAST(CAST(a.v * b.v AS VARCHAR)
+                                  AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+             FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+             GROUP BY 1, 2)
+    SELECT q.i, q.j,
+           (sxy - (la.sx * lb.sx) / CAST(la.n AS DOUBLE))
+             / CAST(la.n AS DOUBLE) AS cov
+    FROM quad q JOIN lin la ON la.i = q.i JOIN lin lb ON lb.i = q.j
+    ORDER BY q.i, q.j
+    """,
+)
+
+
 # re-apply the gate-window ordering now that round-8 queries are
 # registered (tolerant on every import path, same as queries_r3..r7 —
 # whichever module finishes last sees the full catalog).

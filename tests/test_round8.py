@@ -379,6 +379,71 @@ def test_two_level_rejects_n_probe_gt_1_and_empty(spark):
         S.ivf_assign(emb, cents, n_probe=3, strategy="twolevel")
 
 
+# --- embedding covariance diagnostic ----------------------------------------
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Upper-triangle population covariance must agree with numpy's
+    within the decimal-rounding budget (products quantized at 1e-12),
+    and the plan must be one pass: no row-to-row join of the corpus —
+    only the dim²-row broadcast joins of linear onto quadratic sums."""
+    import numpy as np
+
+    from hbase_taggregator_spark import plans as P
+    from hbase_taggregator_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    dim, n = 8, 40
+    emb = _toy_vectors(spark, n=n, dim=dim)
+    out = embedding_covariance(emb, dim=dim)
+    assert P.count_nodes(out, "SortMergeJoin") == 0
+    got = {(r["i"], r["j"]): r["cov"] for r in out.collect()}
+    assert len(got) == dim * (dim + 1) // 2
+    M = np.array(
+        [[float(np.float32(((k * 7 + j * 13) % 19 - 9) / 9.0))
+          for j in range(dim)] for k in range(n)]
+    )
+    want = np.cov(M, rowvar=False, bias=True)
+    for (i, j), c in got.items():
+        assert abs(c - want[i - 1][j - 1]) < 1e-9, (i, j, c, want[i - 1][j - 1])
+
+
+def test_embedding_covariance_excludes_ragged_and_null(spark):
+    from hbase_taggregator_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, None),
+            (3, [1.0, 2.0, 3.0]),  # wrong dim
+            (4, [3.0, 6.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(emb, dim=2).collect()}
+    # two valid vectors (1,2) and (3,6): population cov over n=2
+    assert got == {(1, 1): 1.0, (1, 2): 2.0, (2, 2): 4.0}
+
+
+def test_semdedup_twolevel_passthrough(spark):
+    """semdedup(assign_strategy='twolevel') must run the full drop
+    pipeline on the approximate assignment — same output CONTRACT
+    (survivor ids + their cells), cells from the two-level quantizer."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    out = S.semdedup(emb, cents, threshold=0.42, assign_strategy="twolevel")
+    rows = out.collect()
+    assert 0 < len(rows) <= emb.count()
+    assert set(out.columns) == {"vec_id", "cent_id"}
+
+
 # --- repeated-substring dedup at the paper's k=50 (VERDICT r7 task #6) ------
 
 
