@@ -739,6 +739,7 @@ def ivf_assign_two_level(
     n_super: int | None = None,
     n_super_probe: int = 4,
     n_probe: int = 1,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """Two-level coarse-quantized nearest-centroid assignment — the
     beyond-broadcast escape hatch for :func:`ivf_assign` (VERDICT r7
@@ -794,7 +795,9 @@ def ivf_assign_two_level(
     behavior). n_probe > 1 is not supported: top-k per vector over the
     candidate stream would need a window shuffle; every production
     caller of flat assignment (semdedup, kmeans_refine, ivf_topk's
-    corpus side) uses n_probe=1.
+    corpus side) uses n_probe=1. ``return_candidates=True`` returns the
+    pre-argmin (id, cent_id) candidate stream instead of the assignment
+    — the cost model's bound quantity, for census-paired benchmarks.
     """
     if n_probe != 1:
         raise NotImplementedError(
@@ -852,6 +855,14 @@ def ivf_assign_two_level(
     probes = ivf_assign(
         df, supers, vec_col=vec_col, id_col=id_col, n_probe=n_super_probe
     ).select(id_col, vec_col, "nrm", F.col("cent_id").alias("__sid"))
+    if return_candidates:
+        # diagnostics/census hook: the pre-argmin candidate stream —
+        # the BOUND QUANTITY of this path's cost model
+        # (N · n_super_probe · cell size); decade benches pair wall
+        # ratios with its measured count (r6 census discipline)
+        return probes.join(members, "__sid").select(
+            id_col, F.col("__cid").alias("cent_id")
+        )
     scored = probes.join(members, "__sid").select(
         id_col,
         vec_col,

@@ -116,13 +116,22 @@ def main() -> None:
     print("arrow_sf10:", json.dumps(result["arrow_sf10"]))
 
     # --- two-level @ sf1 vs the same 10k centroids ----------------------
+    # warm the two-level plan family first (the first analysis of the
+    # recursive assign + recursive CTE-sized plan costs seconds and
+    # would land entirely in the sf1 point), then min-of-2 per point
     spark.catalog.clearCache()
+    S.ivf_assign_two_level(
+        ensure_parallelism(emb1.limit(512)), cents, n_super_probe=4
+    ).count()
     tl = S.ivf_assign_two_level(
         ensure_parallelism(emb1), cents, n_super_probe=4
     ).select("vec_id", F.col("cent_id").alias("tl_cent"))
-    t0 = time.time()
-    tl_rows = tl.count()
-    tl_wall = time.time() - t0
+    tl_wall, tl_rows = None, 0
+    for _ in range(2):
+        t0 = time.time()
+        tl_rows = tl.count()
+        dt = time.time() - t0
+        tl_wall = min(tl_wall or dt, dt)
     flat1 = S.ivf_assign(ensure_parallelism(emb1), cents, n_probe=1).select(
         "vec_id", F.col("cent_id").alias("flat_cent")
     )
@@ -136,15 +145,49 @@ def main() -> None:
         )
         .collect()[0]
     )
+    cand1 = S.ivf_assign_two_level(
+        ensure_parallelism(emb1), cents, n_super_probe=4,
+        return_candidates=True,
+    ).count()
     result["twolevel_sf1"] = {
         "corpus_rows": int(tl_rows),
         "n_super": 100,  # isqrt(10_000) default
         "n_super_probe": 4,
         "wall_s": round(tl_wall, 2),
+        "candidate_pairs": int(cand1),
         "agreement_with_flat": round(agree["same"] / agree["n"], 4),
         "matched_rows": int(agree["n"]),
     }
     print("twolevel_sf1:", json.dumps(result["twolevel_sf1"]))
+
+    # --- two-level decade point @ sf10 (10x corpus, SAME centroid set:
+    # candidate pairs scale linearly in N at fixed nlist/n_super) -------
+    spark.catalog.clearCache()
+    tl10 = S.ivf_assign_two_level(
+        ensure_parallelism(emb10), cents, n_super_probe=4
+    )
+    tl10_wall, tl10_rows = None, 0
+    for _ in range(2):
+        t0 = time.time()
+        tl10_rows = tl10.count()
+        dt = time.time() - t0
+        tl10_wall = min(tl10_wall or dt, dt)
+    cand10 = S.ivf_assign_two_level(
+        ensure_parallelism(emb10), cents, n_super_probe=4,
+        return_candidates=True,
+    ).count()
+    result["twolevel_sf10"] = {
+        "corpus_rows": int(tl10_rows),
+        "wall_s": round(tl10_wall, 2),
+        "candidate_pairs": int(cand10),
+    }
+    result["twolevel_decade"] = {
+        "wall_ratio": round(tl10_wall / tl_wall, 2),
+        "candidate_ratio": round(cand10 / max(1, cand1), 2),
+        "corpus_ratio": round(tl10_rows / max(1, tl_rows), 2),
+    }
+    print("twolevel_sf10:", json.dumps(result["twolevel_sf10"]))
+    print("twolevel_decade:", json.dumps(result["twolevel_decade"]))
 
     with open(OUT, "w") as f:
         json.dump(result, f, indent=1)
