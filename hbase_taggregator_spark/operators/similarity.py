@@ -1116,10 +1116,17 @@ def embedding_covariance(
     ).select(
         F.col("c.i").alias("i"), F.col("c.j").alias("j"), F.col("c.p").alias("p")
     )
+    # the aggregate feeds THREE plan branches (quadratic terms + the
+    # linear sums joined in twice for sx and sy); without pinning,
+    # Catalyst re-derives the whole corpus aggregation per branch
+    # (observed: 3 parquet scans, 9 exchanges) — persisting the
+    # dim(dim+1)/2 + dim result rows makes the docstring's "one corpus
+    # pass" physically true. Tiny by construction; never unpersisted
+    # (same policy as semdedup's assignment cache).
     stats = cells.groupBy("i", "j").agg(
         F.sum(F.col("p").cast("decimal(28,12)")).cast("double").alias("s"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).persist()
     lin = stats.filter(F.col("j") == 0).select(
         F.col("i").alias("li"), F.col("s").alias("sx"), F.col("n").alias("n")
     )

@@ -398,6 +398,10 @@ def test_embedding_covariance_matches_numpy(spark):
     emb = _toy_vectors(spark, n=n, dim=dim)
     out = embedding_covariance(emb, dim=dim)
     assert P.count_nodes(out, "SortMergeJoin") == 0
+    # all three fan-out branches (quad + sx + sy) must read the pinned
+    # aggregate, not re-derive the corpus pass (pre-persist plan ran 3
+    # parquet scans)
+    assert P.count_nodes(out, "InMemoryTableScan") == 3
     got = {(r["i"], r["j"]): r["cov"] for r in out.collect()}
     assert len(got) == dim * (dim + 1) // 2
     M = np.array(
