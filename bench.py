@@ -195,8 +195,10 @@ HEADLINE = [
     # centroid-distribution path; exact-decimal candidate scoring)
     "similarity_twolevel_assign",
     # round-8: one-pass embedding covariance (map-side outer products,
-    # partial agg to dim^2 cells before the single shuffle)
+    # partial agg to dim^2 cells before the single shuffle) and the
+    # z-score whitening-prep companion
     "embedding_covariance_matrix",
+    "embedding_standardize_checksums",
     # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
     # (one job per propagation round) is real algorithm cost, but at bench
     # fixture scale the per-job scheduling floor dominates and would

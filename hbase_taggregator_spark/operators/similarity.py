@@ -1153,6 +1153,78 @@ def embedding_covariance(
     )
 
 
+def embedding_standardize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding table —
+    the whitening-prep companion to :func:`embedding_covariance`
+    (normalize each dimension to zero mean / unit variance before
+    distance-based dedup or clustering, so high-variance dimensions
+    stop dominating the metric).
+
+    Physical shape for 100 TB: two passes (the irreducible minimum for
+    exact moments — mean/std first, then the transform), both
+    shuffle-light. Pass 1: posexplode → partial-aggregated decimal sums
+    per dimension (the shuffle carries O(partitions · dim) rows);
+    population stddev from the exact (Σv, Σv²) pair with a pinned IEEE
+    order: ``var = (sxx − (sx · sx) / n) / n``, both divisions by the
+    double-cast n. Pass 2: re-explode and BROADCAST-join the dim stats
+    rows back, ``z = (v − mean) / std`` in IEEE double, then per-vector
+    integer summaries (``floor(z·1000 + 0.5)`` L1 and position-weighted
+    checksum — the :func:`quantize_int8` discipline that lets the oracle
+    verify every standardized component without comparing float arrays).
+    Zero-variance dimensions standardize to 0 (not NaN — ANSI division
+    by zero would kill the job on constant columns; a constant dimension
+    carries no signal and 0 is the information-preserving choice).
+    Rows whose vector is NULL or not ``dim`` long are excluded, like
+    :func:`embedding_covariance`. Output: (id_col, n_dims, z_l1,
+    z_checksum) — one row per valid vector."""
+    e = F.col(vec_col)
+    d = df.filter(e.isNotNull() & (F.size(e) == dim))
+    ex = d.select(id_col, F.posexplode(e).alias("__i", "__v")).select(
+        id_col, (F.col("__i") + 1).alias("__i"),
+        F.col("__v").cast("double").alias("__v"),
+    )
+    stats = (
+        ex.groupBy("__i")
+        .agg(
+            F.sum(F.col("__v").cast("decimal(28,12)")).cast("double").alias("sx"),
+            F.sum(
+                (F.col("__v") * F.col("__v")).cast("decimal(28,12)")
+            ).cast("double").alias("sxx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "__i",
+            (F.col("sx") / F.col("n").cast("double")).alias("__mean"),
+            F.sqrt(
+                (
+                    F.col("sxx")
+                    - (F.col("sx") * F.col("sx")) / F.col("n").cast("double")
+                )
+                / F.col("n").cast("double")
+            ).alias("__std"),
+        )
+    )
+    z = F.when(
+        F.col("__std") > 0, (F.col("__v") - F.col("__mean")) / F.col("__std")
+    ).otherwise(F.lit(0.0))
+    q = F.floor(z * 1000.0 + 0.5).cast("long")
+    return (
+        ex.join(F.broadcast(stats), "__i")
+        .select(id_col, "__i", q.alias("__q"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum(F.abs(F.col("__q"))).alias("z_l1"),
+            F.sum(F.col("__q") * F.col("__i")).alias("z_checksum"),
+        )
+    )
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -4484,9 +4484,11 @@ _register(
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
     # new this round (r8) — the two-level coarse-quantized assignment
-    # gate (the scale headline) and the embedding covariance diagnostic
+    # gate (the scale headline) and the embedding covariance /
+    # standardization diagnostics
     "similarity_twolevel_assign",
     "embedding_covariance_matrix",
+    "embedding_standardize_checksums",
     # promoted from rows-only to oracle-matched this round — a window
     # slot now buys a full hash verdict instead of a rows-only row
     "similarity_ann_lsh_topk",
@@ -4503,11 +4505,11 @@ _GATE_WINDOW = [
     "similarity_ivf_recall_at_5",
     "similarity_ivf_kmeans_recall_at_5",
     "similarity_pq_recall_at_5",
-    # the stale r4 block, in r4-window order: 39 of the 42 queries last
+    # the stale r4 block, in r4-window order: 38 of the 42 queries last
     # driver-gated in round 4 (the four oldest were re-gated in r7; the
-    # final three — pit_feature_lookup_regimes, nullsafe_join_device_
-    # counts, setops_multiset_all_users — roll to the r9 window, which
-    # then starts the r5 block)
+    # final four — sql_entry_rollup_view, pit_feature_lookup_regimes,
+    # nullsafe_join_device_counts, setops_multiset_all_users — roll to
+    # the r9 window, which then starts the r5 block)
     "ts_qualifier_offset_900",
     "similarity_ann_recall_at_5",
     "similarity_lsh_neardup_pairs",
@@ -4546,7 +4548,6 @@ _GATE_WINDOW = [
     "table_diff_after_merge",
     "fuzzy_entity_resolution",
     "sql_entry_nation_revenue",
-    "sql_entry_rollup_view",
 ]
 
 

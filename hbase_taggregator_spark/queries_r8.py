@@ -172,6 +172,55 @@ _register(
 )
 
 
+def _q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization with integer per-vector
+    summaries (quantize_int8's checksum discipline) — the whitening-prep
+    companion to the covariance gate; two shuffle-light passes."""
+    from hbase_taggregator_spark.operators.similarity import (
+        embedding_standardize,
+    )
+    from hbase_taggregator_spark.util import ensure_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_standardize(ensure_parallelism(emb)).orderBy("vec_id")
+
+
+_register(
+    "embedding_standardize_checksums",
+    _q_embedding_standardize,
+    """
+    -- moment sums route the decimal casts through VARCHAR (shortest-repr
+    -- HALF_UP = Spark's BigDecimal.valueOf path; see the covariance
+    -- oracle note); SUM(BIGINT) is HUGEINT in DuckDB, so the integer
+    -- summaries cast back to BIGINT for the type-tagged hasher
+    WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+               FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+               WHERE len(embedding) = 64),
+    st AS (SELECT i,
+                  CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(CAST(v * v AS VARCHAR) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS sxx,
+                  COUNT(*) AS n
+           FROM e GROUP BY 1),
+    ms AS (SELECT i, sx / CAST(n AS DOUBLE) AS mean,
+                  sqrt((sxx - (sx * sx) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)) AS std
+           FROM st),
+    zq AS (SELECT e.vec_id, e.i,
+                  CAST(FLOOR((CASE WHEN std > 0
+                                   THEN (v - mean) / std
+                                   ELSE 0.0 END) * 1000.0 + 0.5)
+                    AS BIGINT) AS q
+           FROM e JOIN ms ON ms.i = e.i)
+    SELECT vec_id, COUNT(*) AS n_dims,
+           CAST(SUM(ABS(q)) AS BIGINT) AS z_l1,
+           CAST(SUM(q * i) AS BIGINT) AS z_checksum
+    FROM zq GROUP BY 1 ORDER BY vec_id
+    """,
+)
+
+
 # re-apply the gate-window ordering now that round-8 queries are
 # registered (tolerant on every import path, same as queries_r3..r7 —
 # whichever module finishes last sees the full catalog).

@@ -448,6 +448,96 @@ def test_semdedup_twolevel_passthrough(spark):
     assert set(out.columns) == {"vec_id", "cent_id"}
 
 
+def test_embedding_standardize_matches_numpy_and_handles_zero_variance(spark):
+    """z-score summaries must agree with a numpy recomputation, constant
+    dimensions must standardize to 0 (not NaN/error under ANSI), and
+    invalid vectors are excluded."""
+    import math
+
+    import numpy as np
+
+    from hbase_taggregator_spark.operators.similarity import (
+        embedding_standardize,
+    )
+
+    dim, n = 4, 12
+    rows = [
+        (i, [float(i % 5), 7.0, float((i * 3) % 11), float(i)])
+        for i in range(n)
+    ]  # dim 1 constant -> std 0
+    rows.append((100, None))
+    rows.append((101, [1.0, 2.0]))  # wrong dim
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["n_dims"], r["z_l1"], r["z_checksum"])
+        for r in embedding_standardize(emb, dim=dim).collect()
+    }
+    assert set(got) == set(range(n))
+    M = np.array([r[1] for r in rows[:n]], dtype=np.float64)
+    mean = M.mean(axis=0)
+    std = M.std(axis=0)  # population
+    want = {}
+    for i in range(n):
+        qs = [
+            math.floor(
+                ((M[i][d] - mean[d]) / std[d] if std[d] > 0 else 0.0) * 1000.0
+                + 0.5
+            )
+            for d in range(dim)
+        ]
+        want[i] = (
+            dim,
+            sum(abs(q) for q in qs),
+            sum(q * (d + 1) for d, q in enumerate(qs)),
+        )
+    assert got == want
+
+
+# --- hypothesis: expr and arrow strategies are identical on random input ----
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _vec = st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, width=32), min_size=6,
+        max_size=6,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(vecs=st.lists(_vec, min_size=8, max_size=16))
+    def test_ivf_assign_strategies_identical_on_random_vectors(spark, vecs):
+        """Property pin for the in-UDF Python exact mirror: on arbitrary
+        float32 vectors (including duplicate centroids when hypothesis
+        generates repeats — forced ambiguity), expr and arrow must
+        return IDENTICAL assignments."""
+        from hbase_taggregator_spark.operators.similarity import ivf_assign
+
+        # constant anchor element keeps every norm >= 0.5: an all-zero
+        # vector's zero norm raises under ANSI on BOTH strategies' exact
+        # division (pre-existing contract, not what this test pins)
+        rows = [(i, v + [0.5]) for i, v in enumerate(vecs)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        cents = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+        )
+        out = {}
+        for strategy in ("expr", "arrow"):
+            out[strategy] = sorted(
+                (r["vec_id"], r["cent_id"])
+                for r in ivf_assign(
+                    emb, cents, n_probe=1, strategy=strategy
+                ).collect()
+            )
+        assert out["expr"] == out["arrow"]
+
+
 # --- repeated-substring dedup at the paper's k=50 (VERDICT r7 task #6) ------
 
 
