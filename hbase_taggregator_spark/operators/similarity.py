@@ -66,6 +66,20 @@ def _ddot(a: Column, b: Column) -> Column:
     )
 
 
+def _nz(den: Column) -> Column:
+    """NULL instead of a zero denominator. Under ANSI mode (this
+    deployment's default) double division by zero RAISES — a zero-norm
+    vector (an empty document's embedding) must not kill a 100 TB job.
+    A NULL score places degenerate vectors deterministically instead:
+    NULLS LAST in the DESC cosine rankings (they never enter a top-k),
+    null-negcos-FIRST in :func:`ivf_assign`'s (negcos, pos) struct order
+    (they assign to the lowest-position centroid, same as NULL/ragged
+    vectors), and FALSE in :func:`cos_ge` similarity filters (a zero
+    vector is near-duplicate of nothing). The in-UDF Python mirror
+    (:func:`_py_negcos`) returns None for a zero denominator to match."""
+    return F.when(den != 0.0, den)
+
+
 def cos_ge(
     a: Column,
     b: Column,
@@ -86,8 +100,8 @@ def cos_ge(
     null/NaN scores all fall through to the exact expression, so the
     output is bit-identical to the pure exact filter at a fraction of
     its cost on the (typical) mostly-rejected pair stream."""
-    fast = _ddot(a, b) / (na * nb)
-    exact = dot(a, b) / (na * nb) >= F.lit(threshold)
+    fast = _ddot(a, b) / _nz(na * nb)
+    exact = dot(a, b) / _nz(na * nb) >= F.lit(threshold)
     return (
         F.when((na * nb) <= F.lit(guard), exact)
         .when(fast >= F.lit(threshold + eps), F.lit(True))
@@ -99,7 +113,7 @@ def cos_ge(
 def cosine(a: Column, b: Column) -> Column:
     """Pairwise cosine. Recomputes both norms — fine for single pairs; the
     set operators below precompute norms once per vector instead."""
-    return dot(a, b) / (norm(a) * norm(b))
+    return dot(a, b) / _nz(norm(a) * norm(b))
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding", out_col: str = "nrm") -> DataFrame:
@@ -140,7 +154,8 @@ def cosine_topk(
         .join(F.broadcast(q), pair_cond)
         .withColumn(
             "cosine",
-            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnrm") * F.col("nrm")),
+            dot(F.col("__qvec"), F.col(vec_col))
+            / _nz(F.col("__qnrm") * F.col("nrm")),
         )
         .select(query_id_col, id_col, "cosine")
     )
@@ -450,7 +465,7 @@ def ivf_assign(
                 (
                     -(
                         dotf(F.col(vec_col), F.element_at(lvecs, i))
-                        / (F.col("nrm") * F.element_at(lnrms, i))
+                        / _nz(F.col("nrm") * F.element_at(lnrms, i))
                     )
                 ).alias("negcos"),
                 i.cast("int").alias("pos"),
@@ -535,11 +550,10 @@ def _py_negcos(vec, cvec, nrm: float, cnrm: float):
     there instead, but both are unreachable for the documented input
     contract (|elements| < 1 keeps every product and partial sum far
     inside DECIMAL(18,12)); the mirror degrades to
-    sorts-first-by-position rather than killing the job. Likewise a
-    zero norm divides to ±Inf/NaN here (IEEE) where ANSI would raise —
-    strictly more permissive, never divergent on inputs both paths
-    accept. Property-pinned bit-for-bit against the real ``dot()``
-    expression in tests/test_round8.py."""
+    sorts-first-by-position rather than killing the job. A zero
+    denominator (zero-norm vector) returns None, mirroring the JVM
+    side's :func:`_nz` guard exactly. Property-pinned bit-for-bit
+    against the real ``dot()`` expression in tests/test_round8.py."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -563,11 +577,8 @@ def _py_negcos(vec, cvec, nrm: float, cnrm: float):
     num = float(s)
     den = nrm * cnrm
     if den == 0.0:
-        # IEEE x/+0.0 (norms are non-negative, so den carries + sign)
-        q = math.nan if num == 0.0 else math.copysign(math.inf, num)
-    else:
-        q = num / den
-    return -q
+        return None  # mirrors the _nz zero-denominator guard (NULL score)
+    return -(num / den)
 
 
 def _py_exact_ids(vec, nrm, C, cn, cids, n_probe, fast_row=None, eps=1e-6):
@@ -871,7 +882,7 @@ def ivf_assign_two_level(
             (
                 -(
                     dot(F.col(vec_col), F.col("__cv"))
-                    / (F.col("nrm") * F.col("__cnrm"))
+                    / _nz(F.col("nrm") * F.col("__cnrm"))
                 )
             ).alias("n"),
             F.col("__cid").alias("c"),
@@ -995,7 +1006,8 @@ def ivf_topk(
         )
         .withColumn(
             "cosine",
-            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnrm") * F.col("nrm")),
+            dot(F.col("__qvec"), F.col(vec_col))
+            / _nz(F.col("__qnrm") * F.col("nrm")),
         )
         .select(query_id_col, id_col, "cosine")
     )
@@ -1054,7 +1066,8 @@ def ann_lsh_topk(
         )
         .withColumn(
             "cosine",
-            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnrm") * F.col("nrm")),
+            dot(F.col("__qvec"), F.col(vec_col))
+            / _nz(F.col("__qnrm") * F.col("nrm")),
         )
         .select(query_id_col, id_col, "cosine")
     )

@@ -379,6 +379,45 @@ def test_two_level_rejects_n_probe_gt_1_and_empty(spark):
         S.ivf_assign(emb, cents, n_probe=3, strategy="twolevel")
 
 
+# --- zero-norm vectors must not kill jobs under ANSI -------------------------
+
+
+def test_zero_norm_vectors_assign_and_dedup_without_raising(spark):
+    """Real corpora contain zero embeddings (empty documents). Under ANSI
+    (this deployment's default) a bare cosine division raises
+    DIVIDE_BY_ZERO; the _nz guard must instead give NULL scores with
+    deterministic placement: assignment to the lowest-position centroid
+    (both strategies), survival through semdedup (similar to nothing),
+    and exclusion from cosine top-k (NULLS LAST)."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),  # zero norm
+            (3, [0.0, 1.0]),
+            (4, [0.7, 0.7]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (20, [0.1, 1.0])], "cent_id long, cvec array<double>"
+    )
+    for strategy in ("expr", "arrow"):
+        got = dict(
+            (r["vec_id"], r["cent_id"])
+            for r in S.ivf_assign(emb, cents, strategy=strategy).collect()
+        )
+        assert got[2] == 10, strategy  # null scores -> lowest position
+        assert got[1] == 10 and got[3] == 20, strategy
+    surv = {r["vec_id"] for r in S.semdedup(emb, cents, threshold=0.5).collect()}
+    assert 2 in surv  # zero vector is near-duplicate of nothing
+    spark.catalog.clearCache()
+    topk = S.cosine_topk(emb, emb.filter(F.col("vec_id") == 1), k=2)
+    ids = [r["vec_id"] for r in topk.collect()]
+    assert 2 not in ids  # NULL cosine ranks last, never enters top-k
+
+
 # --- embedding covariance diagnostic ----------------------------------------
 
 
@@ -517,10 +556,10 @@ if _HYP:
         return IDENTICAL assignments."""
         from hbase_taggregator_spark.operators.similarity import ivf_assign
 
-        # constant anchor element keeps every norm >= 0.5: an all-zero
-        # vector's zero norm raises under ANSI on BOTH strategies' exact
-        # division (pre-existing contract, not what this test pins)
-        rows = [(i, v + [0.5]) for i, v in enumerate(vecs)]
+        # no anchoring: all-zero vectors are fair game — the _nz guard
+        # gives them NULL scores and both strategies must place them
+        # identically (lowest-position centroid)
+        rows = [(i, v) for i, v in enumerate(vecs)]
         emb = spark.createDataFrame(
             rows, "vec_id long, embedding array<float>"
         )
