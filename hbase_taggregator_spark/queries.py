@@ -748,8 +748,16 @@ def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _ok(apx: str, exact: str) -> F.Column:
+        # guard the denominator (r8 ADVICE): on an empty / all-NULL
+        # column the exact count is 0 and the relative-error division
+        # would RAISE under ANSI mode instead of returning a verdict —
+        # CaseWhen evaluates branches lazily, so the division never runs
+        # when exact = 0; the degenerate verdict is exact equality
+        # (HLL of an empty sketch is 0), matching the oracle's TRUE.
         err = F.abs(F.col(apx) - F.col(exact)) / F.col(exact)
-        return err <= F.lit(_HLL_BOUND)
+        return F.when(F.col(exact) > 0, err <= F.lit(_HLL_BOUND)).otherwise(
+            F.col(apx) == F.col(exact)
+        )
 
     return agg.select(
         "n_parts_exact",

@@ -78,12 +78,20 @@ _register(
                    CAST(SUM(CAST(e.v AS DECIMAL(28,12))) AS DOUBLE)
                      / COUNT(*) AS m
             FROM blk b JOIN e ON e.vec_id = b.cid GROUP BY 1, 2),
+    -- products involving the COMPUTED means m route through VARCHAR
+    -- before the decimal cast (r8 ADVICE; the covariance oracle's note):
+    -- m is a full-precision division result, so DuckDB's raw
+    -- double→DECIMAL cast (rounds the exact binary expansion) can
+    -- straddle a scale-12 midpoint against Spark's shortest-repr
+    -- HALF_UP BigDecimal.valueOf path and flip a near-tied argmin
     sn AS (SELECT blk,
-                  sqrt(CAST(SUM(CAST(m * m AS DECIMAL(18,12))) AS DOUBLE))
+                  sqrt(CAST(SUM(CAST(CAST(m * m AS VARCHAR)
+                                     AS DECIMAL(18,12))) AS DOUBLE))
                     AS snrm
            FROM sup GROUP BY 1),
     csd AS (SELECT b.cid, s.blk,
-                   CAST(SUM(CAST(e.v * s.m AS DECIMAL(18,12))) AS DOUBLE) AS d
+                   CAST(SUM(CAST(CAST(e.v * s.m AS VARCHAR)
+                                 AS DECIMAL(18,12))) AS DOUBLE) AS d
             FROM blk b JOIN e ON e.vec_id = b.cid JOIN sup s ON s.i = e.i
             GROUP BY 1, 2),
     member AS (SELECT cid, blk FROM (
@@ -94,7 +102,8 @@ _register(
         FROM csd JOIN norms nc ON nc.vec_id = csd.cid
                  JOIN sn ON sn.blk = csd.blk) WHERE rk = 1),
     vsd AS (SELECT e.vec_id, s.blk,
-                   CAST(SUM(CAST(e.v * s.m AS DECIMAL(18,12))) AS DOUBLE) AS d
+                   CAST(SUM(CAST(CAST(e.v * s.m AS VARCHAR)
+                                 AS DECIMAL(18,12))) AS DOUBLE) AS d
             FROM e JOIN sup s ON s.i = e.i GROUP BY 1, 2),
     probe AS (SELECT vec_id, blk FROM (
         SELECT vsd.vec_id, vsd.blk,
@@ -203,9 +212,12 @@ _register(
                     AS DOUBLE) AS sxx,
                   COUNT(*) AS n
            FROM e GROUP BY 1),
+    -- greatest(·, 0) before the sqrt mirrors the Spark side's clamp: on
+    -- a constant dimension decimal rounding can push the variance a hair
+    -- negative, and sqrt(negative) is NaN (r8 ADVICE)
     ms AS (SELECT i, sx / CAST(n AS DOUBLE) AS mean,
-                  sqrt((sxx - (sx * sx) / CAST(n AS DOUBLE))
-                       / CAST(n AS DOUBLE)) AS std
+                  sqrt(greatest((sxx - (sx * sx) / CAST(n AS DOUBLE))
+                                / CAST(n AS DOUBLE), 0.0)) AS std
            FROM st),
     zq AS (SELECT e.vec_id, e.i,
                   CAST(FLOOR((CASE WHEN std > 0

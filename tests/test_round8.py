@@ -153,9 +153,12 @@ def test_arrow_assign_batch_fn_warns_in_process():
         def select(self, *_, **__):
             return self
 
+    from pyspark.sql.types import LongType
+
     fake = _FakeDF()
     S._arrow_assign(
-        fake, [[1.0, 0.0]], [1.0], [10], "embedding", "vec_id", 1, 1.0, 1e-6
+        fake, [[1.0, 0.0]], [1.0], [10], LongType(), "embedding", "vec_id",
+        1, 1.0, 1e-6,
     )
     pdf = pd.DataFrame(
         {
@@ -363,20 +366,21 @@ def test_kmeans_refine_twolevel_passthrough_keeps_centroids_distributed(
             assert v[0].shape[0] < 32, "centroid set crossed the driver"
 
 
-def test_two_level_rejects_n_probe_gt_1_and_empty(spark):
+def test_two_level_rejects_invalid_probe_and_empty(spark):
+    """r9: n_probe > 1 is SUPPORTED (the r8-declared API hole is closed
+    — see test_round9.py); only n_probe < 1 and empty centroid sets
+    reject."""
     from hbase_taggregator_spark.operators import similarity as S
 
     emb = _toy_vectors(spark, n=5)
     cents = emb.select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
     )
-    with pytest.raises(NotImplementedError, match="n_probe=1"):
-        S.ivf_assign_two_level(emb, cents, n_probe=2)
+    with pytest.raises(ValueError, match="n_probe"):
+        S.ivf_assign_two_level(emb, cents, n_probe=0)
     empty = spark.createDataFrame([], "cent_id long, cvec array<double>")
     with pytest.raises(ValueError, match="non-empty centroid"):
         S.ivf_assign_two_level(emb, empty)
-    with pytest.raises(NotImplementedError, match="n_probe=1"):
-        S.ivf_assign(emb, cents, n_probe=3, strategy="twolevel")
 
 
 # --- zero-norm vectors must not kill jobs under ANSI -------------------------

@@ -1,0 +1,361 @@
+"""Round-9 regression tests (VERDICT r8 "Next round" + ADVICE):
+
+- the two-level assignment's rank window runs KEY-ONLY — no
+  single-partition exchange ever carries the centroid vectors (the last
+  spot the full payload could converge on one task);
+- ``n_probe > 1`` on the two-level path (the family's one declared API
+  hole) — same single-shuffle topology, map-side-partial collect_list
+  top-k, pinned against a pure-Python reference AND against flat
+  assignment under full probing;
+- a bucketed super-cell layout removes the corpus-side Exchange from
+  the assignment join (the amortization the docstring promises);
+- the arrow strategy preserves the centroid frame's cent_id type
+  (r8 ADVICE: no silent int→bigint widening at the auto threshold);
+- embedding_standardize clamps variance before the sqrt (r8 ADVICE:
+  constant dimensions no longer produce NaN stds / oracle divergence);
+- the HLL++ error-bound gate returns a verdict instead of raising on a
+  zero exact count (r8 ADVICE: ANSI division guard).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_taggregator_spark import plans as P
+
+SF = "/root/testdata/sf0.001"
+
+
+def _toy_vectors(spark, n=40, dim=8):
+    rows = [
+        (i, [float(((i * 7 + j * 13) % 19) - 9) / 9.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+# --- two-level: key-only rank window (VERDICT r8 "What's wrong" #1) ---------
+
+
+def test_two_level_single_partition_exchanges_are_key_only(spark):
+    """Every Exchange SinglePartition in the two-level plan must carry
+    ONLY metadata-scale key columns — never the centroid vectors (cvec /
+    __cv) and never the corpus vectors. r8's form ranked a frame that
+    still carried cvec, funneling the full centroid payload through one
+    task at exactly the nlist > 2^18 regime the path exists for."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    # the window lives in the super-centroid subplan (ivf_assign
+    # materializes supers eagerly, so the assignment output plan never
+    # contains it) — assert on that plan directly
+    supers = S._super_centroids(cents, n_super=14, nlist=200)
+    text = P.formatted_plan(supers)
+    # formatted sections: "(N) Exchange\nInput [k]: [...]\nArguments: ..."
+    sections = text.split("\n\n")
+    singles = [
+        s for s in sections
+        if s.strip().split("\n")[0].endswith("Exchange")
+        and "SinglePartition" in s
+    ]
+    assert singles, "expected the rank window's SinglePartition exchange"
+    for s in singles:
+        for payload in ("cvec#", "__cv#", "embedding#"):
+            assert payload not in s, (
+                f"single-partition exchange carries {payload}:\n{s}"
+            )
+    # and the end-to-end assignment still works on top of it
+    out = S.ivf_assign_two_level(emb, cents, n_super=14, n_super_probe=3)
+    assert out.count() > 0
+
+
+# --- two-level n_probe > 1 (closes the r8-declared API hole) ----------------
+
+
+def _py_two_level(vecs, cvecs, n_super, n_super_probe, n_probe):
+    """Independent pure-Python two-level reference (plain float math —
+    the fixtures have no near-ties, so float vs decimal cannot flip a
+    ranking): block means, nearest-super membership, probing, exact
+    candidate top-n_probe."""
+    nlist = len(cvecs)
+    dim = len(next(iter(cvecs.values())))
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    order = sorted(cvecs)
+    blocks = {cid: (rank * n_super) // nlist for rank, cid in enumerate(order)}
+    supers = {}
+    for b in range(n_super):
+        mv = [cvecs[c] for c, blk in blocks.items() if blk == b]
+        if mv:
+            supers[b] = [
+                sum(v[d] for v in mv) / len(mv) for d in range(dim)
+            ]
+    member_of = {
+        c: min(supers, key=lambda b: (-cos(cvecs[c], supers[b]), b))
+        for c in cvecs
+    }
+    expected = {}
+    for vid, v in vecs.items():
+        probed = sorted(
+            supers, key=lambda b: (-cos(v, supers[b]), b)
+        )[:n_super_probe]
+        cands = [c for c in cvecs if member_of[c] in probed]
+        top = sorted(cands, key=lambda c: (-cos(v, cvecs[c]), c))[:n_probe]
+        if top:
+            expected[vid] = top
+    return expected
+
+
+def test_two_level_n_probe_2_matches_python_reference(spark):
+    from hbase_taggregator_spark.operators import similarity as S
+
+    n, dim, nlist, n_super, n_super_probe, n_probe = 60, 8, 12, 4, 2, 2
+    emb = _toy_vectors(spark, n=n, dim=dim)
+    cents = emb.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    got: dict[int, list[int]] = {}
+    rows = (
+        S.ivf_assign_two_level(
+            emb, cents, n_super=n_super, n_super_probe=n_super_probe,
+            n_probe=n_probe,
+        )
+        .collect()
+    )
+    for r in rows:
+        got.setdefault(r["vec_id"], []).append(r["cent_id"])
+    for v in got.values():
+        v.sort()
+
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    cvecs = {i: vecs[i] for i in range(nlist)}
+    expected = _py_two_level(vecs, cvecs, n_super, n_super_probe, n_probe)
+    assert got == {k: sorted(v) for k, v in expected.items()}
+
+
+def test_two_level_full_probe_topk_equals_flat_assignment(spark):
+    """With every super-cell probed the candidate set is ALL centroids,
+    so two-level top-k must equal the flat (exact) assignment's top-k —
+    membership AND multiplicity."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _toy_vectors(spark, n=50, dim=8)
+    cents = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    two = sorted(
+        (r["vec_id"], r["cent_id"])
+        for r in S.ivf_assign_two_level(
+            emb, cents, n_super=4, n_super_probe=4, n_probe=3
+        ).collect()
+    )
+    flat = sorted(
+        (r["vec_id"], r["cent_id"])
+        for r in S.ivf_assign(emb, cents, n_probe=3, strategy="expr").collect()
+    )
+    assert two == flat and len(two) == 50 * 3
+
+
+def test_ivf_assign_twolevel_passthrough_accepts_n_probe(spark):
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _toy_vectors(spark, n=20, dim=8)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    out = S.ivf_assign(emb, cents, n_probe=2, strategy="twolevel")
+    counts = [r["n"] for r in out.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()]
+    assert counts and all(c <= 2 for c in counts)
+
+
+# --- bucketed super-cell layout amortization (VERDICT r8 task #7) -----------
+
+
+def test_two_level_bucketed_corpus_joins_without_corpus_exchange(spark):
+    """A standing deployment buckets the probe-stamped corpus on the
+    super-cell key ONCE; every subsequent assignment join then plans NO
+    corpus-side Exchange — only the metadata-scale members side still
+    shuffles. Asserted by comparing hash-exchange counts for the same
+    merge join over a plain vs a bucketed probes table."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    wh = os.path.abspath("spark-warehouse")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    members, probes = S.two_level_parts(emb, cents, n_super=8, n_super_probe=2)
+    for t in ("b_probes", "p_probes", "p_members"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        members.write.mode("overwrite").saveAsTable("p_members")
+        probes.write.mode("overwrite").saveAsTable("p_probes")
+        (probes.write.bucketBy(8, "__sid").sortBy("__sid")
+         .mode("overwrite").saveAsTable("b_probes"))
+        m = spark.table("p_members").hint("merge")
+
+        def n_hash_exchanges(df):
+            return P.physical_plan(df).count("Exchange hashpartitioning")
+
+        plain = spark.table("p_probes").join(m, "__sid")
+        bucketed = spark.table("b_probes").join(m, "__sid")
+        assert n_hash_exchanges(plain) == 2, P.physical_plan(plain)[:2000]
+        assert n_hash_exchanges(bucketed) == 1, (
+            P.physical_plan(bucketed)[:2000]
+        )
+        assert bucketed.count() == plain.count() > 0
+    finally:
+        for t in ("b_probes", "p_probes", "p_members"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- arrow strategy preserves cent_id type (r8 ADVICE) -----------------------
+
+
+def test_arrow_assign_preserves_cent_id_type(spark):
+    """strategy='auto' crossing ARROW_ASSIGN_MIN_NLIST must not change
+    the output schema: an int cent_id stays int (r8 hardcoded int64 →
+    silent widening), and non-integral cent_ids work on the arrow path
+    exactly as they do on expr."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _toy_vectors(spark, n=30, dim=8)
+    cents_int = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").cast("int").alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    for strat in ("expr", "arrow"):
+        out = S.ivf_assign(emb, cents_int, n_probe=1, strategy=strat)
+        assert dict(out.dtypes)["cent_id"] == "int", (strat, out.dtypes)
+
+    cents_str = emb.filter(F.col("vec_id") < 6).select(
+        F.concat(F.lit("c"), F.col("vec_id")).alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    got = {
+        (r["vec_id"], r["cent_id"])
+        for r in S.ivf_assign(
+            emb, cents_str, n_probe=1, strategy="arrow"
+        ).collect()
+    }
+    want = {
+        (r["vec_id"], r["cent_id"])
+        for r in S.ivf_assign(
+            emb, cents_str, n_probe=1, strategy="expr"
+        ).collect()
+    }
+    assert got == want and all(
+        isinstance(c, str) and c.startswith("c") for _, c in got
+    )
+
+
+def test_arrow_expr_agree_across_auto_threshold(spark):
+    """The exact strategies must produce IDENTICAL rows (values AND
+    schema) for the same input regardless of which side of the auto
+    threshold executes."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _toy_vectors(spark, n=40, dim=8)
+    cents = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    a = S.ivf_assign(emb, cents, n_probe=2, strategy="arrow")
+    e = S.ivf_assign(emb, cents, n_probe=2, strategy="expr")
+    # dtypes (names + types) must agree; nullability legitimately differs
+    # (explode of a UDF-produced array vs element_at of a literal)
+    assert a.dtypes == e.dtypes
+    assert sorted((r["vec_id"], r["cent_id"]) for r in a.collect()) == sorted(
+        (r["vec_id"], r["cent_id"]) for r in e.collect()
+    )
+
+
+# --- standardize: variance clamp on constant dimensions (r8 ADVICE) ---------
+
+#: a float32-representable constant whose decimal-rounded moments make
+#: the UNCLAMPED variance (sxx − sx²/n)/n land at ≈ −6.3e-13 for n=10:
+#: sqrt of that is NaN on the Spark side and an ANSI error in the
+#: oracle's CAST(FLOOR(NaN) AS BIGINT). Found by brute force over the
+#: exact DECIMAL(28,12) HALF_UP algebra both engines share.
+_NEGVAR_CONST = -0.48959648609161377
+
+
+def test_standardize_constant_dimension_is_zero_and_oracle_parity(
+    spark, tmp_path
+):
+    """A constant dimension must standardize to 0 — including when
+    decimal rounding pushes the computed variance a hair NEGATIVE (the
+    r8 form produced std = NaN there: Spark's NaN > 0 is TRUE, so the
+    zero-branch was skipped, and the DuckDB oracle CRASHED on
+    CAST(FLOOR(NaN..) AS BIGINT)). Runs the registered gate query AND
+    its oracle over a fixture where every vector is identical, with one
+    dimension pinned at the brute-forced negative-variance constant."""
+    import duckdb
+
+    from hbase_taggregator_spark import queries as Q
+
+    dim = 64
+    base = [
+        float(((j * 13) % 19) - 9) / 19.0 if j != 3 else _NEGVAR_CONST
+        for j in range(dim)
+    ]
+    rows = [(i, base) for i in range(10)]  # identical ⇒ EVERY dim constant
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    out = {
+        r["vec_id"]: (r["n_dims"], r["z_l1"], r["z_checksum"])
+        for r in Q.QUERIES["embedding_standardize_checksums"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert out == {i: (dim, 0, 0) for i in range(10)}
+
+    con = duckdb.connect()
+    glob = os.path.join(sf_dir, "embeddings.parquet", "*.parquet")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{glob}')"
+    )
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            Q.ORACLES["embedding_standardize_checksums"]
+        ).fetchall()
+    }
+    assert oracle == out
+
+
+# --- HLL gate: zero exact count returns a verdict, not an ANSI error --------
+
+
+def test_hll_gate_empty_table_returns_verdict(spark, tmp_path):
+    """On an empty lineitem the exact distinct counts are 0; the
+    relative-error division must be guarded (ANSI would raise) and the
+    degenerate verdict is exact equality — TRUE for an empty sketch."""
+    from hbase_taggregator_spark import queries as Q
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [], "l_partkey long, l_suppkey long, l_orderkey long"
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    row = Q.QUERIES["approx_distinct_lineitem"](spark, sf_dir).collect()[0]
+    assert (row["n_parts_exact"], row["n_supps_exact"], row["n_orders_exact"]) \
+        == (0, 0, 0)
+    assert row["parts_within_bound"] is True
+    assert row["supps_within_bound"] is True
+    assert row["orders_within_bound"] is True
