@@ -4468,86 +4468,79 @@ _register(
     """,
 )
 # ---------------------------------------------------------------------------
-# Driver gate window (round 7): the driver records CORRECTNESS rows for the
-# FIRST 50 catalog entries, so this list is rotated per round. r8 priority:
-# the two NEW queries (the two-level assignment gate — the round's scale
-# headline, VERDICT r7 task #1 — and the embedding covariance diagnostic),
-# the two queries PROMOTED from rows-only to oracle-matched (single-probe
-# LSH-ANN, LTTB via recursive CTE), every query whose implementation
-# changed this round (the HLL++ error-bound promotion, the pagerank
-# persist flag, the ivf_assign arrow rewrite behind the
-# semdedup/ivf/kmeans/pq family), then 39 of the 42 remaining stale-r4
-# queries in r4-window order (the final three roll to r9, which then
-# starts the r5 block). Every query pushed out is green in
-# CORRECTNESS_r03-r07, the judge's r7 full-catalog re-run, and this
-# round's full-catalog oracle log (tools/oracle_full_r8.log).
+# Driver gate window (rotated per round): the driver records CORRECTNESS
+# rows for the FIRST 50 catalog entries. r9 priority: the two NEW queries
+# (two-level top-k — n_probe > 1, the r8-declared API hole — and the
+# Lloyd-refine-under-twolevel gate), every query whose implementation
+# changed this round (the twolevel assignment's key-only rank window +
+# oracle VARCHAR casts; the standardize variance clamp; the HLL++
+# zero-denominator guard; the cent_id type pinning inside ivf_assign
+# behind the semdedup/ivf/kmeans/pq family), then the FOUR r4 leftovers
+# (sql_entry_rollup_view, pit_feature_lookup_regimes,
+# nullsafe_join_device_counts, setops_multiset_all_users — the r4 block
+# is now fully re-gated), then 36 of the 39 stale-r5 queries in r5-window
+# order (the final three — corpus_negative_pairs,
+# ts_rolling_zscore_outliers, multimodal_binary_features — roll to r10,
+# which then starts the r6 block). Every query pushed out is green in
+# earlier CORRECTNESS rounds, the judge's r8 full-catalog re-run, and
+# this round's full-catalog oracle log (tools/oracle_full_r9.log).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # new this round (r8) — the two-level coarse-quantized assignment
-    # gate (the scale headline) and the embedding covariance /
-    # standardization diagnostics
+    # new this round (r9)
+    "similarity_twolevel_topk",
+    "similarity_kmeans_twolevel_refine",
+    # implementation changed this round — re-gate first
     "similarity_twolevel_assign",
-    "embedding_covariance_matrix",
     "embedding_standardize_checksums",
-    # promoted from rows-only to oracle-matched this round — a window
-    # slot now buys a full hash verdict instead of a rows-only row
-    "similarity_ann_lsh_topk",
-    "ts_lttb_downsample_50",
-    # implementation changed this round — re-gate first (HLL++ promoted
-    # to an error-bound verdict gate; pagerank's opt-in persist flag; the
-    # ivf_assign arrow rewrite — broadcast shipping + in-UDF exact
-    # fallback — behind the semdedup/ivf/kmeans family, plus the pq gate
-    # that shares similarity.py, re-gated with its family as in r7)
     "approx_distinct_lineitem",
-    "graph_pagerank_suppliers",
     "semdedup_survivors",
     "semdedup_survivors_cellcap",
     "similarity_ivf_recall_at_5",
     "similarity_ivf_kmeans_recall_at_5",
     "similarity_pq_recall_at_5",
-    # the stale r4 block, in r4-window order: 38 of the 42 queries last
-    # driver-gated in round 4 (the four oldest were re-gated in r7; the
-    # final four — sql_entry_rollup_view, pit_feature_lookup_regimes,
-    # nullsafe_join_device_counts, setops_multiset_all_users — roll to
-    # the r9 window, which then starts the r5 block)
-    "ts_qualifier_offset_900",
-    "similarity_ann_recall_at_5",
-    "similarity_lsh_neardup_pairs",
-    "text_repetition_features",
-    "text_pattern_counts",
-    "corpus_train_val_split",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q22_idle_customer_balance",
-    "corpus_doc_chunks",
-    "corpus_pack_sequences",
-    "embedding_quantize_int8",
-    "skew_salted_distinct_users",
-    "range_band_join_value",
-    "grouping_sets_status_priority",
-    "dedup_keep_best_quality",
-    "streaming_foreachbatch_sink",
-    "corpus_decontaminated",
-    "corpus_sample_per_source",
-    "corpus_global_shuffle",
-    "ingest_json_quarantine",
-    "ts_calendar_rollup_weekly",
-    "ts_largest_gaps_per_type",
-    "scd2_user_event_history",
-    "profile_documents_columns",
-    "percentile_approx_accuracy_gate",
-    "text_feature_hashing_64",
-    "fuzzy_customer_name_candidates",
-    "corpus_contamination_overlap",
-    "text_rare_token_ratio",
-    "cohort_weekly_retention",
-    "funnel_three_step_ordered",
-    "ts_mad_outliers_per_type",
-    "ts_seasonal_baseline_error",
-    "table_diff_after_merge",
-    "fuzzy_entity_resolution",
-    "sql_entry_nation_revenue",
+    # the final four r4-window queries (the rest re-gated in r7/r8)
+    "sql_entry_rollup_view",
+    "pit_feature_lookup_regimes",
+    "nullsafe_join_device_counts",
+    "setops_multiset_all_users",
+    # the stale r5 block, in r5-window order: 36 of the 39 queries last
+    # driver-gated in round 5
+    "corpus_dedup_doc_segments",
+    "sink_orc_roundtrip",
+    "similarity_dup_clusters",
+    "text_rare_bigram_ratio",
+    "corpus_clean_boilerplate",
+    "dedup_simhash_signatures",
+    "dedup_simhash_pairs",
+    "bi_mom_growth_per_segment",
+    "bi_pareto_customers_80pct",
+    "decoder_registry_double_be",
+    "decoder_registry_decimal_be",
+    "feature_quantile_bins_decile",
+    "feature_winsorize_p05_p95",
+    "json_props_extract",
+    "reshape_pivot_unpivot_roundtrip",
+    "sink_csv_json_roundtrip",
+    "sink_partitioned_roundtrip",
+    "text_conjunctive_search",
+    "text_posting_lists",
+    "text_vocabulary",
+    "udtf_sentence_split",
+    "window_rank_functions_showcase",
+    "ts_max_900",
+    "ts_rowkey_mode_3600",
+    "ts_max_28800_compat",
+    "decoder_registry_long_be",
+    "q1_pricing_summary",
+    "q9_profit_by_nation_year",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_duplicate_clusters",
+    "text_quality_features",
+    "text_bm25_retrieval",
+    "text_bpe_token_count",
+    "corpus_stratified_mix",
 ]
 
 
@@ -4577,5 +4570,6 @@ import hbase_taggregator_spark.queries_r5  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r6  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r7  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r8  # noqa: E402,F401
+import hbase_taggregator_spark.queries_r9  # noqa: E402,F401
 
 _apply_gate_window(strict=False)

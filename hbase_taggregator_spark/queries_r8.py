@@ -24,16 +24,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hbase_taggregator_spark.oracle_fragments import _SQL_E
+from hbase_taggregator_spark.oracle_fragments import (
+    _SQL_E,
+    TWOLEVEL_NLIST,
+    TWOLEVEL_NPROBE,
+    TWOLEVEL_NSUPER,
+    TWOLEVEL_SQL_CTES,
+)
 from hbase_taggregator_spark.queries import _register, load_table
-
-#: fixture-scale two-level sizing: nlist=64 first-vector centroids,
-#: sliced into 8 super-cells, vectors probe their 4 nearest supers.
-#: At production the same code runs with nlist ∝ N (millions),
-#: n_super ≈ √nlist, and the probe count tuned for recall.
-TWOLEVEL_NLIST = 64
-TWOLEVEL_NSUPER = 8
-TWOLEVEL_NPROBE = 4
 
 
 def _q_twolevel_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,59 +66,7 @@ _register(
     _q_twolevel_assign,
     f"""
     WITH {_SQL_E},
-    cpos AS (SELECT vec_id AS cid,
-                    ROW_NUMBER() OVER (ORDER BY vec_id) AS pos
-             FROM embeddings WHERE vec_id < {TWOLEVEL_NLIST}),
-    blk AS (SELECT cid, ((pos - 1) * {TWOLEVEL_NSUPER}) // {TWOLEVEL_NLIST}
-                        AS blk
-            FROM cpos),
-    sup AS (SELECT b.blk, e.i,
-                   CAST(SUM(CAST(e.v AS DECIMAL(28,12))) AS DOUBLE)
-                     / COUNT(*) AS m
-            FROM blk b JOIN e ON e.vec_id = b.cid GROUP BY 1, 2),
-    -- products involving the COMPUTED means m route through VARCHAR
-    -- before the decimal cast (r8 ADVICE; the covariance oracle's note):
-    -- m is a full-precision division result, so DuckDB's raw
-    -- double→DECIMAL cast (rounds the exact binary expansion) can
-    -- straddle a scale-12 midpoint against Spark's shortest-repr
-    -- HALF_UP BigDecimal.valueOf path and flip a near-tied argmin
-    sn AS (SELECT blk,
-                  sqrt(CAST(SUM(CAST(CAST(m * m AS VARCHAR)
-                                     AS DECIMAL(18,12))) AS DOUBLE))
-                    AS snrm
-           FROM sup GROUP BY 1),
-    csd AS (SELECT b.cid, s.blk,
-                   CAST(SUM(CAST(CAST(e.v * s.m AS VARCHAR)
-                                 AS DECIMAL(18,12))) AS DOUBLE) AS d
-            FROM blk b JOIN e ON e.vec_id = b.cid JOIN sup s ON s.i = e.i
-            GROUP BY 1, 2),
-    member AS (SELECT cid, blk FROM (
-        SELECT csd.cid, csd.blk,
-               ROW_NUMBER() OVER (PARTITION BY csd.cid
-                                  ORDER BY d / (nc.nrm * sn.snrm) DESC,
-                                           csd.blk) AS rk
-        FROM csd JOIN norms nc ON nc.vec_id = csd.cid
-                 JOIN sn ON sn.blk = csd.blk) WHERE rk = 1),
-    vsd AS (SELECT e.vec_id, s.blk,
-                   CAST(SUM(CAST(CAST(e.v * s.m AS VARCHAR)
-                                 AS DECIMAL(18,12))) AS DOUBLE) AS d
-            FROM e JOIN sup s ON s.i = e.i GROUP BY 1, 2),
-    probe AS (SELECT vec_id, blk FROM (
-        SELECT vsd.vec_id, vsd.blk,
-               ROW_NUMBER() OVER (PARTITION BY vsd.vec_id
-                                  ORDER BY d / (nv.nrm * sn.snrm) DESC,
-                                           vsd.blk) AS rk
-        FROM vsd JOIN norms nv ON nv.vec_id = vsd.vec_id
-                 JOIN sn ON sn.blk = vsd.blk)
-        WHERE rk <= {TWOLEVEL_NPROBE}),
-    cand AS (SELECT p.vec_id, m.cid
-             FROM probe p JOIN member m ON m.blk = p.blk),
-    cdot AS (SELECT c.vec_id, c.cid,
-                    CAST(SUM(CAST(v.v * w.v AS DECIMAL(18,12))) AS DOUBLE)
-                      AS d
-             FROM cand c JOIN e v ON v.vec_id = c.vec_id
-                         JOIN e w ON w.vec_id = c.cid AND w.i = v.i
-             GROUP BY 1, 2)
+    {TWOLEVEL_SQL_CTES}
     SELECT vec_id, cid AS cent_id FROM (
         SELECT cdot.vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY cdot.vec_id

@@ -1,0 +1,160 @@
+"""Round-9 catalog queries.
+
+Both entries gate the round's two-level upgrades on the FULL restated
+algebra (the r8 ``similarity_twolevel_assign`` discipline — every step
+in DuckDB SQL, hash-compared):
+
+- ``similarity_twolevel_topk`` — ``n_probe > 1`` on the two-level path
+  (the family's one r8-declared API hole, now closed): per-vector top-k
+  over the super-cell candidate stream via a map-side-partial
+  ``collect_list`` → ``array_sort`` → ``slice`` — the SAME single
+  shuffle as the argmin, larger payload only. The oracle is the shared
+  two-level CTE chain with the final rank predicate widened to
+  ``rk <= n_probe``.
+- ``similarity_kmeans_twolevel_refine`` — one Lloyd iteration under
+  ``strategy="twolevel"``: the refreshed means flow straight from the
+  assignment aggregate with no driver round-trip of the centroid set
+  (spy-asserted in tests/test_round8.py; scale evidence in
+  tools/bench_twolevel_lloyd_r9.py). The gate hashes integer checksums
+  of the refreshed means (the quantize discipline: ``floor(m·10⁶ +
+  0.5)`` — both engines compute m identically, decimal-exact component
+  sums then one IEEE division, so the floor is deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hbase_taggregator_spark.oracle_fragments import (
+    _SQL_E,
+    TWOLEVEL_NLIST,
+    TWOLEVEL_NPROBE,
+    TWOLEVEL_NSUPER,
+    TWOLEVEL_SQL_CTES,
+)
+from hbase_taggregator_spark.queries import _register, load_table
+
+#: per-vector result count for the top-k gate (< the per-super-cell
+#: candidate count at the fixture sizing, so the slice is a real cut)
+TWOLEVEL_TOPK = 2
+
+
+def _first_centroids(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < TWOLEVEL_NLIST).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+
+
+def _q_twolevel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF assignment with n_probe=2: each corpus vector's two
+    nearest candidate centroids (by exact decimal cosine) among the
+    probed super-cells — ≤ 2 rows per vector, ordered (vec_id,
+    cent_id)."""
+    from hbase_taggregator_spark.operators.similarity import (
+        ivf_assign_two_level,
+    )
+    from hbase_taggregator_spark.util import ensure_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        ivf_assign_two_level(
+            ensure_parallelism(emb),
+            _first_centroids(emb),
+            n_super=TWOLEVEL_NSUPER,
+            n_super_probe=TWOLEVEL_NPROBE,
+            n_probe=TWOLEVEL_TOPK,
+        )
+        .select("vec_id", "cent_id")
+        .orderBy("vec_id", "cent_id")
+    )
+
+
+_register(
+    "similarity_twolevel_topk",
+    _q_twolevel_topk,
+    f"""
+    WITH {_SQL_E},
+    {TWOLEVEL_SQL_CTES}
+    SELECT vec_id, cent_id FROM (
+        SELECT cdot.vec_id, cid AS cent_id,
+               ROW_NUMBER() OVER (PARTITION BY cdot.vec_id
+                                  ORDER BY d / (nv.nrm * nc.nrm) DESC,
+                                           cid) AS rk
+        FROM cdot JOIN norms nv ON nv.vec_id = cdot.vec_id
+                  JOIN norms nc ON nc.vec_id = cid)
+    WHERE rk <= {TWOLEVEL_TOPK} ORDER BY vec_id, cent_id
+    """,
+)
+
+
+def _q_kmeans_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration with two-level assignment: refreshed centroid
+    means as integer checksums per surviving centroid — (cent_id,
+    n_dims, m_l1, m_checksum), 1-based dimension weights."""
+    from hbase_taggregator_spark.operators.similarity import kmeans_refine
+    from hbase_taggregator_spark.util import ensure_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    refined = kmeans_refine(
+        ensure_parallelism(emb),
+        _first_centroids(emb),
+        n_iter=1,
+        strategy="twolevel",
+    )
+    q = F.floor(F.col("__m") * 1000000.0 + 0.5).cast("long")
+    return (
+        refined.select(
+            "cent_id", F.posexplode("cvec").alias("__p", "__m")
+        )
+        .select("cent_id", (F.col("__p") + 1).alias("__i"), q.alias("__q"))
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum(F.abs(F.col("__q"))).alias("m_l1"),
+            F.sum(F.col("__q") * F.col("__i")).alias("m_checksum"),
+        )
+        .orderBy("cent_id")
+    )
+
+
+_register(
+    "similarity_kmeans_twolevel_refine",
+    _q_kmeans_twolevel,
+    f"""
+    -- kmeans_refine(strategy="twolevel") uses the DEFAULT two-level
+    -- sizing (n_super = isqrt(nlist) = {TWOLEVEL_NSUPER} at nlist =
+    -- {TWOLEVEL_NLIST}, n_super_probe = {TWOLEVEL_NPROBE}), which is
+    -- exactly the shared CTE chain's sizing — the assignment below is
+    -- the identical algebra, then per-(centroid, dim) decimal-exact
+    -- means and the integer checksum projection. SUM(BIGINT) is HUGEINT
+    -- in DuckDB: integer outputs cast back to BIGINT.
+    WITH {_SQL_E},
+    {TWOLEVEL_SQL_CTES},
+    assign AS (SELECT vec_id, cid FROM (
+        SELECT cdot.vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY cdot.vec_id
+                                  ORDER BY d / (nv.nrm * nc.nrm) DESC,
+                                           cid) AS rk
+        FROM cdot JOIN norms nv ON nv.vec_id = cdot.vec_id
+                  JOIN norms nc ON nc.vec_id = cid)
+        WHERE rk = 1),
+    nm AS (SELECT a.cid, e.i,
+                  CAST(SUM(CAST(e.v AS DECIMAL(28,12))) AS DOUBLE)
+                    / COUNT(*) AS m
+           FROM assign a JOIN e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+    qz AS (SELECT cid, i, CAST(FLOOR(m * 1000000.0 + 0.5) AS BIGINT) AS q
+           FROM nm)
+    SELECT cid AS cent_id, COUNT(*) AS n_dims,
+           CAST(SUM(ABS(q)) AS BIGINT) AS m_l1,
+           CAST(SUM(q * i) AS BIGINT) AS m_checksum
+    FROM qz GROUP BY 1 ORDER BY cent_id
+    """,
+)
+
+
+# re-apply the gate-window ordering now that round-9 queries are
+# registered (tolerant on every import path, same as queries_r3..r8 —
+# whichever module finishes last sees the full catalog).
+from hbase_taggregator_spark.queries_ext import _apply_gate_window  # noqa: E402
+
+_apply_gate_window(strict=False)

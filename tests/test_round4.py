@@ -229,6 +229,7 @@ def test_decode_pixels_spark_path(spark):
         "queries_r6",
         "queries_r7",
         "queries_r8",
+        "queries_r9",
     ],
 )
 def test_gate_window_applied_on_every_import_path(mod):
