@@ -934,9 +934,16 @@ def ivf_assign_two_level(
 
     APPROXIMATE by construction: a vector's true nearest centroid can
     live in an unprobed super-cell (recall improves with
-    ``n_super_probe``). That is why ``ivf_assign(strategy="auto")``
-    never silently selects this path — the output contract would change
-    with nlist. Deterministic and fully oracle-restatable: every step
+    ``n_super_probe``). Measured trade at nlist=10⁴ / n_super=100 over
+    the 20k-vector sf1 corpus (``tools/bench_twolevel_r9.json``,
+    committed): agreement with flat (exact) assignment 0.888 / 0.922 /
+    0.956 / 0.990 / 0.999 at n_super_probe = 1 / 2 / 4 / 8 / 16, with
+    candidate pairs — the cost model's bound quantity — 4.2M / 4.9M /
+    6.3M / 15.6M / 33.0M: recall buys roughly linearly into candidate
+    volume past the base cell occupancy, so the default of 4 sits at
+    the knee and 8 is the cheap high-recall setting. That residual
+    miss rate is why ``ivf_assign(strategy="auto")`` never silently
+    selects this path — the output contract would change with nlist. Deterministic and fully oracle-restatable: every step
     is relational algebra over deterministic keys (the
     ``similarity_twolevel_assign`` gate query restates ALL of it —
     blocks, decimal means, both nearest-super argmins, the candidate
@@ -1050,8 +1057,22 @@ def kmeans_refine(
     × 8 B executor memory until Spark's ContextCleaner collects the
     dropped Python references).
 
+    Under "twolevel" each iteration's refreshed centroid frame is
+    PERSISTED (executor storage, distributed — still no driver
+    round-trip), eagerly materialized with a scalar count, and the
+    previous iteration's cache released (r9): the flat strategies
+    truncate the per-iteration lineage for free when they collect the
+    set, but the two-level path never collects it, so without the cache
+    each downstream consumer (the count, the super-mean job, the member
+    assignment) would re-run the ENTIRE prior Lloyd chain — exponential
+    recomputation in n_iter. Peak footprint: 2 × nlist × dim doubles of
+    executor storage; the returned frame stays persisted (caller-owned,
+    like every standing centroid set). Spy-evidenced at nlist=10⁴ in
+    tools/bench_twolevel_r9.py.
+
     Returns a (cent_id, cvec) DataFrame suitable for
     :func:`ivf_topk`'s ``centroids`` parameter."""
+    prev = None
     for _ in range(n_iter):
         assigned = ivf_assign(
             ensure_parallelism(corpus), centroids, vec_col, id_col,
@@ -1076,6 +1097,12 @@ def kmeans_refine(
                 lambda s: s["m"],
             ).alias("cvec")
         )
+        if strategy == "twolevel":
+            centroids = centroids.persist()
+            centroids.count()  # materialize against the still-cached prev
+            if prev is not None:
+                prev.unpersist()
+            prev = centroids
     return centroids
 
 
