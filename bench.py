@@ -194,6 +194,11 @@ HEADLINE = [
     # round-8: two-level coarse-quantized assignment (the beyond-broadcast
     # centroid-distribution path; exact-decimal candidate scoring)
     "similarity_twolevel_assign",
+    # round-9: two-level top-k (n_probe=2 over the same candidate stream,
+    # collect_list top-k in the one shuffle) and one Lloyd iteration under
+    # twolevel (refreshed means checksummed; per-iteration persist)
+    "similarity_twolevel_topk",
+    "similarity_kmeans_twolevel_refine",
     # round-8: one-pass embedding covariance (map-side outer products,
     # partial agg to dim^2 cells before the single shuffle) and the
     # z-score whitening-prep companion
