@@ -195,10 +195,14 @@ HEADLINE = [
     # centroid-distribution path; exact-decimal candidate scoring)
     "similarity_twolevel_assign",
     # round-9: two-level top-k (n_probe=2 over the same candidate stream,
-    # collect_list top-k in the one shuffle) and one Lloyd iteration under
-    # twolevel (refreshed means checksummed; per-iteration persist)
+    # collect_list top-k in the one shuffle), one Lloyd iteration under
+    # twolevel (refreshed means checksummed; per-iteration persist), the
+    # ±1 JL random projection (map-side, literal sign matrix), and
+    # Matryoshka truncate-renorm (slice + exact prefix norm)
     "similarity_twolevel_topk",
     "similarity_kmeans_twolevel_refine",
+    "embedding_random_projection_checksums",
+    "embedding_truncate_renorm_checksums",
     # round-8: one-pass embedding covariance (map-side outer products,
     # partial agg to dim^2 cells before the single shuffle) and the
     # z-score whitening-prep companion

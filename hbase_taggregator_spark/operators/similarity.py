@@ -273,15 +273,17 @@ def lsh_neardup_pairs(
     )
 
 
-def _hyperplane(seed: int, dim: int) -> list[float]:
+def _hyperplane(seed: int, dim: int, prefix: str = "plane") -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bytes —
-    reproducible across runs/engines without any RNG state."""
+    reproducible across runs/engines without any RNG state. ``prefix``
+    namespaces independent matrix families (LSH planes vs the random-
+    projection signs) so they never correlate."""
     import hashlib
 
     vals: list[float] = []
     counter = 0
     while len(vals) < dim:
-        h = hashlib.md5(f"plane{seed}#{counter}".encode()).digest()
+        h = hashlib.md5(f"{prefix}{seed}#{counter}".encode()).digest()
         for i in range(0, 16, 2):
             if len(vals) >= dim:
                 break
@@ -290,6 +292,92 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
             vals.append(v)
         counter += 1
     return vals
+
+
+def _rp_signs(row: int, dim: int) -> list[float]:
+    """Row ``row`` of the deterministic ±1 projection matrix (Achlioptas
+    2003 "database-friendly" random projections: iid Rademacher entries
+    satisfy the Johnson-Lindenstrauss guarantee with the same constants
+    as Gaussian ones, and ±1 keeps every product EXACT — the projected
+    value is a signed sum of input components, so the decimal-pinned dot
+    has no product rounding at all). Zero md5 draws (p = 2⁻¹⁶ per entry)
+    deterministically map to +1."""
+    return [
+        1.0 if v >= 0 else -1.0
+        for v in _hyperplane(row, dim, prefix="rp")
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dense random projection dim → ``out_dim``:
+    ``y_j = (Σ_i x_i · s_{j,i}) / √out_dim`` with the md5-derived ±1
+    sign matrix of :func:`_rp_signs` — the cheap, index-free
+    dimensionality reduction in front of ANN / clustering when even
+    :func:`quantize_int8` leaves vectors too wide (out_dim=16 cuts the
+    shuffle payload of every downstream join 4× at dim=64).
+
+    Scale shape: ENTIRELY map-side — out_dim decimal-pinned dots per
+    row against literal ±1 arrays (the :func:`lsh_bucket` pattern), zero
+    shuffle, zero state; Catalyst folds the sign literals once per plan.
+    Engine-portable by construction: ±1 products are exact (no product
+    rounding), the component sum is the same DECIMAL(18,12) algebra as
+    every other dot here, and the final ÷√out_dim is one IEEE division
+    both engines round identically — the gate query hashes integer
+    checksums of the projected components. Rows whose vector is NULL or
+    not ``dim`` long are excluded (matching the oracle's length
+    filter)."""
+    import math
+
+    e = F.col(vec_col)
+    d = df.filter(e.isNotNull() & (F.size(e) == dim))
+    scale = F.lit(float(math.sqrt(out_dim)))
+    proj = F.array(
+        *[
+            dot(e, F.array(*[F.lit(s) for s in _rp_signs(j, dim)])) / scale
+            for j in range(out_dim)
+        ]
+    )
+    return d.select(id_col, proj.alias(out_col))
+
+
+def truncate_renorm(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "truncated",
+) -> DataFrame:
+    """Matryoshka-style truncation: keep the first ``k`` components and
+    renormalize to unit L2 — the standard cheap-tier read of
+    matryoshka-trained embeddings (Kusupati et al. 2022), where prefixes
+    of the vector are themselves usable representations and downstream
+    cosine work gets a k/dim cost cut.
+
+    Map-side only: slice + the exact-decimal prefix norm
+    (:func:`norm`'s algebra over the first k components) + one IEEE
+    division per component — both engines compute the identical doubles,
+    so the gate hashes integer checksums. Rows whose PREFIX has zero
+    norm are DROPPED (a renormalized zero vector is undefined; under
+    ANSI the division would raise — same contract as the oracle's
+    ``nk > 0`` predicate), as are NULL vectors and vectors shorter than
+    ``k``."""
+    t = F.slice(F.col(vec_col), 1, k)
+    staged = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= k)
+    ).select(id_col, t.alias("__t"), norm(t).alias("__nk"))
+    return staged.filter(F.col("__nk") > 0).select(
+        id_col,
+        F.transform(
+            F.col("__t"), lambda v: v.cast("double") / F.col("__nk")
+        ).alias(out_col),
+    )
 
 
 def lsh_bucket(

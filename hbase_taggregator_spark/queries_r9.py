@@ -152,6 +152,122 @@ _register(
 )
 
 
+#: JL projection / Matryoshka truncation sizing for the gates: 64 → 16
+RP_OUT_DIM = 16
+TRUNC_K = 16
+
+
+def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±1 (Rademacher) Johnson-Lindenstrauss projection 64 → 16 with
+    integer per-vector checksums of the projected components — the
+    index-free dimensionality reduction ahead of ANN/clustering.
+    Entirely map-side (the lsh_bucket literal pattern); the oracle
+    inlines the SAME md5-derived sign matrix as a VALUES table."""
+    from hbase_taggregator_spark.operators.similarity import (
+        random_projection,
+    )
+    from hbase_taggregator_spark.util import ensure_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(ensure_parallelism(emb), out_dim=RP_OUT_DIM)
+    q = F.floor(F.col("__y") * 1000000.0 + 0.5).cast("long")
+    return (
+        proj.select("vec_id", F.posexplode("projected").alias("__p", "__y"))
+        .select("vec_id", (F.col("__p") + 1).alias("__j"), q.alias("__q"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum(F.abs(F.col("__q"))).alias("p_l1"),
+            F.sum(F.col("__q") * F.col("__j")).alias("p_checksum"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _rp_signs_values() -> str:
+    from hbase_taggregator_spark.operators.similarity import _rp_signs
+
+    return ", ".join(
+        f"({j + 1}, {i + 1}, {int(w)})"
+        for j in range(RP_OUT_DIM)
+        for i, w in enumerate(_rp_signs(j, 64))
+    )
+
+
+_register(
+    "embedding_random_projection_checksums",
+    _q_random_projection,
+    f"""
+    -- the ±1 sign matrix is md5-derived and deterministic, so the oracle
+    -- inlines the identical values (the LSH-hyperplane restatement
+    -- pattern); ±1 products are EXACT, the decimal sum is the shared dot
+    -- algebra, and /sqrt({RP_OUT_DIM}.0) is one IEEE division
+    WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+               FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+               WHERE len(embedding) = 64),
+    signs(j, i, w) AS (VALUES {_rp_signs_values()}),
+    p AS (SELECT e.vec_id, s.j,
+                 CAST(SUM(CAST(e.v * s.w AS DECIMAL(18,12))) AS DOUBLE)
+                   / sqrt({RP_OUT_DIM}.0) AS y
+          FROM e JOIN signs s ON s.i = e.i GROUP BY 1, 2),
+    qz AS (SELECT vec_id, j, CAST(FLOOR(y * 1000000.0 + 0.5) AS BIGINT) AS q
+           FROM p)
+    SELECT vec_id, COUNT(*) AS n_dims,
+           CAST(SUM(ABS(q)) AS BIGINT) AS p_l1,
+           CAST(SUM(q * j) AS BIGINT) AS p_checksum
+    FROM qz GROUP BY 1 ORDER BY vec_id
+    """,
+)
+
+
+def _q_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncate-to-16 + L2 renormalization with integer
+    per-vector checksums — the cheap-tier read of prefix-trained
+    embeddings. Rows whose 16-prefix has zero norm drop (renormalized
+    zero is undefined; ANSI would raise on the division)."""
+    from hbase_taggregator_spark.operators.similarity import truncate_renorm
+    from hbase_taggregator_spark.util import ensure_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tr = truncate_renorm(ensure_parallelism(emb), k=TRUNC_K)
+    q = F.floor(F.col("__u") * 1000000.0 + 0.5).cast("long")
+    return (
+        tr.select("vec_id", F.posexplode("truncated").alias("__p", "__u"))
+        .select("vec_id", (F.col("__p") + 1).alias("__i"), q.alias("__q"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum(F.abs(F.col("__q"))).alias("t_l1"),
+            F.sum(F.col("__q") * F.col("__i")).alias("t_checksum"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_register(
+    "embedding_truncate_renorm_checksums",
+    _q_truncate_renorm,
+    f"""
+    WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+               FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+               WHERE len(embedding) >= {TRUNC_K}),
+    nk AS (SELECT vec_id,
+                  sqrt(CAST(SUM(CAST(v * v AS DECIMAL(18,12))) AS DOUBLE))
+                    AS nk
+           FROM e WHERE i <= {TRUNC_K} GROUP BY 1),
+    u AS (SELECT e.vec_id, e.i, e.v / nk.nk AS u
+          FROM e JOIN nk ON nk.vec_id = e.vec_id AND nk.nk > 0
+          WHERE e.i <= {TRUNC_K}),
+    qz AS (SELECT vec_id, i, CAST(FLOOR(u * 1000000.0 + 0.5) AS BIGINT) AS q
+           FROM u)
+    SELECT vec_id, COUNT(*) AS n_dims,
+           CAST(SUM(ABS(q)) AS BIGINT) AS t_l1,
+           CAST(SUM(q * i) AS BIGINT) AS t_checksum
+    FROM qz GROUP BY 1 ORDER BY vec_id
+    """,
+)
+
+
 # re-apply the gate-window ordering now that round-9 queries are
 # registered (tolerant on every import path, same as queries_r3..r8 —
 # whichever module finishes last sees the full catalog).

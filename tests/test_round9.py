@@ -359,3 +359,76 @@ def test_hll_gate_empty_table_returns_verdict(spark, tmp_path):
     assert row["parts_within_bound"] is True
     assert row["supps_within_bound"] is True
     assert row["orders_within_bound"] is True
+
+
+# --- JL random projection & Matryoshka truncate-renorm (r9 additions) -------
+
+
+def test_random_projection_matches_decimal_mirror(spark):
+    """Pin the projected values bit-for-bit against a pure-Python mirror
+    of the decimal dot algebra (products quantized to DECIMAL(18,12)
+    HALF_UP on the shortest repr, exact sum, one IEEE division by
+    sqrt(out_dim)) — the _py_negcos discipline applied to the
+    projection."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hbase_taggregator_spark.operators import similarity as S
+
+    dim, out_dim = 8, 4
+    emb = _toy_vectors(spark, n=12, dim=dim)
+    rows = {
+        r["vec_id"]: list(r["projected"])
+        for r in S.random_projection(
+            emb, out_dim=out_dim, dim=dim
+        ).collect()
+    }
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    q12 = Decimal("1E-12")
+    scale = math.sqrt(out_dim)
+    for vid, v in vecs.items():
+        for j in range(out_dim):
+            signs = S._rp_signs(j, dim)
+            s = Decimal(0)
+            for x, w in zip(v, signs):
+                s += Decimal(repr(float(x) * w)).quantize(
+                    q12, rounding=ROUND_HALF_UP
+                )
+            assert rows[vid][j] == float(s) / scale, (vid, j)
+
+
+def test_random_projection_shape_and_filters(spark):
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, None), (3, [0.5] * 10)],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.random_projection(emb, out_dim=16).collect()
+    assert [r["vec_id"] for r in out] == [1]
+    assert len(out[0]["projected"]) == 16
+
+
+def test_truncate_renorm_unit_norm_and_drops(spark):
+    """Truncated prefixes renormalize to unit L2; NULL / short /
+    zero-prefix-norm vectors drop (ANSI: the division must never see a
+    zero denominator)."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0, 9.0, 9.0]),        # prefix (3,4): norm 5
+            (2, [0.0, 0.0, 1.0, 1.0]),        # zero prefix norm -> drop
+            (3, None),                         # NULL -> drop
+            (4, [1.0]),                        # shorter than k -> drop
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: list(r["truncated"])
+        for r in S.truncate_renorm(emb, k=2).collect()
+    }
+    assert list(out) == [1]
+    u = out[1]
+    assert abs(u[0] - 0.6) < 1e-12 and abs(u[1] - 0.8) < 1e-12
+    assert abs(sum(x * x for x in u) - 1.0) < 1e-12
