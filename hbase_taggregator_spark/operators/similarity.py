@@ -330,13 +330,21 @@ def random_projection(
     rounding), the component sum is the same DECIMAL(18,12) algebra as
     every other dot here, and the final ÷√out_dim is one IEEE division
     both engines round identically — the gate query hashes integer
-    checksums of the projected components. Rows whose vector is NULL or
-    not ``dim`` long are excluded (matching the oracle's length
-    filter)."""
+    checksums of the projected components. Rows whose vector is NULL,
+    not ``dim`` long, or contains a NULL element are excluded — the
+    last explicitly (r9 self-review): Spark's decimal aggregate
+    NULL-poisons the whole sum where SQL SUM would silently skip the
+    NULL element, so without the filter the engines would diverge on
+    such rows instead of agreeing to drop them (the oracle filters
+    identically with ``list_filter``)."""
     import math
 
     e = F.col(vec_col)
-    d = df.filter(e.isNotNull() & (F.size(e) == dim))
+    d = df.filter(
+        e.isNotNull()
+        & (F.size(e) == dim)
+        & (F.size(F.filter(e, lambda x: x.isNull())) == 0)
+    )
     scale = F.lit(float(math.sqrt(out_dim)))
     proj = F.array(
         *[
@@ -366,8 +374,10 @@ def truncate_renorm(
     so the gate hashes integer checksums. Rows whose PREFIX has zero
     norm are DROPPED (a renormalized zero vector is undefined; under
     ANSI the division would raise — same contract as the oracle's
-    ``nk > 0`` predicate), as are NULL vectors and vectors shorter than
-    ``k``."""
+    ``nk > 0`` predicate), as are NULL vectors, vectors shorter than
+    ``k``, and vectors with a NULL element in the prefix (the decimal
+    norm NULL-poisons on it and fails the same filter; the oracle's
+    ``COUNT(v) = k`` HAVING mirrors the drop)."""
     t = F.slice(F.col(vec_col), 1, k)
     staged = df.filter(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= k)
@@ -889,12 +899,17 @@ def two_level_parts(
     n_super = min(n_super, nlist)
     n_super_probe = min(n_super_probe, n_super)
 
-    # supers feeds BOTH ivf_assign calls below, each of which
-    # materializes it (a full centroid-set scan per materialization at
-    # production nlist) — persist so the block-mean job runs once.
-    # n_super rows: tiny by construction, never unpersisted (the
-    # covariance-stats policy).
-    supers = _super_centroids(centroids, n_super, nlist).persist()
+    # supers feeds BOTH ivf_assign calls below, and flat assignment
+    # against a centroid frame COLLECTS it anyway (that is its contract
+    # — the super set is ≈ √nlist rows, always driver-cheap, and the
+    # docstring declares it as the one allowed driver materialization
+    # besides the scalar count). Collect it ONCE here and hand both
+    # calls a local rebuild: the block-mean job runs exactly once and
+    # there is no executor cache to leak across Lloyd iterations
+    # (r9 self-review: the earlier persist() accumulated one dead
+    # n_super-row cache per kmeans_refine iteration).
+    sdf = _super_centroids(centroids, n_super, nlist)
+    supers = df.sparkSession.createDataFrame(sdf.collect(), sdf.schema)
     # membership assigns the centroid frame ITSELF against the small
     # super set — the block id is only needed for the means, so routing
     # members through the ranked join (as the r8 form did) was a
@@ -950,9 +965,27 @@ def _super_centroids(
     cpos = centroids.select("cent_id", "cvec").join(
         ranks.hint("merge"), "cent_id"
     )
+    exploded = cpos.select(
+        F.col("__blk").alias("__k"), F.posexplode("cvec").alias("__dim", "__v")
+    )
+    return _decimal_mean_vectors(exploded).select(
+        F.col("__k").alias("cent_id"), "cvec"
+    )
+
+
+def _decimal_mean_vectors(exploded: DataFrame) -> DataFrame:
+    """Per-key per-dimension engine-portable mean, rebuilt into vectors:
+    input (``__k``, ``__dim``, ``__v``) → output (``__k``, ``cvec``).
+    THE one copy of the cross-engine mean contract (r9 self-review —
+    it previously lived verbatim in both :func:`kmeans_refine` and
+    :func:`_super_centroids`): the component sum accumulates in
+    DECIMAL(28,12) (exact, order-free), is cast to double (correctly
+    rounded in both engines), then divided by the count — one
+    deterministic IEEE division; vectors rebuild via one
+    ``array_sort(collect_list(struct))`` pass. Both aggregations are
+    partial/final (map-side combine before each shuffle)."""
     comp = (
-        cpos.select("__blk", F.posexplode("cvec").alias("__dim", "__v"))
-        .groupBy("__blk", "__dim")
+        exploded.groupBy("__k", "__dim")
         .agg(
             (
                 F.sum(F.col("__v").cast("double").cast("decimal(28,12)"))
@@ -961,15 +994,11 @@ def _super_centroids(
             ).alias("__m")
         )
     )
-    return (
-        comp.groupBy("__blk")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__dim", "__m"))),
-                lambda s: s["__m"],
-            ).alias("cvec")
-        )
-        .select(F.col("__blk").alias("cent_id"), "cvec")
+    return comp.groupBy("__k").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__dim", "__m"))),
+            lambda s: s["__m"],
+        ).alias("cvec")
     )
 
 
@@ -991,7 +1020,10 @@ def ivf_assign_two_level(
     working when the cell-capped ``nlist ∝ N`` sizing pushes the
     centroid payload past executor/driver memory (millions of centroids
     × dim doubles at web scale; see ``TWO_LEVEL_MIN_NLIST``). The ONLY
-    driver-side value is the scalar ``centroids.count()``.
+    driver-side values are the scalar ``centroids.count()`` and the
+    ≈ √nlist-row SUPER set (always driver-cheap; collected once and
+    rebuilt locally so both flat assignments against it share one
+    block-mean job, with no executor cache left behind).
 
     Algorithm (classic two-level IVF / coarse quantizer, cf. the IMI
     family):
@@ -1115,6 +1147,8 @@ def kmeans_refine(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     strategy: str = "auto",
+    n_super: int | None = None,
+    n_super_probe: int = 4,
 ) -> DataFrame:
     """Lloyd iteration(s) for IVF centroids as a relational assign→mean
     loop: map-side nearest-centroid assignment (:func:`ivf_assign`, zero
@@ -1162,28 +1196,26 @@ def kmeans_refine(
     :func:`ivf_topk`'s ``centroids`` parameter."""
     prev = None
     for _ in range(n_iter):
-        assigned = ivf_assign(
-            ensure_parallelism(corpus), centroids, vec_col, id_col,
-            n_probe=1, strategy=strategy,
-        )
-        comp = (
-            assigned.select(
-                "cent_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
+        if strategy == "twolevel":
+            # thread the two-level sizing knobs (r9 self-review: the
+            # ivf_assign passthrough dropped them, pinning Lloyd at the
+            # defaults)
+            assigned = ivf_assign_two_level(
+                ensure_parallelism(corpus), centroids,
+                vec_col=vec_col, id_col=id_col, n_probe=1,
+                n_super=n_super, n_super_probe=n_super_probe,
             )
-            .groupBy("cent_id", "pos")
-            .agg(
-                (
-                    F.sum(F.col("v").cast("double").cast("decimal(28,12)"))
-                    .cast("double")
-                    / F.count(F.lit(1))
-                ).alias("m")
+        else:
+            assigned = ivf_assign(
+                ensure_parallelism(corpus), centroids, vec_col, id_col,
+                n_probe=1, strategy=strategy,
             )
+        exploded = assigned.select(
+            F.col("cent_id").alias("__k"),
+            F.posexplode(F.col(vec_col)).alias("__dim", "__v"),
         )
-        centroids = comp.groupBy("cent_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cvec")
+        centroids = _decimal_mean_vectors(exploded).select(
+            F.col("__k").alias("cent_id"), "cvec"
         )
         if strategy == "twolevel":
             centroids = centroids.persist()

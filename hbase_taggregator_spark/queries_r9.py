@@ -15,7 +15,7 @@ in DuckDB SQL, hash-compared):
   ``strategy="twolevel"``: the refreshed means flow straight from the
   assignment aggregate with no driver round-trip of the centroid set
   (spy-asserted in tests/test_round8.py; scale evidence in
-  tools/bench_twolevel_lloyd_r9.py). The gate hashes integer checksums
+  tools/bench_twolevel_r9.py). The gate hashes integer checksums
   of the refreshed means (the quantize discipline: ``floor(m·10⁶ +
   0.5)`` — both engines compute m identically, decimal-exact component
   sums then one IEEE division, so the floor is deterministic).
@@ -42,6 +42,29 @@ TWOLEVEL_TOPK = 2
 def _first_centroids(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") < TWOLEVEL_NLIST).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+
+
+def _quantized_checksums(
+    df: DataFrame, arr_col: str, id_col: str, l1: str, ck: str
+) -> DataFrame:
+    """The ONE copy of the gate-side quantize-and-checksum projection
+    (r9 self-review — it was pasted three times with only aliases
+    changed): posexplode the double array, q = floor(x·10⁶ + 0.5) as
+    BIGINT, per-id (n_dims, Σ|q| AS l1, Σ q·(pos+1) AS ck) ordered by
+    id. Deterministic cross-engine whenever both engines computed the
+    array components bit-identically."""
+    q = F.floor(F.col("__x") * 1000000.0 + 0.5).cast("long")
+    return (
+        df.select(id_col, F.posexplode(arr_col).alias("__p", "__x"))
+        .select(id_col, (F.col("__p") + 1).alias("__w"), q.alias("__q"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum(F.abs(F.col("__q"))).alias(l1),
+            F.sum(F.col("__q") * F.col("__w")).alias(ck),
+        )
+        .orderBy(id_col)
     )
 
 
@@ -100,20 +123,13 @@ def _q_kmeans_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _first_centroids(emb),
         n_iter=1,
         strategy="twolevel",
+        # explicit sizing (r9 self-review): decouple the gate from the
+        # isqrt(nlist) default happening to equal the oracle's constants
+        n_super=TWOLEVEL_NSUPER,
+        n_super_probe=TWOLEVEL_NPROBE,
     )
-    q = F.floor(F.col("__m") * 1000000.0 + 0.5).cast("long")
-    return (
-        refined.select(
-            "cent_id", F.posexplode("cvec").alias("__p", "__m")
-        )
-        .select("cent_id", (F.col("__p") + 1).alias("__i"), q.alias("__q"))
-        .groupBy("cent_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_dims"),
-            F.sum(F.abs(F.col("__q"))).alias("m_l1"),
-            F.sum(F.col("__q") * F.col("__i")).alias("m_checksum"),
-        )
-        .orderBy("cent_id")
+    return _quantized_checksums(
+        refined, "cvec", "cent_id", "m_l1", "m_checksum"
     )
 
 
@@ -170,17 +186,8 @@ def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     proj = random_projection(ensure_parallelism(emb), out_dim=RP_OUT_DIM)
-    q = F.floor(F.col("__y") * 1000000.0 + 0.5).cast("long")
-    return (
-        proj.select("vec_id", F.posexplode("projected").alias("__p", "__y"))
-        .select("vec_id", (F.col("__p") + 1).alias("__j"), q.alias("__q"))
-        .groupBy("vec_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_dims"),
-            F.sum(F.abs(F.col("__q"))).alias("p_l1"),
-            F.sum(F.col("__q") * F.col("__j")).alias("p_checksum"),
-        )
-        .orderBy("vec_id")
+    return _quantized_checksums(
+        proj, "projected", "vec_id", "p_l1", "p_checksum"
     )
 
 
@@ -201,10 +208,13 @@ _register(
     -- the ±1 sign matrix is md5-derived and deterministic, so the oracle
     -- inlines the identical values (the LSH-hyperplane restatement
     -- pattern); ±1 products are EXACT, the decimal sum is the shared dot
-    -- algebra, and /sqrt({RP_OUT_DIM}.0) is one IEEE division
+    -- algebra, and /sqrt({RP_OUT_DIM}.0) is one IEEE division. Vectors
+    -- containing a NULL element are excluded on BOTH sides (SQL SUM
+    -- skips NULLs where Spark's decimal aggregate NULL-poisons)
     WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
                FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
-               WHERE len(embedding) = 64),
+               WHERE len(embedding) = 64
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     signs(j, i, w) AS (VALUES {_rp_signs_values()}),
     p AS (SELECT e.vec_id, s.j,
                  CAST(SUM(CAST(e.v * s.w AS DECIMAL(18,12))) AS DOUBLE)
@@ -230,17 +240,8 @@ def _q_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     tr = truncate_renorm(ensure_parallelism(emb), k=TRUNC_K)
-    q = F.floor(F.col("__u") * 1000000.0 + 0.5).cast("long")
-    return (
-        tr.select("vec_id", F.posexplode("truncated").alias("__p", "__u"))
-        .select("vec_id", (F.col("__p") + 1).alias("__i"), q.alias("__q"))
-        .groupBy("vec_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_dims"),
-            F.sum(F.abs(F.col("__q"))).alias("t_l1"),
-            F.sum(F.col("__q") * F.col("__i")).alias("t_checksum"),
-        )
-        .orderBy("vec_id")
+    return _quantized_checksums(
+        tr, "truncated", "vec_id", "t_l1", "t_checksum"
     )
 
 
@@ -251,10 +252,15 @@ _register(
     WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
                FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
                WHERE len(embedding) >= {TRUNC_K}),
+    -- COUNT(v) = k drops any vector with a NULL element in its prefix,
+    -- mirroring Spark exactly: the decimal norm NULL-poisons there and
+    -- the __nk > 0 filter removes the row, while SQL SUM would silently
+    -- skip the NULL and keep a partial-prefix norm (r9 self-review)
     nk AS (SELECT vec_id,
                   sqrt(CAST(SUM(CAST(v * v AS DECIMAL(18,12))) AS DOUBLE))
                     AS nk
-           FROM e WHERE i <= {TRUNC_K} GROUP BY 1),
+           FROM e WHERE i <= {TRUNC_K} GROUP BY 1
+           HAVING COUNT(v) = {TRUNC_K}),
     u AS (SELECT e.vec_id, e.i, e.v / nk.nk AS u
           FROM e JOIN nk ON nk.vec_id = e.vec_id AND nk.nk > 0
           WHERE e.i <= {TRUNC_K}),

@@ -432,3 +432,88 @@ def test_truncate_renorm_unit_norm_and_drops(spark):
     u = out[1]
     assert abs(u[0] - 0.6) < 1e-12 and abs(u[1] - 0.8) < 1e-12
     assert abs(sum(x * x for x in u) - 1.0) < 1e-12
+
+
+def test_null_element_vectors_drop_on_both_new_operators(spark, tmp_path):
+    """Vectors containing NULL elements must DROP symmetrically: SQL SUM
+    skips NULLs where Spark's decimal aggregate NULL-poisons, so keeping
+    such rows would diverge engine-vs-oracle. Pinned end-to-end: Spark
+    gate and DuckDB oracle over a fixture with a NULL-element vector, a
+    prefix-NULL vector, and a clean vector."""
+    import os
+
+    import duckdb
+
+    from hbase_taggregator_spark import queries as Q
+
+    base = [float(((j * 13) % 19) - 9) / 19.0 for j in range(64)]
+    null_mid = list(base)
+    null_mid[2] = None          # NULL inside the 16-prefix
+    null_tail = list(base)
+    null_tail[40] = None        # NULL outside the 16-prefix
+    rows = [(1, base), (2, null_mid), (3, null_tail)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    con = duckdb.connect()
+    glob = os.path.join(sf_dir, "embeddings.parquet", "*.parquet")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{glob}')"
+    )
+
+    # random projection: ANY null element drops the vector, both sides
+    got = {
+        r["vec_id"]
+        for r in Q.QUERIES["embedding_random_projection_checksums"](
+            spark, sf_dir
+        ).collect()
+    }
+    ora = {
+        r[0]
+        for r in con.execute(
+            Q.ORACLES["embedding_random_projection_checksums"]
+        ).fetchall()
+    }
+    assert got == ora == {1}
+
+    # truncate-renorm: only a PREFIX null drops; a tail null is fine
+    got = {
+        r["vec_id"]
+        for r in Q.QUERIES["embedding_truncate_renorm_checksums"](
+            spark, sf_dir
+        ).collect()
+    }
+    ora = {
+        r[0]
+        for r in con.execute(
+            Q.ORACLES["embedding_truncate_renorm_checksums"]
+        ).fetchall()
+    }
+    assert got == ora == {1, 3}
+
+
+def test_kmeans_refine_threads_twolevel_sizing(spark, monkeypatch):
+    """kmeans_refine must pass n_super / n_super_probe through to the
+    two-level assignment (r9 self-review: the passthrough dropped them,
+    pinning Lloyd at the defaults)."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    seen = {}
+    orig = S.ivf_assign_two_level
+
+    def spy(df, cents, **kw):
+        seen.update(kw)
+        return orig(df, cents, **kw)
+
+    monkeypatch.setattr(S, "ivf_assign_two_level", spy)
+    emb = _toy_vectors(spark, n=30, dim=8)
+    init = emb.filter(F.col("vec_id") < 9).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    out = S.kmeans_refine(
+        emb, init, n_iter=1, strategy="twolevel", n_super=3, n_super_probe=2
+    )
+    assert out.count() > 0
+    assert seen["n_super"] == 3 and seen["n_super_probe"] == 2
