@@ -517,3 +517,103 @@ def test_kmeans_refine_threads_twolevel_sizing(spark, monkeypatch):
     )
     assert out.count() > 0
     assert seen["n_super"] == 3 and seen["n_super_probe"] == 2
+
+
+# --- hypothesis: the new embedding operators on random float32 vectors ------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _vec8 = st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, width=32), min_size=8,
+        max_size=8,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(vecs=st.lists(_vec8, min_size=3, max_size=8))
+    def test_random_projection_decimal_mirror_on_random_vectors(spark, vecs):
+        """Property pin: on arbitrary float32 vectors (tiny magnitudes
+        stress the DECIMAL(18,12) quantization; zeros are fair game —
+        ±1 products keep everything exact), the projected doubles must
+        equal the pure-Python decimal mirror bit-for-bit."""
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from hbase_taggregator_spark.operators import similarity as S
+
+        dim, out_dim = 8, 3
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        got = {
+            r["vec_id"]: list(r["projected"])
+            for r in S.random_projection(
+                emb, out_dim=out_dim, dim=dim
+            ).collect()
+        }
+        q12 = Decimal("1E-12")
+        scale = math.sqrt(out_dim)
+        for i, v in enumerate(vecs):
+            import numpy as np
+
+            v32 = [float(np.float32(x)) for x in v]
+            for j in range(out_dim):
+                s = Decimal(0)
+                for x, w in zip(v32, S._rp_signs(j, dim)):
+                    s += Decimal(repr(x * w)).quantize(
+                        q12, rounding=ROUND_HALF_UP
+                    )
+                assert got[i][j] == float(s) / scale, (i, j)
+
+    @settings(max_examples=5, deadline=None)
+    @given(vecs=st.lists(_vec8, min_size=3, max_size=8))
+    def test_truncate_renorm_matches_decimal_mirror_on_random_vectors(
+        spark, vecs
+    ):
+        """Bit-exact property pin of the full contract: the prefix norm
+        is sqrt(double(Σ DECIMAL(18,12)-quantized squares)) and every
+        surviving component is exactly prefix_i / nk; vectors whose
+        DECIMAL norm quantizes to ZERO drop — hypothesis found the
+        sub-quantum edge (components ~1e-16 square below the 1e-12
+        quantum, so the exact-decimal norm is 0 even though the floats
+        aren't), which is precisely the zero-norm ANSI contract the
+        operator documents and the oracle mirrors."""
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+
+        from hbase_taggregator_spark.operators import similarity as S
+
+        k = 4
+        q12 = Decimal("1E-12")
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        got = {
+            r["vec_id"]: list(r["truncated"])
+            for r in S.truncate_renorm(emb, k=k).collect()
+        }
+        for i, v in enumerate(vecs):
+            prefix = [float(np.float32(x)) for x in v[:k]]
+            dsum = sum(
+                (
+                    Decimal(repr(x * x)).quantize(q12, rounding=ROUND_HALF_UP)
+                    for x in prefix
+                ),
+                Decimal(0),
+            )
+            nk = math.sqrt(float(dsum))
+            if nk == 0.0:
+                assert i not in got, (
+                    "zero DECIMAL-norm prefix must drop (ANSI contract)"
+                )
+                continue
+            assert got[i] == [x / nk for x in prefix], (i, prefix, nk)
