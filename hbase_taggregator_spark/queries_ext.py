@@ -4469,80 +4469,83 @@ _register(
 )
 # ---------------------------------------------------------------------------
 # Driver gate window (rotated per round): the driver records CORRECTNESS
-# rows for the FIRST 50 catalog entries. r9 priority: the four NEW
-# queries (two-level top-k — n_probe > 1, the r8-declared API hole; the
-# Lloyd-refine-under-twolevel gate; the ±1 Johnson-Lindenstrauss random
-# projection; Matryoshka truncate-renorm), every query whose implementation
-# changed this round (the twolevel assignment's key-only rank window +
-# oracle VARCHAR casts; the standardize variance clamp; the HLL++
-# zero-denominator guard; the cent_id type pinning inside ivf_assign
-# behind the semdedup/ivf/kmeans/pq family), then the FOUR r4 leftovers
-# (sql_entry_rollup_view, pit_feature_lookup_regimes,
-# nullsafe_join_device_counts, setops_multiset_all_users — the r4 block
-# is now fully re-gated), then 34 of the 39 stale-r5 queries in r5-window
-# order (the final five — text_bpe_token_count, corpus_stratified_mix,
-# corpus_negative_pairs, ts_rolling_zscore_outliers,
-# multimodal_binary_features — roll to r10, which then starts the r6
-# block). Every query pushed out is green in earlier CORRECTNESS rounds,
-# the judge's r8 full-catalog re-run, and this round's full-catalog
-# oracle log (tools/oracle_full_r9.log).
+# rows for the FIRST 50 catalog entries. r10 priority: the ONE new query
+# (similarity_twolevel_recall_at_5 — the two-level path's retrieval
+# recall gate, which also exercises the new salted two-stage top-k plan
+# end-to-end), every query whose implementation changed this round
+# (similarity_twolevel_topk — salted two-stage top-k; embedding_random_
+# projection_checksums — dim now derivable, gate pins dim=64; the
+# twolevel assign/refine pair re-gated over the two_level_parts /
+# kmeans_refine touch-ups), then the FIVE r5 leftovers
+# (text_bpe_token_count, corpus_stratified_mix, corpus_negative_pairs,
+# ts_rolling_zscore_outliers, multimodal_binary_features — the r5 block
+# is now fully re-gated), then 40 of the r6 block (window of commit
+# 0236e15) in r6-window order, SKIPPING semdedup_survivors and
+# approx_distinct_lineitem (both re-gated in r9 — not stale); the final
+# eight r6 entries (streaming_ts_count_max_3600,
+# streaming_stateful_running_extrema, pivot_event_type_daily,
+# scalar_functions_showcase, date_functions_orders,
+# correlated_above_avg_balance, argmax_event_per_type,
+# asof_nearest_click) roll to r11. Every query pushed out is green in
+# earlier CORRECTNESS rounds, the judge's r9 full-catalog re-run, and
+# this round's full-catalog oracle log (tools/oracle_full_r10.log).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # new this round (r9)
-    "similarity_twolevel_topk",
-    "similarity_kmeans_twolevel_refine",
-    "embedding_random_projection_checksums",
-    "embedding_truncate_renorm_checksums",
+    # new this round (r10)
+    "similarity_twolevel_recall_at_5",
     # implementation changed this round — re-gate first
+    "similarity_twolevel_topk",
+    "embedding_random_projection_checksums",
     "similarity_twolevel_assign",
-    "embedding_standardize_checksums",
-    "approx_distinct_lineitem",
-    "semdedup_survivors",
-    "semdedup_survivors_cellcap",
-    "similarity_ivf_recall_at_5",
-    "similarity_ivf_kmeans_recall_at_5",
-    "similarity_pq_recall_at_5",
-    # the final four r4-window queries (the rest re-gated in r7/r8)
-    "sql_entry_rollup_view",
-    "pit_feature_lookup_regimes",
-    "nullsafe_join_device_counts",
-    "setops_multiset_all_users",
-    # the stale r5 block, in r5-window order: 34 of the 39 queries last
-    # driver-gated in round 5
-    "corpus_dedup_doc_segments",
-    "sink_orc_roundtrip",
-    "similarity_dup_clusters",
-    "text_rare_bigram_ratio",
-    "corpus_clean_boilerplate",
-    "dedup_simhash_signatures",
-    "dedup_simhash_pairs",
-    "bi_mom_growth_per_segment",
-    "bi_pareto_customers_80pct",
-    "decoder_registry_double_be",
-    "decoder_registry_decimal_be",
-    "feature_quantile_bins_decile",
-    "feature_winsorize_p05_p95",
-    "json_props_extract",
-    "reshape_pivot_unpivot_roundtrip",
-    "sink_csv_json_roundtrip",
-    "sink_partitioned_roundtrip",
-    "text_conjunctive_search",
-    "text_posting_lists",
-    "text_vocabulary",
-    "udtf_sentence_split",
-    "window_rank_functions_showcase",
-    "ts_max_900",
-    "ts_rowkey_mode_3600",
-    "ts_max_28800_compat",
-    "decoder_registry_long_be",
-    "q1_pricing_summary",
-    "q9_profit_by_nation_year",
-    "q18_large_orders",
-    "q21_waiting_suppliers",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_duplicate_clusters",
-    "text_quality_features",
-    "text_bm25_retrieval",
+    "similarity_kmeans_twolevel_refine",
+    # the final five r5-window queries (the rest re-gated in r8/r9)
+    "text_bpe_token_count",
+    "corpus_stratified_mix",
+    "corpus_negative_pairs",
+    "ts_rolling_zscore_outliers",
+    "multimodal_binary_features",
+    # the stale r6 block, in r6-window order: 40 of the queries last
+    # driver-gated in round 6
+    "hbase_rowshape_bucketed_agg",
+    "profile_skew_report",
+    "corpus_source_mixing",
+    "graph_pagerank_suppliers",
+    "dedup_minhash_lsh_candidates",
+    "dedup_funnel_survivors",
+    "dedup_incremental_admitted",
+    "ts_min_900",
+    "ts_sum_900",
+    "ts_avg_900",
+    "ts_count_900",
+    "ts_avg_900_odd_start",
+    "ts_multi_verb_28800",
+    "ts_grouped_by_type_86400",
+    "ts_count_900_gapfilled",
+    "sliding_window_1h_15m",
+    "session_windows_6h_per_user",
+    "rowkey_range_scan",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "window_topk_parts_per_brand",
+    "window_running_order_total",
+    "window_lag_user_gaps",
+    "rollup_order_status_priority",
+    "cube_returnflag_linestatus",
+    "setops_purchase_error_users",
+    "semi_anti_customer_orders",
+    "distinct_counts_lineitem",
+    "multiversion_latest_2_per_user",
+    "asof_purchase_to_click",
+    "text_language_id",
+    "text_fingerprint_tokens",
+    "dedup_exact",
+    "similarity_cosine_topk",
+    "similarity_neardup_pairs",
+    "similarity_ann_lsh_topk",
 ]
 
 
@@ -4573,5 +4576,6 @@ import hbase_taggregator_spark.queries_r6  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r7  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r8  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r9  # noqa: E402,F401
+import hbase_taggregator_spark.queries_r10  # noqa: E402,F401
 
 _apply_gate_window(strict=False)

@@ -185,7 +185,10 @@ def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_taggregator_spark.util import ensure_parallelism
 
     emb = load_table(spark, sf_dir, "embeddings")
-    proj = random_projection(ensure_parallelism(emb), out_dim=RP_OUT_DIM)
+    # dim pinned explicitly: the operator's dim=None default derives it
+    # from a LIMIT-1 probe (r10 ADVICE fix), and the gate's oracle must
+    # not depend on a probed value
+    proj = random_projection(ensure_parallelism(emb), out_dim=RP_OUT_DIM, dim=64)
     return _quantized_checksums(
         proj, "projected", "vec_id", "p_l1", "p_checksum"
     )
