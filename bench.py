@@ -7,7 +7,7 @@ queries + a pointer): every prior round's driver artifact ended up with
 "parsed": null because the full 136-query line outgrew the driver's tail
 capture. The complete per-query dict (sf0.1 + sf1 + ratios + run counts)
 is written by this script itself to $SPARK_GRAFT_BENCH_OUT (default
-tools/bench_local_r9.json).
+tools/bench_local_r10.json).
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect — the number measures the distributed plan, not result
@@ -203,6 +203,10 @@ HEADLINE = [
     "similarity_kmeans_twolevel_refine",
     "embedding_random_projection_checksums",
     "embedding_truncate_renorm_checksums",
+    # round-10: two-level RETRIEVAL recall@5 (corpus inverted lists via
+    # two-level assignment, query probes through the salted two-stage
+    # top-k — the full approximation-gate algebra in one plan)
+    "similarity_twolevel_recall_at_5",
     # round-8: one-pass embedding covariance (map-side outer products,
     # partial agg to dim^2 cells before the single shuffle) and the
     # z-score whitening-prep companion
@@ -426,7 +430,7 @@ def main() -> None:
     # capture — every earlier round recorded "parsed": null because the
     # full line outgrew it
     repo_rel = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", f"{repo}/tools/bench_local_r9.json"
+        "SPARK_GRAFT_BENCH_OUT", f"{repo}/tools/bench_local_r10.json"
     )
     with open(repo_rel, "w") as f:
         json.dump(full, f, indent=1)

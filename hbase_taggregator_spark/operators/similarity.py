@@ -1337,6 +1337,9 @@ def ivf_topk(
     n_probe: int = 4,
     centroids: DataFrame | None = None,
     exclude_self: bool = True,
+    strategy: str = "auto",
+    n_super: int | None = None,
+    n_super_probe: int = 4,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors live in their single
     nearest centroid's inverted list; each query probes its ``n_probe``
@@ -1348,20 +1351,42 @@ def ivf_topk(
     (deterministic sampling init — same trick as k-means init;
     :func:`kmeans_refine` is the Lloyd assign→mean loop to improve them).
     ``exclude_self`` as in :func:`cosine_topk`: only leave it on when query
-    ids are drawn from the corpus id space (the recall gates are)."""
+    ids are drawn from the corpus id space (the recall gates are).
+
+    ``strategy`` passes through to BOTH :func:`ivf_assign` calls (corpus
+    inverted lists and query probes) — ``"twolevel"`` gives end-to-end
+    retrieval at beyond-broadcast centroid counts (the centroid set is
+    never driver-materialized at any point in the plan; the
+    ``similarity_twolevel_recall_at_5`` gate measures this path's
+    retrieval quality). ``n_super`` / ``n_super_probe`` size the
+    two-level coarse quantizer and are ignored by the flat strategies.
+
+    NOTE when combining with ``kmeans_refine(strategy="twolevel")``
+    centroids: that frame is caller-owned persisted (see
+    :func:`kmeans_refine`'s cache contract) — unpersist it when the
+    standing index is rebuilt."""
     if centroids is None:
         centroids = (
             corpus.orderBy(id_col)
             .limit(n_centroids)
             .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
         )
-    corpus_lists = ivf_assign(
-        ensure_parallelism(corpus), centroids, vec_col, id_col, n_probe=1
-    )
+
+    def _assign(frame, vcol, icol, np_):
+        if strategy == "twolevel":
+            return ivf_assign_two_level(
+                frame, centroids, vec_col=vcol, id_col=icol, n_probe=np_,
+                n_super=n_super, n_super_probe=n_super_probe,
+            )
+        return ivf_assign(
+            frame, centroids, vcol, icol, n_probe=np_, strategy=strategy
+        )
+
+    corpus_lists = _assign(ensure_parallelism(corpus), vec_col, id_col, 1)
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )
-    probes = ivf_assign(q, centroids, "__qvec", query_id_col, n_probe=n_probe)
+    probes = _assign(q, "__qvec", query_id_col, n_probe)
     probes = probes.select(query_id_col, "__qvec", F.col("nrm").alias("__qnrm"), "cent_id")
     scored = (
         corpus_lists.join(F.broadcast(probes), "cent_id")

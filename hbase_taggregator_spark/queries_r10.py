@@ -42,47 +42,18 @@ def _q_twolevel_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id < 10) probe their 5 nearest centroids via
     ``ivf_assign_two_level(n_probe=5)``, candidates join on cent_id,
     exact-decimal cosine ranks the survivors."""
-    from hbase_taggregator_spark.operators.relational import top_k_per_group
-    from hbase_taggregator_spark.operators.similarity import (
-        _nz,
-        dot,
-        ivf_assign_two_level,
-    )
+    from hbase_taggregator_spark.operators.similarity import ivf_topk
     from hbase_taggregator_spark.queries_ext import _recall_vs_exact
-    from hbase_taggregator_spark.util import ensure_parallelism
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < TWOLEVEL_NLIST).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
     )
-    corpus_lists = ivf_assign_two_level(
-        ensure_parallelism(emb), cents,
-        n_super=TWOLEVEL_NSUPER, n_super_probe=TWOLEVEL_NPROBE, n_probe=1,
-    )
     queries = emb.filter(F.col("vec_id") < 10)
-    q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
-    )
-    probes = ivf_assign_two_level(
-        q, cents, vec_col="__qvec", id_col="query_id",
+    approx = ivf_topk(
+        emb, queries, k=RECALL_K, centroids=cents, n_probe=RECALL_K,
+        strategy="twolevel",
         n_super=TWOLEVEL_NSUPER, n_super_probe=TWOLEVEL_NPROBE,
-        n_probe=RECALL_K,
-    ).select(
-        "query_id", "__qvec", F.col("nrm").alias("__qnrm"), "cent_id"
-    )
-    scored = (
-        corpus_lists.join(F.broadcast(probes), "cent_id")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn(
-            "cosine",
-            dot(F.col("__qvec"), F.col("embedding"))
-            / _nz(F.col("__qnrm") * F.col("nrm")),
-        )
-        .select("query_id", "vec_id", "cosine")
-    )
-    approx = top_k_per_group(
-        scored, ["query_id"], "cosine", RECALL_K,
-        descending=True, tiebreak=["vec_id"],
     )
     return _recall_vs_exact(emb, queries, approx, k=RECALL_K)
 

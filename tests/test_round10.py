@@ -122,6 +122,32 @@ def test_salted_topk_caps_per_group_census(spark):
     assert salt * n_probe < legacy_bound
 
 
+# --- ivf_topk strategy passthrough ------------------------------------------
+
+
+def test_ivf_topk_twolevel_strategy_matches_flat_under_full_probe(spark):
+    """With every super-cell probed, two-level assignment is exact, so
+    ivf_topk(strategy='twolevel') must return the flat path's results
+    row-for-row — the passthrough wires BOTH assignment calls (corpus
+    inverted lists and query probes) through the same strategy."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _toy_vectors(spark, n=50, dim=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def run(**kw):
+        return sorted(
+            (r["query_id"], r["vec_id"])
+            for r in S.ivf_topk(
+                emb, queries, k=3, n_centroids=10, n_probe=4, **kw
+            ).collect()
+        )
+
+    flat = run(strategy="expr")
+    two = run(strategy="twolevel", n_super=4, n_super_probe=4)
+    assert flat == two and len(flat) == 5 * 3
+
+
 # --- two-level retrieval recall gate shape ----------------------------------
 
 
