@@ -334,6 +334,16 @@ def dedup_funnel(
     funnel's dominant signature cost without touching survivor semantics
     — same candidates up to hash-family noise, identical verify rule.
     Gate queries keep the md5 oracle contract.
+
+    Census-paired scale evidence (r10, ``tools/bench_funnel_r10.json``):
+    per-stage bound quantities next to min-of-N walls at sf1 AND sf10
+    (the two-level decade discipline). At the gate parameters with the
+    xxhash64 production path: docs ×10 grows candidate pairs ×104.5
+    (255k → 26.7M — the sf10 fixture is dup-dense by construction) while
+    wall grows ×16.7 (9.69 s → 161.6 s), i.e. ~candidates^0.60 — the
+    corpus-bound signature/banding stages amortize and the verify stage,
+    whose cost IS the candidate count, stays map-side per pair
+    (id-keyed array-intersect, never pairs × shingles).
     """
     cand = minhash_lsh_candidates(
         df, text_col, id_col, n_shingle, k, bands, max_bucket, hash_fn
