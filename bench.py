@@ -207,6 +207,11 @@ HEADLINE = [
     # two-level assignment, query probes through the salted two-stage
     # top-k — the full approximation-gate algebra in one plan)
     "similarity_twolevel_recall_at_5",
+    # round-10: 1-bit quantization (mean-threshold sign bits packed into
+    # 32-bit words — 32x payload cut) and the two-stage Hamming-shortlist
+    # + exact-cosine-rerank retrieval over it
+    "embedding_binary_quantize_words",
+    "similarity_binary_hamming_recall_at_5",
     # round-8: one-pass embedding covariance (map-side outer products,
     # partial agg to dim^2 cells before the single shuffle) and the
     # z-score whitening-prep companion

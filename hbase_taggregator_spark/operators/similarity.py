@@ -1675,6 +1675,225 @@ def quantize_int8(
     )
 
 
+# --- binary quantization + Hamming retrieval --------------------------------
+
+
+def dimension_means(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> list[float]:
+    """Per-dimension means of a vector column as plain Python floats —
+    the binarization thresholds for :func:`binary_quantize`'s
+    ``threshold="mean"`` mode, computed ONCE from the corpus and reused
+    verbatim for queries (quantizing queries against their own means
+    would put the two sides in different codebooks).
+
+    Engine-portable by the standing mean contract
+    (:func:`_decimal_mean_vectors`): exact DECIMAL(28,12) component sum
+    → double → one IEEE division, so DuckDB's restatement computes the
+    bit-identical doubles and every ``v > mean`` comparison lands the
+    same way on both engines. The collect is ``dim`` doubles — the
+    declared build-collect-inline pattern (a few hundred bytes), same
+    as the Bloom/count-min sketch builds. Rows that are NULL, not
+    ``dim`` long, or contain a NULL element are excluded SYMMETRICALLY
+    with :func:`binary_quantize`'s filter (a NULL element would
+    NULL-poison Spark's decimal sum where SQL SUM skips it)."""
+    e = F.col(vec_col)
+    clean = df.filter(
+        e.isNotNull()
+        & (F.size(e) == dim)
+        & (F.size(F.filter(e, lambda x: x.isNull())) == 0)
+    )
+    rows = (
+        clean.select(F.posexplode(vec_col).alias("__dim", "__v"))
+        .groupBy("__dim")
+        .agg(
+            (
+                F.sum(F.col("__v").cast("double").cast("decimal(28,12)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("__m")
+        )
+        .orderBy("__dim")
+        .collect()
+    )
+    if len(rows) != dim:
+        raise ValueError(
+            f"dimension_means: expected {dim} dimensions, got {len(rows)} — "
+            "no qualifying rows or ragged vectors"
+        )
+    return [float(r["__m"]) for r in rows]
+
+
+#: bits per packed word. 32 (not 64) so the per-word bit sum stays far
+#: inside BIGINT on BOTH engines: DuckDB widens the CASE-WHEN sum to
+#: HUGEINT and casts back, Spark's ANSI long sum must never touch the
+#: sign bit, and 1<<31 ≤ sum < 2^32 clears both — the same reasoning as
+#: the SimHash oracle's split words.
+BINARY_WORD_BITS = 32
+
+
+def binary_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """Binary (1-bit) embedding quantization: bit ``d`` is 1 iff
+    ``v[d] > thresholds[d]`` (all-zero thresholds when ``None`` — the
+    sign-bit code for centered embeddings; pass
+    :func:`dimension_means` output for the mean-threshold code). Bits
+    pack into ``ceil(dim/32)`` 32-bit words carried as longs
+    (``w0, w1, …``) — 32 B/vector → 8 B at dim=64, a 32× cut in every
+    downstream shuffle/scan byte, which is the entire point at 100 TB:
+    Hamming-over-bits retrieval (:func:`binary_hamming_topk`) moves 3%
+    of the float payload and re-ranks only survivors.
+
+    ENTIRELY map-side (zero shuffle, zero state): each word is a 32-term
+    CASE sum over array elements against literal thresholds — the
+    :func:`lsh_bucket` expression pattern, exact integer algebra the
+    oracle restates verbatim (comparisons of raw float32-widened values
+    against identically-computed double thresholds are deterministic
+    cross-engine; no arithmetic precedes the compare). Rows that are
+    NULL, wrong-length, or contain a NULL element are excluded — the
+    same symmetric-drop contract as :func:`random_projection` (a NULL
+    element's CASE would silently contribute a 0 bit on both engines,
+    but the row must ALSO be excluded from the mean build, so the
+    filter is one rule applied everywhere).
+
+    Output: (id_col, w0..w{n-1}) — key-only; callers re-attach payloads
+    by ``id_col`` when needed (the re-rank step does)."""
+    if thresholds is None:
+        thresholds = [0.0] * dim
+    if len(thresholds) != dim:
+        raise ValueError(
+            f"binary_quantize: {len(thresholds)} thresholds for dim={dim}"
+        )
+    e = F.col(vec_col)
+    clean = df.filter(
+        e.isNotNull()
+        & (F.size(e) == dim)
+        & (F.size(F.filter(e, lambda x: x.isNull())) == 0)
+    )
+    n_words = (dim + BINARY_WORD_BITS - 1) // BINARY_WORD_BITS
+    words = []
+    for w in range(n_words):
+        acc = F.lit(0).cast("long")
+        for j in range(min(BINARY_WORD_BITS, dim - w * BINARY_WORD_BITS)):
+            d = w * BINARY_WORD_BITS + j
+            bit = F.when(
+                e[d] > F.lit(float(thresholds[d])), F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            acc = acc + bit.cast("long")
+        words.append(acc.alias(f"w{w}"))
+    return clean.select(id_col, *words)
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    threshold: str = "mean",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Two-stage binary ANN: Hamming distance over the packed sign/mean
+    bits ranks the corpus per query (ascending ``Σ_w bit_count(cw XOR
+    qw)``, id tiebreak); with ``rerank_k`` set, the top ``rerank_k``
+    Hamming survivors re-rank by EXACT decimal cosine to the final
+    ``k`` — the standard binary-retrieval shape (compressed first pass,
+    exact second pass on a bounded candidate set).
+
+    Scale shape: the first pass is a broadcast cross of the nq query
+    words against the corpus WORDS ONLY (8 B/vector at dim=64 — never
+    the float payload), XOR + bit_count map-side, one top-k shuffle of
+    (query, id, hamming) triples. The re-rank joins the ≤ nq·rerank_k
+    candidate ids back to the corpus through a BROADCAST of the
+    candidate side, so the corpus full-width vectors are never
+    shuffled — read once, filtered by the broadcast, scored map-side.
+    ``threshold="mean"`` binarizes against the corpus'
+    :func:`dimension_means` (queries use the CORPUS thresholds — one
+    codebook); ``"zero"`` uses the sign bit.
+
+    Setting ``rerank_k >= |corpus|`` degenerates to exact brute-force
+    cosine top-k (every vector survives the first pass), which is the
+    equivalence the unit test pins. Output: (query_id_col, id_col,
+    cosine) with ``rerank_k``, else (query_id_col, id_col, hamming)."""
+    if threshold not in ("mean", "zero"):
+        raise ValueError(f"unknown binary threshold: {threshold!r}")
+    thr = (
+        dimension_means(corpus, vec_col=vec_col, dim=dim)
+        if threshold == "mean"
+        else None
+    )
+    # parallelism is ensured on the PACKED words, not the raw corpus:
+    # repartitioning full-width vectors would shuffle the exact payload
+    # this operator exists to avoid (the packing itself is a trivial
+    # projection that runs fine at scan parallelism; the per-pair
+    # Hamming work downstream is what needs the spread). Plan-asserted:
+    # no plain Exchange in this plan ever carries the vector column.
+    cb = ensure_parallelism(
+        binary_quantize(corpus, vec_col, id_col, dim=dim, thresholds=thr)
+    )
+    n_words = (dim + BINARY_WORD_BITS - 1) // BINARY_WORD_BITS
+    qb = binary_quantize(
+        queries, vec_col, id_col, dim=dim, thresholds=thr
+    ).select(
+        F.col(id_col).alias(query_id_col),
+        *[F.col(f"w{w}").alias(f"__q{w}") for w in range(n_words)],
+    )
+    ham = F.lit(0).cast("long")
+    for w in range(n_words):
+        ham = ham + F.bit_count(
+            F.col(f"w{w}").bitwiseXOR(F.col(f"__q{w}"))
+        ).cast("long")
+    scored = (
+        cb.crossJoin(F.broadcast(qb))
+        .filter(
+            F.col(query_id_col) != F.col(id_col)
+            if exclude_self
+            else F.lit(True)
+        )
+        .select(query_id_col, id_col, ham.alias("hamming"))
+    )
+    first = top_k_per_group(
+        scored, [query_id_col], "hamming", rerank_k or k,
+        descending=False, tiebreak=[id_col],
+    )
+    if rerank_k is None:
+        return first
+    # exact-cosine re-rank: candidates broadcast INTO the corpus join —
+    # the full-width vectors never shuffle
+    qv = with_norm(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        ),
+        "__qvec",
+    ).select(query_id_col, "__qvec", F.col("nrm").alias("__qnrm"))
+    cands = first.select(query_id_col, id_col).join(
+        F.broadcast(qv), query_id_col
+    )
+    rers = (
+        with_norm(corpus.select(id_col, vec_col), vec_col)
+        .join(F.broadcast(cands), id_col)
+        .select(
+            query_id_col,
+            id_col,
+            (
+                dot(F.col("__qvec"), F.col(vec_col))
+                / _nz(F.col("__qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        rers, [query_id_col], "cosine", k, descending=True, tiebreak=[id_col]
+    )
+
+
 # --- product quantization (PQ) ---------------------------------------------
 
 

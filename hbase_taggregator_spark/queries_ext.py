@@ -4469,30 +4469,36 @@ _register(
 )
 # ---------------------------------------------------------------------------
 # Driver gate window (rotated per round): the driver records CORRECTNESS
-# rows for the FIRST 50 catalog entries. r10 priority: the ONE new query
-# (similarity_twolevel_recall_at_5 — the two-level path's retrieval
-# recall gate, which also exercises the new salted two-stage top-k plan
-# end-to-end), every query whose implementation changed this round
-# (similarity_twolevel_topk — salted two-stage top-k; embedding_random_
-# projection_checksums — dim now derivable, gate pins dim=64; the
-# twolevel assign/refine pair re-gated over the two_level_parts /
-# kmeans_refine touch-ups), then the FIVE r5 leftovers
-# (text_bpe_token_count, corpus_stratified_mix, corpus_negative_pairs,
-# ts_rolling_zscore_outliers, multimodal_binary_features — the r5 block
-# is now fully re-gated), then 40 of the r6 block (window of commit
-# 0236e15) in r6-window order, SKIPPING semdedup_survivors and
-# approx_distinct_lineitem (both re-gated in r9 — not stale); the final
-# eight r6 entries (streaming_ts_count_max_3600,
-# streaming_stateful_running_extrema, pivot_event_type_daily,
-# scalar_functions_showcase, date_functions_orders,
-# correlated_above_avg_balance, argmax_event_per_type,
-# asof_nearest_click) roll to r11. Every query pushed out is green in
-# earlier CORRECTNESS rounds, the judge's r9 full-catalog re-run, and
-# this round's full-catalog oracle log (tools/oracle_full_r10.log).
+# rows for the FIRST 50 catalog entries. r10 priority: the THREE new
+# queries (similarity_twolevel_recall_at_5 — the two-level path's
+# retrieval recall gate, which also exercises the new salted two-stage
+# top-k plan end-to-end; embedding_binary_quantize_words and
+# similarity_binary_hamming_recall_at_5 — the new 1-bit quantization +
+# Hamming-shortlist retrieval family), every query whose implementation
+# changed this round (similarity_twolevel_topk — salted two-stage
+# top-k; embedding_random_projection_checksums — dim now derivable,
+# gate pins dim=64; the twolevel assign/refine pair re-gated over the
+# two_level_parts / kmeans_refine touch-ups), then the FIVE r5
+# leftovers (text_bpe_token_count, corpus_stratified_mix,
+# corpus_negative_pairs, ts_rolling_zscore_outliers,
+# multimodal_binary_features — the r5 block is now fully re-gated),
+# then 38 of the r6 block (window of commit 0236e15) in r6-window
+# order, SKIPPING semdedup_survivors and approx_distinct_lineitem
+# (both re-gated in r9 — not stale); the final ten r6 entries
+# (similarity_neardup_pairs, similarity_ann_lsh_topk,
+# streaming_ts_count_max_3600, streaming_stateful_running_extrema,
+# pivot_event_type_daily, scalar_functions_showcase,
+# date_functions_orders, correlated_above_avg_balance,
+# argmax_event_per_type, asof_nearest_click) roll to r11. Every query
+# pushed out is green in earlier CORRECTNESS rounds, the judge's r9
+# full-catalog re-run, and this round's full-catalog oracle log
+# (tools/oracle_full_r10.log).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
     # new this round (r10)
     "similarity_twolevel_recall_at_5",
+    "embedding_binary_quantize_words",
+    "similarity_binary_hamming_recall_at_5",
     # implementation changed this round — re-gate first
     "similarity_twolevel_topk",
     "embedding_random_projection_checksums",
@@ -4544,8 +4550,6 @@ _GATE_WINDOW = [
     "text_fingerprint_tokens",
     "dedup_exact",
     "similarity_cosine_topk",
-    "similarity_neardup_pairs",
-    "similarity_ann_lsh_topk",
 ]
 
 

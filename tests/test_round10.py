@@ -161,6 +161,102 @@ def test_twolevel_recall_gate_shape(spark):
         assert abs(r["recall_at_5"] - r["n_hits"] / 5.0) < 1e-12
 
 
+# --- binary quantization + Hamming retrieval --------------------------------
+
+
+def test_binary_quantize_matches_python_reference(spark):
+    """Packed words equal a pure-Python bit-pack under both threshold
+    modes — one flipped bit anywhere fails."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    dim = 40  # spans two words, second one partial
+    emb = _toy_vectors(spark, n=30, dim=dim)
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+
+    for thr in (None, S.dimension_means(emb, dim=dim)):
+        t = thr or [0.0] * dim
+        got = {
+            r["vec_id"]: (r["w0"], r["w1"])
+            for r in S.binary_quantize(emb, dim=dim, thresholds=thr).collect()
+        }
+        for vid, v in vecs.items():
+            exp = [0, 0]
+            for d in range(dim):
+                if v[d] > t[d]:
+                    exp[d // 32] |= 1 << (d % 32)
+            assert got[vid] == tuple(exp), (vid, thr is None)
+
+
+def test_binary_hamming_full_rerank_equals_exact_cosine_topk(spark):
+    """rerank_k >= |corpus| means every vector survives the Hamming
+    shortlist, so the re-rank IS brute-force cosine top-k — pinned
+    against cosine_topk row-for-row."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _toy_vectors(spark, n=40, dim=8)
+    queries = emb.filter(F.col("vec_id") < 4)
+    binq = sorted(
+        (r["query_id"], r["vec_id"])
+        for r in S.binary_hamming_topk(
+            emb, queries, k=3, rerank_k=40, dim=8, threshold="mean"
+        ).collect()
+    )
+    exact = sorted(
+        (r["query_id"], r["vec_id"])
+        for r in S.cosine_topk(emb, queries, k=3).collect()
+    )
+    assert binq == exact and len(binq) == 4 * 3
+
+
+def test_binary_hamming_corpus_vectors_never_shuffle(spark):
+    """The binary plan's 100 TB contract: only the 8-byte packed words
+    and key-only (query, id, score) triples cross a hash exchange — the
+    full-width corpus vectors reach the re-rank through a broadcast of
+    the candidate side, never via a corpus-side Exchange."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.binary_hamming_topk(emb, queries, k=5, rerank_k=20)
+    text = P.formatted_plan(out)
+    seen = 0
+    for s in text.split("\n\n"):
+        header = s.strip().split("\n")[0].split()
+        # plain Exchange nodes only — BroadcastExchange of the tiny
+        # query/candidate sides is the declared mechanism
+        if header and header[-1] == "Exchange":
+            seen += 1
+            assert "embedding#" not in s, (
+                f"corpus vectors cross a hash exchange:\n{s}"
+            )
+    assert seen >= 1  # the top-k shuffles exist; they are key-only
+
+
+def test_binary_hamming_gate_shape_and_quality(spark):
+    from hbase_taggregator_spark import queries as q
+
+    out = q.QUERIES["similarity_binary_hamming_recall_at_5"](spark, SF).collect()
+    assert len(out) == 10
+    for r in out:
+        assert 0 <= r["n_hits"] <= 5
+    # the shortlist is 10% of the corpus; mean-threshold sign bits should
+    # do far better than chance on at least some queries
+    assert any(r["n_hits"] > 0 for r in out)
+
+
+def test_binary_quantize_validates_inputs(spark):
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _toy_vectors(spark, n=5, dim=8)
+    with pytest.raises(ValueError, match="thresholds"):
+        S.binary_quantize(emb, dim=8, thresholds=[0.0] * 4)
+    with pytest.raises(ValueError, match="threshold"):
+        S.binary_hamming_topk(emb, emb.limit(1), threshold="median")
+    empty = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="dimension_means"):
+        S.dimension_means(empty, dim=8)
+
+
 # --- random_projection dim derivation (r9 ADVICE) ---------------------------
 
 
