@@ -1822,7 +1822,17 @@ def binary_hamming_topk(
     Setting ``rerank_k >= |corpus|`` degenerates to exact brute-force
     cosine top-k (every vector survives the first pass), which is the
     equivalence the unit test pins. Output: (query_id_col, id_col,
-    cosine) with ``rerank_k``, else (query_id_col, id_col, hamming)."""
+    cosine) with ``rerank_k``, else (query_id_col, id_col, hamming).
+
+    Measured quality (tools/bench_binary_r10.json): at the sf0.01 gate
+    fixture (500 vectors, shortlist = 10% of corpus) per-query recall@5
+    spans 0.2-1.0, mean 0.66 — the hash-matched
+    ``similarity_binary_hamming_recall_at_5`` gate; on the sf1
+    cluster-generated fixture 64 mean-threshold bits saturate recall at
+    1.0 even WITHOUT the re-rank (the artifact's interpretation_note
+    explains why walls there are scheduling-bound too). The quantity
+    that scales is the payload: the first pass moves 24 B/vector
+    against 512 B of floats."""
     if threshold not in ("mean", "zero"):
         raise ValueError(f"unknown binary threshold: {threshold!r}")
     thr = (
