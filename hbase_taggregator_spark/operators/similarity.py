@@ -338,29 +338,34 @@ def random_projection(
     such rows instead of agreeing to drop them (the oracle filters
     identically with ``list_filter``).
 
-    ``dim=None`` (default) derives the input width from the first
-    non-empty vector — one LIMIT-1 probe job — so a caller with 128-dim
-    embeddings can't silently project an empty frame by forgetting the
-    parameter (r9 ADVICE: the old fixed default of 64 made exactly that
-    failure mode). Pass ``dim`` explicitly to pin the width instead (the
-    gate query does, keeping its oracle independent of the probe); rows
-    of any OTHER length are then filtered as documented above."""
+    ``dim=None`` (default) derives the input width from the non-empty
+    vector with the SMALLEST ``id_col`` — one ``min_by`` aggregate job —
+    so a caller with 128-dim embeddings can't silently project an empty
+    frame by forgetting the parameter (r9 ADVICE: the old fixed default
+    of 64 made exactly that failure mode), and on a ragged frame the
+    derived width is a pure function of the DATA, not of scan/partition
+    order (r10 ADVICE: the previous LIMIT-1 probe could pick a different
+    row between runs or file layouts, silently changing which rows
+    survive the length filter). Ids are assumed unique (the standing
+    contract everywhere in this package). Pass ``dim`` explicitly to pin
+    the width instead (the gate query does, keeping its oracle
+    independent of the probe); rows of any OTHER length are then
+    filtered as documented above."""
     import math
 
     e = F.col(vec_col)
     if dim is None:
         probed = (
-            df.select(F.size(e).alias("__d"))
-            .filter(F.col("__d") >= 1)
-            .limit(1)
+            df.filter(F.size(e) >= 1)
+            .agg(F.min_by(F.size(e), F.col(id_col)).alias("__d"))
             .collect()
         )
-        if not probed:
+        if not probed or probed[0]["__d"] is None:
             raise ValueError(
                 f"random_projection: no non-empty {vec_col!r} vector to "
                 "derive dim from — pass dim= explicitly"
             )
-        dim = probed[0]["__d"]
+        dim = int(probed[0]["__d"])
     d = df.filter(
         e.isNotNull()
         & (F.size(e) == dim)
@@ -1141,6 +1146,18 @@ def ivf_assign_two_level(
     ``return_candidates=True`` returns the pre-argmin (id, cent_id)
     candidate stream instead of the assignment — the cost model's bound
     quantity, for census-paired benchmarks.
+
+    CONTRACT: ``id_col`` values must be unique (the standing assumption
+    everywhere in this package — every gate fixture and oracle keys on
+    it). The salted path (``topk_salt > 1``) rejoins the payload by
+    ``id_col`` after the key-only merge, so a frame with DUPLICATE ids
+    would fan each pick out across the duplicates — one row per
+    (pick, duplicate) — where the ``topk_salt=1`` legacy aggregate
+    returns one row per (id, pick) with ``first()``-arbitrary payload
+    (r10 ADVICE). Neither shape is meaningful on duplicate ids; the
+    contract is documented rather than enforced with a
+    ``dropDuplicates`` because that would add a payload-carrying
+    shuffle to every call to guard an out-of-contract input.
     """
     if n_probe < 1:
         raise ValueError("n_probe must be >= 1")
@@ -1789,6 +1806,203 @@ def binary_quantize(
     return clean.select(id_col, *words)
 
 
+#: bits per multi-index Hamming band (default): each packed 32-bit word
+#: splits into two 16-bit bands, so a dim=64 code has 4 bands and the
+#: pigeonhole guarantee covers Hamming radius ≤ 3 — the near-duplicate
+#: regime the banded index exists for. Finer bands (8/4 bits) trade
+#: larger guarantee radii for fuller band buckets (classic multi-index
+#: Hamming: substring length ≈ log2(N) balances the two).
+BINARY_BAND_BITS = 16
+
+
+def _hamming_expr(n_words: int, q_prefix: str = "__q") -> Column:
+    """Σ_w bit_count(w_i XOR q_i) over the packed words of both sides."""
+    ham = F.lit(0).cast("long")
+    for w in range(n_words):
+        ham = ham + F.bit_count(
+            F.col(f"w{w}").bitwiseXOR(F.col(f"{q_prefix}{w}"))
+        ).cast("long")
+    return ham
+
+
+def _explode_bands(
+    df: DataFrame, n_bands: int, band_bits: int, word_prefix: str = "w"
+) -> DataFrame:
+    """One row per (row, band): all original columns plus ``__bidx`` /
+    ``__bval`` — band ``b`` is ``band_bits`` contiguous bits of the
+    packed words, extracted map-side with shift+mask (the banded
+    equi-join's key). Explode of a literal-struct array: zero shuffle,
+    zero state, n_bands× rows of key-only width."""
+    per_word = BINARY_WORD_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    entries = []
+    for b in range(n_bands):
+        w, slot = divmod(b, per_word)
+        val = F.shiftright(
+            F.col(f"{word_prefix}{w}"), slot * band_bits
+        ).bitwiseAND(F.lit(mask))
+        entries.append(
+            F.struct(
+                F.lit(b).alias("i"), val.cast("long").alias("v")
+            )
+        )
+    cols = list(df.columns)
+    return df.select(
+        *cols, F.explode(F.array(*entries)).alias("__band")
+    ).select(
+        *cols,
+        F.col("__band.i").alias("__bidx"),
+        F.col("__band.v").alias("__bval"),
+    )
+
+
+def _resolve_band_bits(dim: int, radius: int, band_bits: int | None) -> int:
+    """Pick (or validate) the band width so the pigeonhole guarantee
+    covers ``radius``: a code within ``r`` flipped bits of the query
+    shares at least one exact band whenever ``r < n_bands = dim /
+    band_bits``. ``None`` selects the COARSEST width that still
+    guarantees (fewest exploded rows); an explicit width that does not
+    guarantee raises rather than silently returning partial pairs."""
+    candidates = [b for b in (32, 16, 8, 4, 2, 1) if b <= BINARY_WORD_BITS]
+    if band_bits is None:
+        for b in candidates:
+            if dim % b == 0 and dim // b > radius:
+                return b
+        raise ValueError(
+            f"binary banding cannot guarantee radius {radius} at dim={dim} "
+            "(radius >= dim//1 bands) — use the exhaustive scan"
+        )
+    if dim % band_bits != 0 or band_bits not in candidates:
+        raise ValueError(
+            f"band_bits={band_bits} must divide both dim={dim} and the "
+            f"{BINARY_WORD_BITS}-bit packed word"
+        )
+    if dim // band_bits <= radius:
+        raise ValueError(
+            f"band_bits={band_bits} gives {dim // band_bits} bands — the "
+            f"pigeonhole guarantee needs more than radius={radius} bands; "
+            "use finer bands or the exhaustive scan"
+        )
+    return band_bits
+
+
+def _banded_candidates(
+    cb: DataFrame,
+    qb: DataFrame,
+    n_words: int,
+    n_bands: int,
+    band_bits: int,
+    id_col: str,
+    query_id_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Query→corpus candidate pairs via the banded equi-join: (query_id,
+    id, hamming), each matched pair ONCE. The corpus side explodes to
+    key-only (id, words, band) rows; the query side (broadcast-small by
+    contract) explodes and BROADCASTS, so the join is map-side against
+    the corpus scan — no corpus shuffle. A pair that matches in several
+    bands yields identical rows; ``distinct`` collapses them (the one
+    shuffle, carrying matched pairs only — the quantity the banded
+    index exists to shrink)."""
+    ce = _explode_bands(cb, n_bands, band_bits, "w")
+    qe = _explode_bands(qb, n_bands, band_bits, "__q").select(
+        query_id_col,
+        *[f"__q{w}" for w in range(n_words)],
+        F.col("__bidx").alias("__qbidx"),
+        F.col("__bval").alias("__qbval"),
+    )
+    joined = ce.join(
+        F.broadcast(qe),
+        (F.col("__bidx") == F.col("__qbidx"))
+        & (F.col("__bval") == F.col("__qbval")),
+    )
+    if exclude_self:
+        joined = joined.filter(F.col(query_id_col) != F.col(id_col))
+    return joined.select(
+        query_id_col, id_col, _hamming_expr(n_words).alias("hamming")
+    ).distinct()
+
+
+def binary_hamming_radius_pairs(
+    df: DataFrame,
+    radius: int,
+    dim: int = 64,
+    band_bits: int | None = None,
+    threshold: str = "mean",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """ALL corpus pairs within Hamming radius ``radius`` of each other
+    (over the packed :func:`binary_quantize` codes), found by the
+    multi-index banded self-join — COMPLETE by the pigeonhole principle:
+    two codes differing in ``r ≤ n_bands − 1`` bits cannot flip a bit in
+    every one of the ``n_bands`` disjoint bands, so they share at least
+    one band exactly and the banded equi-join surfaces the pair. The
+    same discipline as :func:`~..dedup.simhash` banding, applied to the
+    1-bit embedding codes — the near-duplicate sweep that replaces the
+    N² code cross at scale.
+
+    Scale shape: explode each code into ``n_bands`` key-only (band_idx,
+    band_val, words) rows, ONE equi-join shuffle keyed on the band —
+    candidates are band-bucket pairs, not N²; the exact Hamming filter
+    runs map-side on the joined words and ``distinct`` collapses
+    multi-band matches. Guarantee radii come from the band count
+    (``_resolve_band_bits``: coarsest width that still covers
+    ``radius``); an explicit ``band_bits`` that cannot guarantee raises
+    rather than returning silently-partial pairs. At MIH's classic
+    operating point (substring ≈ log2 N bits) bucket sizes stay O(1);
+    the radius census (tools/bench_binary_r11.py) pairs candidate
+    counts against the N² cross at sf1.
+
+    Output: (id_a, id_b, hamming) with ``id_a < id_b``,
+    ``hamming <= radius``."""
+    bb = _resolve_band_bits(dim, radius, band_bits)
+    n_bands = dim // bb
+    n_words = (dim + BINARY_WORD_BITS - 1) // BINARY_WORD_BITS
+    thr = (
+        thresholds
+        if thresholds is not None
+        else (
+            dimension_means(df, vec_col=vec_col, dim=dim)
+            if threshold == "mean"
+            else None
+        )
+    )
+    cb = ensure_parallelism(
+        binary_quantize(df, vec_col, id_col, dim=dim, thresholds=thr)
+    )
+    ce = _explode_bands(cb, n_bands, bb, "w")
+    a = ce.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"w{w}").alias(f"__a{w}") for w in range(n_words)],
+        "__bidx",
+        "__bval",
+    )
+    b = ce.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"w{w}").alias(f"__b{w}") for w in range(n_words)],
+        F.col("__bidx").alias("__bbidx"),
+        F.col("__bval").alias("__bbval"),
+    )
+    ham = F.lit(0).cast("long")
+    for w in range(n_words):
+        ham = ham + F.bit_count(
+            F.col(f"__a{w}").bitwiseXOR(F.col(f"__b{w}"))
+        ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("__bidx") == F.col("__bbidx"))
+            & (F.col("__bval") == F.col("__bbval"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= radius)
+        .distinct()
+    )
+
+
 def binary_hamming_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1800,6 +2014,8 @@ def binary_hamming_topk(
     dim: int = 64,
     threshold: str = "mean",
     exclude_self: bool = True,
+    index: str = "scan",
+    band_bits: int = BINARY_BAND_BITS,
 ) -> DataFrame:
     """Two-stage binary ANN: Hamming distance over the packed sign/mean
     bits ranks the corpus per query (ascending ``Σ_w bit_count(cw XOR
@@ -1824,6 +2040,26 @@ def binary_hamming_topk(
     equivalence the unit test pins. Output: (query_id_col, id_col,
     cosine) with ``rerank_k``, else (query_id_col, id_col, hamming).
 
+    ``index`` selects the first pass. ``"scan"`` (default) is the
+    compressed linear scan: a broadcast cross of the query words over
+    the corpus words — the right plan when shortlists are a sizable
+    corpus fraction. ``"banded"`` is the multi-index Hamming path
+    (VERDICT r10 "Next round" #1): candidates come from the banded
+    equi-join of :func:`binary_hamming_radius_pairs`'s discipline, and
+    EXACTNESS against the scan is kept by a per-query verified
+    fallback — a query's banded top-``m`` provably equals the
+    exhaustive top-``m`` iff it has ≥ ``m`` banded candidates at
+    Hamming ≤ ``n_bands − 1`` (every code inside the pigeonhole radius
+    IS in the banded set, so nothing closer can be missing); queries
+    failing that check re-scan exhaustively, IN-PLAN (the check is a
+    per-query aggregate over the candidate stream — no driver
+    branching). Both index settings therefore return IDENTICAL rows —
+    the ``similarity_binary_banded_dup_top1`` gate hashes the banded
+    path against the exhaustive oracle algebra. The banded path earns
+    its keep in the near-duplicate regime (dup/decontamination
+    shortlists, d ≤ 3 at the default 4×16-bit banding), where the
+    first pass touches band-bucket pairs instead of nq×N.
+
     Measured quality (tools/bench_binary_r10.json): at the sf0.01 gate
     fixture (500 vectors, shortlist = 10% of corpus) per-query recall@5
     spans 0.2-1.0, mean 0.66 — the hash-matched
@@ -1835,6 +2071,8 @@ def binary_hamming_topk(
     against 512 B of floats."""
     if threshold not in ("mean", "zero"):
         raise ValueError(f"unknown binary threshold: {threshold!r}")
+    if index not in ("scan", "banded"):
+        raise ValueError(f"unknown binary index: {index!r}")
     thr = (
         dimension_means(corpus, vec_col=vec_col, dim=dim)
         if threshold == "mean"
@@ -1856,40 +2094,113 @@ def binary_hamming_topk(
         F.col(id_col).alias(query_id_col),
         *[F.col(f"w{w}").alias(f"__q{w}") for w in range(n_words)],
     )
-    ham = F.lit(0).cast("long")
-    for w in range(n_words):
-        ham = ham + F.bit_count(
-            F.col(f"w{w}").bitwiseXOR(F.col(f"__q{w}"))
-        ).cast("long")
-    scored = (
-        cb.crossJoin(F.broadcast(qb))
-        .filter(
-            F.col(query_id_col) != F.col(id_col)
-            if exclude_self
-            else F.lit(True)
+    m = rerank_k or k
+    if index == "banded":
+        if dim % band_bits != 0:
+            raise ValueError(
+                f"band_bits={band_bits} must divide dim={dim}"
+            )
+        n_bands = dim // band_bits
+        cands = _banded_candidates(
+            cb, qb, n_words, n_bands, band_bits,
+            id_col, query_id_col, exclude_self,
         )
-        .select(query_id_col, id_col, ham.alias("hamming"))
-    )
-    first = top_k_per_group(
-        scored, [query_id_col], "hamming", rerank_k or k,
-        descending=False, tiebreak=[id_col],
-    )
+        banded_topm = top_k_per_group(
+            cands, [query_id_col], "hamming", m,
+            descending=False, tiebreak=[id_col],
+        )
+        # verified per-query guarantee: the banded top-m is exact iff
+        # ≥ m candidates sit at hamming ≤ n_bands-1 (see docstring);
+        # the flag frame is nq rows — broadcast both ways
+        flags = (
+            qb.select(query_id_col)
+            .join(
+                cands.filter(F.col("hamming") <= n_bands - 1)
+                .groupBy(query_id_col)
+                .agg(F.count(F.lit(1)).alias("__ngood")),
+                query_id_col,
+                "left",
+            )
+            .select(
+                query_id_col,
+                (F.coalesce(F.col("__ngood"), F.lit(0)) >= m).alias("__ok"),
+            )
+        )
+        banded_part = banded_topm.join(
+            F.broadcast(flags.filter(F.col("__ok")).select(query_id_col)),
+            query_id_col,
+        )
+        fb_qb = qb.join(
+            F.broadcast(flags.filter(~F.col("__ok")).select(query_id_col)),
+            query_id_col,
+        )
+        fb_scored = (
+            cb.crossJoin(F.broadcast(fb_qb))
+            .filter(
+                F.col(query_id_col) != F.col(id_col)
+                if exclude_self
+                else F.lit(True)
+            )
+            .select(
+                query_id_col, id_col, _hamming_expr(n_words).alias("hamming")
+            )
+        )
+        fb_topm = top_k_per_group(
+            fb_scored, [query_id_col], "hamming", m,
+            descending=False, tiebreak=[id_col],
+        )
+        first = banded_part.select(
+            query_id_col, id_col, "hamming"
+        ).unionByName(fb_topm.select(query_id_col, id_col, "hamming"))
+    else:
+        scored = (
+            cb.crossJoin(F.broadcast(qb))
+            .filter(
+                F.col(query_id_col) != F.col(id_col)
+                if exclude_self
+                else F.lit(True)
+            )
+            .select(
+                query_id_col, id_col, _hamming_expr(n_words).alias("hamming")
+            )
+        )
+        first = top_k_per_group(
+            scored, [query_id_col], "hamming", m,
+            descending=False, tiebreak=[id_col],
+        )
     if rerank_k is None:
         return first
-    # exact-cosine re-rank: candidates broadcast INTO the corpus join —
-    # the full-width vectors never shuffle
+    return _exact_cosine_rerank(
+        corpus, queries, first.select(query_id_col, id_col), k,
+        id_col, vec_col, query_id_col,
+    )
+
+
+def _exact_cosine_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cands: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact decimal-cosine re-rank of a bounded (query_id, id)
+    candidate set to the final top-k — the shared second stage of every
+    compressed first pass (binary scan/banded, IVF+binary). Candidates
+    broadcast INTO the corpus join with the query vectors attached, so
+    the corpus full-width vectors are never shuffled: read once,
+    filtered by the broadcast, scored map-side."""
     qv = with_norm(
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
         ),
         "__qvec",
     ).select(query_id_col, "__qvec", F.col("nrm").alias("__qnrm"))
-    cands = first.select(query_id_col, id_col).join(
-        F.broadcast(qv), query_id_col
-    )
+    pairs = cands.join(F.broadcast(qv), query_id_col)
     rers = (
         with_norm(corpus.select(id_col, vec_col), vec_col)
-        .join(F.broadcast(cands), id_col)
+        .join(F.broadcast(pairs), id_col)
         .select(
             query_id_col,
             id_col,
@@ -1901,6 +2212,126 @@ def binary_hamming_topk(
     )
     return top_k_per_group(
         rers, [query_id_col], "cosine", k, descending=True, tiebreak=[id_col]
+    )
+
+
+def ivf_binary_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: DataFrame | None = None,
+    exclude_self: bool = True,
+    strategy: str = "auto",
+    n_super: int | None = None,
+    n_super_probe: int = 4,
+    dim: int = 64,
+    threshold: str = "mean",
+) -> DataFrame:
+    """The composed IVF + binary retrieval stack (VERDICT r10 "Next
+    round" #4): IVF probing restricts WHICH vectors are candidates,
+    binary Hamming over the packed 1-bit codes shortlists WITHIN the
+    probed cells, and the exact decimal cosine re-ranks the ≤
+    nq·rerank_k survivors — the standard production ANN shape
+    (coarse quantizer → compressed scan → exact re-rank).
+
+    Scale shape, stage by stage: (1) corpus vectors get their inverted
+    list via :func:`ivf_assign` / :func:`ivf_assign_two_level`
+    (``strategy`` passes through, exactly :func:`ivf_topk`'s contract,
+    so ``"twolevel"`` keeps the stack working at beyond-broadcast
+    centroid counts); only the KEY-ONLY (id, cent_id) outcome is kept
+    and joined to the packed words — from there the first pass carries
+    24 B/vector at dim=64, never the float payload. (2) Queries probe
+    ``n_probe`` cells; their (query_id, cent_id, words) rows broadcast
+    into an equi-join on ``cent_id``, so the Hamming scan touches
+    ``n_probe / n_centroids`` of the corpus CODES — first-pass bytes
+    are 24 B × probed-cell occupancy, not 24 B × N (the census point
+    in tools/bench_binary_r11.py). Each (query, id) pair appears at
+    most once (a corpus vector lives in exactly one cell; probes are
+    distinct cells), so no dedup step. (3)
+    :func:`_exact_cosine_rerank` — full-width vectors never shuffle.
+
+    APPROXIMATE on two axes, both priced: IVF recall (nearest neighbor
+    in an unprobed cell — ``n_probe`` dial) and binary recall (Hamming
+    shortlist misses a true-cosine neighbor — ``rerank_k`` dial).
+    ``rerank_k`` ≥ max cell-group occupancy degenerates to
+    :func:`ivf_topk` exactly (unit-pinned). The
+    ``similarity_ivf_binary_recall_at_5`` gate restates every stage —
+    two-level assignment, mean-threshold bits, in-cell Hamming
+    shortlist, exact re-rank — in DuckDB SQL and hash-gates recall@5."""
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+            )
+        )
+
+    def _assign(frame, vcol, icol, np_):
+        if strategy == "twolevel":
+            return ivf_assign_two_level(
+                frame, centroids, vec_col=vcol, id_col=icol, n_probe=np_,
+                n_super=n_super, n_super_probe=n_super_probe,
+            )
+        return ivf_assign(
+            frame, centroids, vcol, icol, n_probe=np_, strategy=strategy
+        )
+
+    thr = (
+        dimension_means(corpus, vec_col=vec_col, dim=dim)
+        if threshold == "mean"
+        else None
+    )
+    n_words = (dim + BINARY_WORD_BITS - 1) // BINARY_WORD_BITS
+    # key-only inverted index: (id, cent_id) ⋈ (id, words) — both sides
+    # are a few longs per row; the float payload stays in the scan
+    corpus_cells = _assign(
+        ensure_parallelism(corpus), vec_col, id_col, 1
+    ).select(id_col, "cent_id")
+    # parallelism ensured on the PACKED words, never the raw corpus — a
+    # RoundRobin repartition of the full-width vectors would shuffle the
+    # exact payload this operator exists to avoid (r10 discipline)
+    cw = ensure_parallelism(
+        binary_quantize(corpus, vec_col, id_col, dim=dim, thresholds=thr)
+    )
+    corpus_idx = cw.join(corpus_cells, id_col)
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    probes = _assign(q, "__qvec", query_id_col, n_probe).select(
+        query_id_col, "cent_id"
+    )
+    qw = binary_quantize(
+        queries, vec_col, id_col, dim=dim, thresholds=thr
+    ).select(
+        F.col(id_col).alias(query_id_col),
+        *[F.col(f"w{w}").alias(f"__q{w}") for w in range(n_words)],
+    )
+    qidx = probes.join(qw, query_id_col)
+    scored = (
+        corpus_idx.join(F.broadcast(qidx), "cent_id")
+        .filter(
+            F.col(query_id_col) != F.col(id_col)
+            if exclude_self
+            else F.lit(True)
+        )
+        .select(
+            query_id_col, id_col, _hamming_expr(n_words).alias("hamming")
+        )
+    )
+    first = top_k_per_group(
+        scored, [query_id_col], "hamming", rerank_k,
+        descending=False, tiebreak=[id_col],
+    )
+    return _exact_cosine_rerank(
+        corpus, queries, first.select(query_id_col, id_col), k,
+        id_col, vec_col, query_id_col,
     )
 
 

@@ -4510,8 +4510,8 @@ _GATE_WINDOW = [
     "corpus_negative_pairs",
     "ts_rolling_zscore_outliers",
     "multimodal_binary_features",
-    # the stale r6 block, in r6-window order: 40 of the queries last
-    # driver-gated in round 6
+    # the stale r6 block, in r6-window order: 38 of the queries last
+    # driver-gated in round 6 (a 40-entry span, 2 skipped)
     "hbase_rowshape_bucketed_agg",
     "profile_skew_report",
     "corpus_source_mixing",
