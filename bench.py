@@ -7,7 +7,7 @@ queries + a pointer): every prior round's driver artifact ended up with
 "parsed": null because the full 136-query line outgrew the driver's tail
 capture. The complete per-query dict (sf0.1 + sf1 + ratios + run counts)
 is written by this script itself to $SPARK_GRAFT_BENCH_OUT (default
-tools/bench_local_r10.json).
+tools/bench_local_r11.json).
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect — the number measures the distributed plan, not result
@@ -212,6 +212,12 @@ HEADLINE = [
     # + exact-cosine-rerank retrieval over it
     "embedding_binary_quantize_words",
     "similarity_binary_hamming_recall_at_5",
+    # round-11: multi-index banded Hamming (complete radius sweep via the
+    # banded self-join; banded top-k with the verified in-plan fallback)
+    # and the composed IVF + binary retrieval stack
+    "similarity_binary_banded_radius15",
+    "similarity_binary_banded_dup_top1",
+    "similarity_ivf_binary_recall_at_5",
     # round-8: one-pass embedding covariance (map-side outer products,
     # partial agg to dim^2 cells before the single shuffle) and the
     # z-score whitening-prep companion
@@ -435,7 +441,7 @@ def main() -> None:
     # capture — every earlier round recorded "parsed": null because the
     # full line outgrew it
     repo_rel = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", f"{repo}/tools/bench_local_r10.json"
+        "SPARK_GRAFT_BENCH_OUT", f"{repo}/tools/bench_local_r11.json"
     )
     with open(repo_rel, "w") as f:
         json.dump(full, f, indent=1)

@@ -147,6 +147,41 @@ def _semdedup_sql(nlist_sql: str, threshold: float = 0.42) -> str:
     ORDER BY a.vec_id
     """
 
+def binary_bits_ctes(src: str = "embeddings") -> str:
+    """The shared filtered-unnest + per-dimension-mean + bit-packing CTE
+    chain the binary-quantization gates build on — the EXACT algebra of
+    ``operators/similarity.py::dimension_means`` + ``binary_quantize``
+    (mean thresholds): symmetric NULL/length filter, DECIMAL(28,12)
+    mean, ``v > m`` comparisons of raw float32-widened doubles against
+    the identically-computed mean, two 32-bit words as BIGINTs (the
+    SimHash oracle's split-word discipline — no sign bit, no overflow).
+
+    ``src`` is the corpus relation — a table name or a parenthesized
+    subquery (the r11 duplicate-union gate binarizes ``embeddings UNION
+    ALL`` a shifted copy, whose means equal the original's exactly:
+    doubling every decimal partial sum and the count scales both by a
+    power of two, so the IEEE division result is bit-identical). Lives
+    here (leaf module) because queries_r10 AND queries_r11 both need it
+    at module top and the query modules form an import ring."""
+    return f"""
+    eb AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM {src} AS __bsrc, (SELECT unnest(generate_series(1, 64)) AS i)
+           WHERE len(embedding) = 64
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    means AS (SELECT i, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                        / COUNT(*) AS m
+              FROM eb GROUP BY i),
+    bits AS (SELECT vec_id,
+                    CAST(SUM(CASE WHEN v > m AND eb.i <= 32
+                             THEN CAST(1 AS BIGINT) << (eb.i - 1)
+                             ELSE 0 END) AS BIGINT) AS w0,
+                    CAST(SUM(CASE WHEN v > m AND eb.i > 32
+                             THEN CAST(1 AS BIGINT) << (eb.i - 33)
+                             ELSE 0 END) AS BIGINT) AS w1
+             FROM eb JOIN means ON means.i = eb.i GROUP BY vec_id)
+"""
+
+
 #: fixture-scale two-level IVF sizing: nlist=64 first-vector centroids,
 #: sliced into 8 super-cells, vectors probe their 4 nearest supers.
 #: At production the same code runs with nlist ∝ N (millions),

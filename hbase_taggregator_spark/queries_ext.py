@@ -4469,87 +4469,84 @@ _register(
 )
 # ---------------------------------------------------------------------------
 # Driver gate window (rotated per round): the driver records CORRECTNESS
-# rows for the FIRST 50 catalog entries. r10 priority: the THREE new
-# queries (similarity_twolevel_recall_at_5 — the two-level path's
-# retrieval recall gate, which also exercises the new salted two-stage
-# top-k plan end-to-end; embedding_binary_quantize_words and
-# similarity_binary_hamming_recall_at_5 — the new 1-bit quantization +
-# Hamming-shortlist retrieval family), every query whose implementation
-# changed this round (similarity_twolevel_topk — salted two-stage
-# top-k; embedding_random_projection_checksums — dim now derivable,
-# gate pins dim=64; the twolevel assign/refine pair re-gated over the
-# two_level_parts / kmeans_refine touch-ups), then the FIVE r5
-# leftovers (text_bpe_token_count, corpus_stratified_mix,
-# corpus_negative_pairs, ts_rolling_zscore_outliers,
-# multimodal_binary_features — the r5 block is now fully re-gated),
-# then 38 of the r6 block (window of commit 0236e15) in r6-window
-# order, SKIPPING semdedup_survivors and approx_distinct_lineitem
-# (both re-gated in r9 — not stale); the final ten r6 entries
-# (similarity_neardup_pairs, similarity_ann_lsh_topk,
-# streaming_ts_count_max_3600, streaming_stateful_running_extrema,
-# pivot_event_type_daily, scalar_functions_showcase,
-# date_functions_orders, correlated_above_avg_balance,
-# argmax_event_per_type, asof_nearest_click) roll to r11. Every query
-# pushed out is green in earlier CORRECTNESS rounds, the judge's r9
-# full-catalog re-run, and this round's full-catalog oracle log
-# (tools/oracle_full_r10.log).
+# rows for the FIRST 50 catalog entries. r11 priority: the THREE new
+# queries (similarity_binary_banded_radius15 — the multi-index banded
+# self-join's completeness gate; similarity_binary_banded_dup_top1 —
+# the banded top-k path gated in its near-duplicate regime, no
+# fallback; similarity_ivf_binary_recall_at_5 — the composed IVF +
+# binary retrieval stack), every query whose implementation or oracle
+# text changed this round (similarity_binary_hamming_recall_at_5 —
+# binary_hamming_topk refactored for the index= first pass;
+# embedding_binary_quantize_words — its oracle now composes the shared
+# binary_bits_ctes fragment; embedding_random_projection_checksums —
+# dim derivation made data-deterministic, gate pins dim=64), then the
+# FINAL TEN r6 entries (the r6 block is now fully re-gated), then the
+# FIRST 34 of the 41 stale r7-window queries (window of
+# CORRECTNESS_r07) in r7-window order, SKIPPING the nine re-gated in
+# r8-r10; the final seven r7 entries (udaf_weighted_mean_cents,
+# ts_linear_trend_per_type, ts_rollup_incremental_merge,
+# multimodal_decode_pixels, sketch_kmv_distinct_users,
+# sketch_kmv_set_ops_users, sketch_kmv_grouped_distinct) roll to r12.
+# Every query pushed out is green in earlier CORRECTNESS rounds, the
+# judge's r10 full-catalog re-run, and this round's full-catalog oracle
+# log (tools/oracle_full_r11.log).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # new this round (r10)
-    "similarity_twolevel_recall_at_5",
-    "embedding_binary_quantize_words",
+    # new this round (r11)
+    "similarity_binary_banded_radius15",
+    "similarity_binary_banded_dup_top1",
+    "similarity_ivf_binary_recall_at_5",
+    # implementation/oracle changed this round — re-gate first
     "similarity_binary_hamming_recall_at_5",
-    # implementation changed this round — re-gate first
-    "similarity_twolevel_topk",
+    "embedding_binary_quantize_words",
     "embedding_random_projection_checksums",
-    "similarity_twolevel_assign",
-    "similarity_kmeans_twolevel_refine",
-    # the final five r5-window queries (the rest re-gated in r8/r9)
-    "text_bpe_token_count",
-    "corpus_stratified_mix",
-    "corpus_negative_pairs",
-    "ts_rolling_zscore_outliers",
-    "multimodal_binary_features",
-    # the stale r6 block, in r6-window order: 38 of the queries last
-    # driver-gated in round 6 (a 40-entry span, 2 skipped)
-    "hbase_rowshape_bucketed_agg",
-    "profile_skew_report",
-    "corpus_source_mixing",
-    "graph_pagerank_suppliers",
-    "dedup_minhash_lsh_candidates",
-    "dedup_funnel_survivors",
-    "dedup_incremental_admitted",
-    "ts_min_900",
-    "ts_sum_900",
-    "ts_avg_900",
-    "ts_count_900",
-    "ts_avg_900_odd_start",
-    "ts_multi_verb_28800",
-    "ts_grouped_by_type_86400",
-    "ts_count_900_gapfilled",
-    "sliding_window_1h_15m",
-    "session_windows_6h_per_user",
-    "rowkey_range_scan",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "window_topk_parts_per_brand",
-    "window_running_order_total",
-    "window_lag_user_gaps",
-    "rollup_order_status_priority",
-    "cube_returnflag_linestatus",
-    "setops_purchase_error_users",
-    "semi_anti_customer_orders",
-    "distinct_counts_lineitem",
-    "multiversion_latest_2_per_user",
-    "asof_purchase_to_click",
-    "text_language_id",
-    "text_fingerprint_tokens",
-    "dedup_exact",
-    "similarity_cosine_topk",
+    # the final ten r6-window queries (the r6 block is now fully re-gated)
+    "similarity_neardup_pairs",
+    "similarity_ann_lsh_topk",
+    "streaming_ts_count_max_3600",
+    "streaming_stateful_running_extrema",
+    "pivot_event_type_daily",
+    "scalar_functions_showcase",
+    "date_functions_orders",
+    "correlated_above_avg_balance",
+    "argmax_event_per_type",
+    "asof_nearest_click",
+    # the stale r7 block, in r7-window order: first 34 of the 41
+    # queries last driver-gated in round 7
+    "corpus_dedup_repeated_substrings",
+    "ts_resample_interpolate_7200",
+    "corpus_pipeline_stats",
+    "percentiles_per_event_type",
+    "stats_moments_per_type",
+    "ts_ewma_smoothed_3600",
+    "streaming_dedup_exact",
+    "q2_min_cost_supplier",
+    "funnel_click_to_purchase_1h",
+    "interval_overlap_regimes_sessions",
+    "histogram_value_25",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "streaming_static_join_segments",
+    "streaming_stream_join_pairs",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q15_top_supplier",
+    "q20_potential_promotions",
+    "multimodal_decode_headers",
+    "dedup_exact_survivor_rows",
+    "dedup_jaccard_df_capped",
+    "ts_rollup_hourly_to_daily",
+    "streaming_dedup_within_watermark",
+    "ts_time_weighted_avg_21600",
+    "ts_counter_rate_21600",
+    "merge_upsert_customers",
+    "text_top_terms_per_lang",
+    "layout_zorder_values",
+    "streaming_continuous_rollup",
+    "multimodal_frame_sample",
+    "bloom_runtime_filter_orders",
+    "sketch_count_min_estimates",
 ]
 
 
@@ -4581,5 +4578,6 @@ import hbase_taggregator_spark.queries_r7  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r8  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r9  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r10  # noqa: E402,F401
+import hbase_taggregator_spark.queries_r11  # noqa: E402,F401
 
 _apply_gate_window(strict=False)

@@ -27,6 +27,7 @@ from hbase_taggregator_spark.oracle_fragments import (
     TWOLEVEL_NPROBE,
     TWOLEVEL_NSUPER,
     TWOLEVEL_SQL_CTES,
+    binary_bits_ctes,
 )
 from hbase_taggregator_spark.queries import _register, load_table
 
@@ -119,29 +120,11 @@ _register(
 BINARY_RERANK_K = 50
 
 #: the shared filtered-unnest + per-dimension-mean + bit-packing CTE
-#: chain both binary gates build on — the EXACT algebra of
-#: `operators/similarity.py::dimension_means` + `binary_quantize`
-#: (mean thresholds): symmetric NULL/length filter, DECIMAL(28,12)
-#: mean, v > m comparisons of raw float32-widened doubles against the
-#: identically-computed mean, two 32-bit words as BIGINTs (the SimHash
-#: oracle's split-word discipline — no sign bit, no overflow).
-_BINARY_BITS_CTES = """
-    eb AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
-           WHERE len(embedding) = 64
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
-    means AS (SELECT i, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
-                        / COUNT(*) AS m
-              FROM eb GROUP BY i),
-    bits AS (SELECT vec_id,
-                    CAST(SUM(CASE WHEN v > m AND eb.i <= 32
-                             THEN CAST(1 AS BIGINT) << (eb.i - 1)
-                             ELSE 0 END) AS BIGINT) AS w0,
-                    CAST(SUM(CASE WHEN v > m AND eb.i > 32
-                             THEN CAST(1 AS BIGINT) << (eb.i - 33)
-                             ELSE 0 END) AS BIGINT) AS w1
-             FROM eb JOIN means ON means.i = eb.i GROUP BY vec_id)
-"""
+#: chain both binary gates build on — moved to oracle_fragments (leaf
+#: module) in r11 because queries_r11's gates also need it at module
+#: top and the query modules form an import ring; the algebra is
+#: unchanged (see :func:`oracle_fragments.binary_bits_ctes`).
+_BINARY_BITS_CTES = binary_bits_ctes()
 
 
 def _q_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -231,6 +231,7 @@ def test_decode_pixels_spark_path(spark):
         "queries_r8",
         "queries_r9",
         "queries_r10",
+        "queries_r11",
     ],
 )
 def test_gate_window_applied_on_every_import_path(mod):
