@@ -218,6 +218,7 @@ HEADLINE = [
     "similarity_binary_banded_radius15",
     "similarity_binary_banded_dup_top1",
     "similarity_ivf_binary_recall_at_5",
+    "embedding_binary_dedup_survivors",
     # round-8: one-pass embedding covariance (map-side outer products,
     # partial agg to dim^2 cells before the single shuffle) and the
     # z-score whitening-prep companion

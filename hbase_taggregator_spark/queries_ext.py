@@ -4469,24 +4469,27 @@ _register(
 )
 # ---------------------------------------------------------------------------
 # Driver gate window (rotated per round): the driver records CORRECTNESS
-# rows for the FIRST 50 catalog entries. r11 priority: the THREE new
+# rows for the FIRST 50 catalog entries. r11 priority: the FOUR new
 # queries (similarity_binary_banded_radius15 — the multi-index banded
 # self-join's completeness gate; similarity_binary_banded_dup_top1 —
 # the banded top-k path gated in its near-duplicate regime, no
 # fallback; similarity_ivf_binary_recall_at_5 — the composed IVF +
-# binary retrieval stack), every query whose implementation or oracle
+# binary retrieval stack; embedding_binary_dedup_survivors — the
+# drop-the-larger-id dedup over the banded radius pairs), every query
+# whose implementation or oracle
 # text changed this round (similarity_binary_hamming_recall_at_5 —
 # binary_hamming_topk refactored for the index= first pass;
 # embedding_binary_quantize_words — its oracle now composes the shared
 # binary_bits_ctes fragment; embedding_random_projection_checksums —
 # dim derivation made data-deterministic, gate pins dim=64), then the
 # FINAL TEN r6 entries (the r6 block is now fully re-gated), then the
-# FIRST 34 of the 41 stale r7-window queries (window of
+# FIRST 33 of the 41 stale r7-window queries (window of
 # CORRECTNESS_r07) in r7-window order, SKIPPING the nine re-gated in
-# r8-r10; the final seven r7 entries (udaf_weighted_mean_cents,
-# ts_linear_trend_per_type, ts_rollup_incremental_merge,
-# multimodal_decode_pixels, sketch_kmv_distinct_users,
-# sketch_kmv_set_ops_users, sketch_kmv_grouped_distinct) roll to r12.
+# r8-r10; the final eight r7 entries (sketch_count_min_estimates,
+# udaf_weighted_mean_cents, ts_linear_trend_per_type,
+# ts_rollup_incremental_merge, multimodal_decode_pixels,
+# sketch_kmv_distinct_users, sketch_kmv_set_ops_users,
+# sketch_kmv_grouped_distinct) roll to r12.
 # Every query pushed out is green in earlier CORRECTNESS rounds, the
 # judge's r10 full-catalog re-run, and this round's full-catalog oracle
 # log (tools/oracle_full_r11.log).
@@ -4496,6 +4499,7 @@ _GATE_WINDOW = [
     "similarity_binary_banded_radius15",
     "similarity_binary_banded_dup_top1",
     "similarity_ivf_binary_recall_at_5",
+    "embedding_binary_dedup_survivors",
     # implementation/oracle changed this round — re-gate first
     "similarity_binary_hamming_recall_at_5",
     "embedding_binary_quantize_words",
@@ -4511,7 +4515,7 @@ _GATE_WINDOW = [
     "correlated_above_avg_balance",
     "argmax_event_per_type",
     "asof_nearest_click",
-    # the stale r7 block, in r7-window order: first 34 of the 41
+    # the stale r7 block, in r7-window order: first 33 of the 41
     # queries last driver-gated in round 7
     "corpus_dedup_repeated_substrings",
     "ts_resample_interpolate_7200",
@@ -4546,7 +4550,6 @@ _GATE_WINDOW = [
     "streaming_continuous_rollup",
     "multimodal_frame_sample",
     "bloom_runtime_filter_orders",
-    "sketch_count_min_estimates",
 ]
 
 

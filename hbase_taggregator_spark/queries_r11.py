@@ -91,6 +91,40 @@ _register(
 )
 
 
+def _q_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-code near-duplicate dedup: drop the larger id of every
+    code pair within Hamming radius 15 (found via the 16×4-bit banded
+    self-join — complete by pigeonhole), survivors hash-gated."""
+    from hbase_taggregator_spark.operators.similarity import (
+        binary_dedup_survivors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return binary_dedup_survivors(
+        emb, radius=BANDED_RADIUS, band_bits=4, threshold="mean"
+    ).orderBy("vec_id")
+
+
+_register(
+    "embedding_binary_dedup_survivors",
+    _q_binary_dedup,
+    f"""
+    -- the EXHAUSTIVE restatement of the drop rule: id_b of every pair
+    -- at hamming <= {BANDED_RADIUS} drops; the Spark plan finds the
+    -- pairs through the banded equi-join (complete by pigeonhole), so
+    -- the survivor sets are equal
+    WITH {binary_bits_ctes()},
+    hd AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM bits a JOIN bits b ON a.vec_id < b.vec_id
+           WHERE bit_count(xor(a.w0, b.w0))
+                 + bit_count(xor(a.w1, b.w1)) <= {BANDED_RADIUS})
+    SELECT vec_id FROM bits
+    WHERE vec_id NOT IN (SELECT id_b FROM hd)
+    ORDER BY vec_id
+    """,
+)
+
+
 def _q_banded_dup_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded Hamming top-1 over a corpus unioned with an id-shifted
     exact copy: each query's nearest code is its duplicate at distance

@@ -197,6 +197,54 @@ def test_banded_dup_gate_takes_banded_route(spark):
         == [(i, i + 100000, 0) for i in range(10)]
 
 
+# --- binary-code dedup (drop-the-larger-id over radius pairs) ---------------
+
+
+def test_binary_dedup_survivors_matches_exhaustive_rule(spark):
+    """Survivors = clean ids minus {id_b of every radius pair}, with
+    the exhaustive pair set as ground truth; the min id of every
+    duplicate group must survive. Checked on a corpus with exact
+    triplicates (transitive chains collapse to the smallest id)."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") < 30)
+    corpus = base.unionByName(
+        base.filter(F.col("vec_id") < 4).select(
+            (F.col("vec_id") + 500).alias("vec_id"), "embedding"
+        )
+    ).unionByName(
+        base.filter(F.col("vec_id") < 4).select(
+            (F.col("vec_id") + 900).alias("vec_id"), "embedding"
+        )
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in S.binary_dedup_survivors(
+            corpus, radius=3, band_bits=16
+        ).collect()
+    )
+    thr = S.dimension_means(corpus)
+    cb = S.binary_quantize(corpus, thresholds=thr)
+    a = cb.select(F.col("vec_id").alias("id_a"),
+                  F.col("w0").alias("a0"), F.col("w1").alias("a1"))
+    b = cb.select(F.col("vec_id").alias("id_b"),
+                  F.col("w0").alias("b0"), F.col("w1").alias("b1"))
+    ham = (F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+           + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))).cast("long")
+    drops = {
+        r["id_b"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(ham <= 3).select("id_b").collect()
+    }
+    all_ids = sorted(r["vec_id"] for r in corpus.select("vec_id").collect())
+    want = [i for i in all_ids if i not in drops]
+    assert got == want
+    # every duplicated base id survives as ITSELF; all shifted copies drop
+    assert all(i in got for i in range(4))
+    assert all(i + 500 not in got and i + 900 not in got for i in range(4))
+
+
 # --- composed IVF + binary stack --------------------------------------------
 
 
