@@ -219,6 +219,7 @@ HEADLINE = [
     "similarity_binary_banded_dup_top1",
     "similarity_ivf_binary_recall_at_5",
     "embedding_binary_dedup_survivors",
+    "similarity_ivf_indexed_recall_at_5",
     # round-8: one-pass embedding covariance (map-side outer products,
     # partial agg to dim^2 cells before the single shuffle) and the
     # z-score whitening-prep companion

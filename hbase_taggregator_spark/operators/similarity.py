@@ -1422,6 +1422,107 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    strategy: str = "auto",
+    n_super: int | None = None,
+    n_super_probe: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the STANDING IVF inverted index: the corpus with its
+    nearest-centroid assignment — (id, vec, nrm, cent_id) — written as
+    parquet PARTITIONED BY ``cent_id``, one directory per inverted
+    list. This is the amortization step every production ANN deployment
+    performs: assignment is computed ONCE at build time (the map-side
+    :func:`ivf_assign`, or :func:`ivf_assign_two_level` via
+    ``strategy="twolevel"`` past the broadcast ceiling) instead of per
+    query batch, and the cell-directory layout turns probing into
+    PARTITION PRUNING — a probe of ``n_probe`` cells reads
+    ``n_probe / nlist`` of the FILES, not a full scan with a post-hoc
+    filter. At 100 TB that is the difference between touching ~0.1% of
+    the data per query batch and touching all of it.
+
+    The norms are precomputed into the index (8 bytes/vector) so query
+    scoring never recomputes them. Readers: :func:`read_ivf_index` /
+    :func:`ivf_topk_indexed` (whose probe join dynamic-partition-prunes
+    the scan — plan-asserted in tests)."""
+    if strategy == "twolevel":
+        lists = ivf_assign_two_level(
+            ensure_parallelism(corpus), centroids, vec_col=vec_col,
+            id_col=id_col, n_probe=1, n_super=n_super,
+            n_super_probe=n_super_probe,
+        )
+    else:
+        lists = ivf_assign(
+            ensure_parallelism(corpus), centroids, vec_col, id_col,
+            n_probe=1, strategy=strategy,
+        )
+    lists.write.mode(mode).partitionBy("cent_id").parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    """Read a :func:`write_ivf_index` layout back: (id, vec, nrm,
+    cent_id) with ``cent_id`` as the partition column, so any
+    ``cent_id`` predicate — static or dynamic-partition-pruned through
+    a probe join — prunes directories before a single row is read."""
+    return spark.read.parquet(path)
+
+
+def ivf_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_probe: int = 4,
+    exclude_self: bool = True,
+    strategy: str = "auto",
+) -> DataFrame:
+    """IVF top-k against a PERSISTED index (:func:`write_ivf_index`):
+    queries probe their ``n_probe`` nearest centroids (the one
+    query-side assignment job — the corpus side does NO assignment
+    work at query time), then meet the index through a broadcast
+    equi-join on ``cent_id``. Because ``cent_id`` is the index's
+    partition column and the probe side broadcasts, Spark's dynamic
+    partition pruning narrows the index SCAN itself to the probed
+    cell directories — the plan carries ``dynamicpruning`` in the
+    scan's PartitionFilters (test-asserted), so unprobed cells are
+    never read from storage. Results are row-identical to
+    :func:`ivf_topk` over the same corpus/centroids (unit-pinned);
+    the parquet round-trip is exact (float32 vectors and float64
+    norms are binary-stable)."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    probes = ivf_assign(
+        q, centroids, "__qvec", query_id_col, n_probe=n_probe,
+        strategy=strategy,
+    ).select(query_id_col, "__qvec", F.col("nrm").alias("__qnrm"), "cent_id")
+    scored = (
+        index.join(F.broadcast(probes), "cent_id")
+        .filter(
+            F.col(query_id_col) != F.col(id_col)
+            if exclude_self
+            else F.lit(True)
+        )
+        .withColumn(
+            "cosine",
+            dot(F.col("__qvec"), F.col(vec_col))
+            / _nz(F.col("__qnrm") * F.col("nrm")),
+        )
+        .select(query_id_col, id_col, "cosine")
+    )
+    return top_k_per_group(
+        scored, [query_id_col], "cosine", k, descending=True, tiebreak=[id_col]
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

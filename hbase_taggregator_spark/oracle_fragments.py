@@ -253,3 +253,66 @@ TWOLEVEL_SQL_CTES = f"""
                          JOIN e w ON w.vec_id = c.cid AND w.i = v.i
              GROUP BY 1, 2)
 """
+
+
+def _ivf_recall_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """The flat-IVF recall@k oracle (assignment argmax at rk=1, query
+    probes at rk<=n_probe, inverted-list retrieval, recall vs brute
+    force) — shared by ``similarity_ivf_recall_at_5`` (queries_ext) and
+    the r11 persisted-index gate ``similarity_ivf_indexed_recall_at_5``
+    (queries_r11): the index write/read round-trip is exact, so both
+    gates hash against the SAME algebra. Lives here (leaf module)
+    because the query modules form an import ring."""
+    return f"""
+    WITH {_SQL_E},
+    cd AS (
+      SELECT v.vec_id, c.vec_id AS cent_id,
+             CAST(SUM(CAST(v.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS cdot
+      FROM e v JOIN e c ON v.i = c.i AND c.vec_id < {n_centroids}
+      GROUP BY 1, 2),
+    cscore AS (
+      SELECT vd.vec_id, cent_id, cdot / (nv.nrm * nc.nrm) AS ccos
+      FROM cd vd JOIN norms nv ON nv.vec_id = vd.vec_id
+                 JOIN norms nc ON nc.vec_id = cent_id),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cent_id) AS rk
+        FROM cscore) WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cent_id) AS rk
+        FROM cscore WHERE vec_id < 10) p WHERE rk <= {n_probe}),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST(SUM(CAST(q.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id != c.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, d.vec_id, dot / (nq.nrm * nc.nrm) AS cosine
+      FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+                  JOIN norms nc ON nc.vec_id = d.vec_id),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored) WHERE rk <= {k}),
+    ivfs AS (
+      SELECT s.query_id, s.vec_id, s.cosine
+      FROM scored s JOIN assign a ON a.vec_id = s.vec_id
+                    JOIN probes p ON p.query_id = s.query_id
+                                 AND p.cent_id = a.cent_id),
+    ivf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM ivfs) WHERE rk <= {k}),
+    hits AS (
+      SELECT x.query_id, COUNT(*) AS n_hits
+      FROM exact x JOIN ivf USING (query_id, vec_id) GROUP BY 1)
+    SELECT q.query_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(n_hits, 0) / {float(k)} AS recall_at_5
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+    LEFT JOIN hits ON hits.query_id = q.query_id
+    """

@@ -23,6 +23,7 @@ from hbase_taggregator_spark.queries import _register, load_table
 # ---------------------------------------------------------------------------
 
 from hbase_taggregator_spark.oracle_fragments import (  # noqa: E402
+    _ivf_recall_sql,
     _SQL_E,
     _SQL_TOKENS,
     _simhash_sql,
@@ -1504,62 +1505,6 @@ def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     ivf = S.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
     return _recall_vs_exact(emb, queries, ivf, k=5)
-
-
-def _ivf_recall_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
-    return f"""
-    WITH {_SQL_E},
-    cd AS (
-      SELECT v.vec_id, c.vec_id AS cent_id,
-             CAST(SUM(CAST(v.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS cdot
-      FROM e v JOIN e c ON v.i = c.i AND c.vec_id < {n_centroids}
-      GROUP BY 1, 2),
-    cscore AS (
-      SELECT vd.vec_id, cent_id, cdot / (nv.nrm * nc.nrm) AS ccos
-      FROM cd vd JOIN norms nv ON nv.vec_id = vd.vec_id
-                 JOIN norms nc ON nc.vec_id = cent_id),
-    assign AS (
-      SELECT vec_id, cent_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY ccos DESC, cent_id) AS rk
-        FROM cscore) WHERE rk = 1),
-    probes AS (
-      SELECT vec_id AS query_id, cent_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY ccos DESC, cent_id) AS rk
-        FROM cscore WHERE vec_id < 10) p WHERE rk <= {n_probe}),
-    dots AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-             CAST(SUM(CAST(q.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS dot
-      FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id != c.vec_id
-      GROUP BY 1, 2),
-    scored AS (
-      SELECT query_id, d.vec_id, dot / (nq.nrm * nc.nrm) AS cosine
-      FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
-                  JOIN norms nc ON nc.vec_id = d.vec_id),
-    exact AS (
-      SELECT query_id, vec_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine DESC, vec_id) AS rk
-        FROM scored) WHERE rk <= {k}),
-    ivfs AS (
-      SELECT s.query_id, s.vec_id, s.cosine
-      FROM scored s JOIN assign a ON a.vec_id = s.vec_id
-                    JOIN probes p ON p.query_id = s.query_id
-                                 AND p.cent_id = a.cent_id),
-    ivf AS (
-      SELECT query_id, vec_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine DESC, vec_id) AS rk
-        FROM ivfs) WHERE rk <= {k}),
-    hits AS (
-      SELECT x.query_id, COUNT(*) AS n_hits
-      FROM exact x JOIN ivf USING (query_id, vec_id) GROUP BY 1)
-    SELECT q.query_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
-           COALESCE(n_hits, 0) / {float(k)} AS recall_at_5
-    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
-    LEFT JOIN hits ON hits.query_id = q.query_id
-    """
 
 
 _register("similarity_ivf_recall_at_5", _q_ivf_recall, _ivf_recall_sql())
@@ -4469,13 +4414,16 @@ _register(
 )
 # ---------------------------------------------------------------------------
 # Driver gate window (rotated per round): the driver records CORRECTNESS
-# rows for the FIRST 50 catalog entries. r11 priority: the FOUR new
+# rows for the FIRST 50 catalog entries. r11 priority: the FIVE new
 # queries (similarity_binary_banded_radius15 — the multi-index banded
 # self-join's completeness gate; similarity_binary_banded_dup_top1 —
 # the banded top-k path gated in its near-duplicate regime, no
 # fallback; similarity_ivf_binary_recall_at_5 — the composed IVF +
 # binary retrieval stack; embedding_binary_dedup_survivors — the
-# drop-the-larger-id dedup over the banded radius pairs), every query
+# drop-the-larger-id dedup over the banded radius pairs;
+# similarity_ivf_indexed_recall_at_5 — IVF through a persisted
+# cent_id-partitioned index, dynamic-partition-pruned probe join,
+# hashed against the SAME oracle as the in-memory path), every query
 # whose implementation or oracle
 # text changed this round (similarity_binary_hamming_recall_at_5 —
 # binary_hamming_topk refactored for the index= first pass;
@@ -4483,13 +4431,13 @@ _register(
 # binary_bits_ctes fragment; embedding_random_projection_checksums —
 # dim derivation made data-deterministic, gate pins dim=64), then the
 # FINAL TEN r6 entries (the r6 block is now fully re-gated), then the
-# FIRST 33 of the 41 stale r7-window queries (window of
+# FIRST 32 of the 41 stale r7-window queries (window of
 # CORRECTNESS_r07) in r7-window order, SKIPPING the nine re-gated in
-# r8-r10; the final eight r7 entries (sketch_count_min_estimates,
-# udaf_weighted_mean_cents, ts_linear_trend_per_type,
-# ts_rollup_incremental_merge, multimodal_decode_pixels,
-# sketch_kmv_distinct_users, sketch_kmv_set_ops_users,
-# sketch_kmv_grouped_distinct) roll to r12.
+# r8-r10; the final nine r7 entries (bloom_runtime_filter_orders,
+# sketch_count_min_estimates, udaf_weighted_mean_cents,
+# ts_linear_trend_per_type, ts_rollup_incremental_merge,
+# multimodal_decode_pixels, sketch_kmv_distinct_users,
+# sketch_kmv_set_ops_users, sketch_kmv_grouped_distinct) roll to r12.
 # Every query pushed out is green in earlier CORRECTNESS rounds, the
 # judge's r10 full-catalog re-run, and this round's full-catalog oracle
 # log (tools/oracle_full_r11.log).
@@ -4500,6 +4448,7 @@ _GATE_WINDOW = [
     "similarity_binary_banded_dup_top1",
     "similarity_ivf_binary_recall_at_5",
     "embedding_binary_dedup_survivors",
+    "similarity_ivf_indexed_recall_at_5",
     # implementation/oracle changed this round — re-gate first
     "similarity_binary_hamming_recall_at_5",
     "embedding_binary_quantize_words",
@@ -4515,7 +4464,7 @@ _GATE_WINDOW = [
     "correlated_above_avg_balance",
     "argmax_event_per_type",
     "asof_nearest_click",
-    # the stale r7 block, in r7-window order: first 33 of the 41
+    # the stale r7 block, in r7-window order: first 32 of the 41
     # queries last driver-gated in round 7
     "corpus_dedup_repeated_substrings",
     "ts_resample_interpolate_7200",
@@ -4549,7 +4498,6 @@ _GATE_WINDOW = [
     "layout_zorder_values",
     "streaming_continuous_rollup",
     "multimodal_frame_sample",
-    "bloom_runtime_filter_orders",
 ]
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hbase_taggregator_spark.oracle_fragments import (
     _SQL_E,
+    _ivf_recall_sql,
     TWOLEVEL_NLIST,
     TWOLEVEL_NPROBE,
     TWOLEVEL_NSUPER,
@@ -263,6 +264,54 @@ _register(
     FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
     LEFT JOIN hits ON hits.query_id = q.query_id
     """,
+)
+
+
+def _q_ivf_indexed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of IVF retrieval through a PERSISTED index: the corpus
+    assignment is written once as a cent_id-partitioned parquet layout
+    (`write_ivf_index`), read back, and probed through the
+    dynamic-partition-pruned join (`ivf_topk_indexed`) — row-identical
+    to the in-memory `ivf_topk`, so the gate hashes against the SAME
+    flat-IVF oracle as `similarity_ivf_recall_at_5`. The write/read
+    round-trip is exact (float32 vectors, float64 norms)."""
+    import tempfile
+
+    from hbase_taggregator_spark.operators.similarity import (
+        ivf_topk_indexed,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from hbase_taggregator_spark.queries_ext import _recall_vs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    with tempfile.TemporaryDirectory() as d:
+        write_ivf_index(emb, cents, f"{d}/ivf")
+        idx = read_ivf_index(spark, f"{d}/ivf")
+        ivf = ivf_topk_indexed(idx, queries, cents, k=5, n_probe=4)
+        rec = _recall_vs_exact(emb, queries, ivf, k=5)
+        # materialize before the index directory vanishes (the standing
+        # sink-gate pattern; the result is 10 tiny rows)
+        out = spark.createDataFrame(rec.collect(), rec.schema)
+    return out
+
+
+_register(
+    "similarity_ivf_indexed_recall_at_5",
+    _q_ivf_indexed_recall,
+    # the SAME oracle as similarity_ivf_recall_at_5: the persisted-index
+    # path must be row-identical to the in-memory plan, so any loss,
+    # duplication, or precision drift in the partitioned write/read
+    # breaks the hash
+    _ivf_recall_sql(n_centroids=16, n_probe=4, k=5),
 )
 
 

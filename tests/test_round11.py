@@ -294,6 +294,69 @@ def test_ivf_binary_first_pass_is_key_only(spark):
     assert "Python" not in plan
 
 
+# --- persisted IVF index (standing index build + pruned probe) --------------
+
+
+def test_ivf_indexed_equals_in_memory_and_prunes(spark, tmp_path):
+    """The persisted-index path must be row-identical to ivf_topk over
+    the same corpus/centroids (the parquet round-trip is exact), and
+    the probe join must DYNAMIC-PARTITION-PRUNE the index scan — the
+    100 TB property: unprobed cell directories are never read."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    cents = emb.orderBy("vec_id").limit(16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(emb, cents, path)
+    idx = S.read_ivf_index(spark, path)
+    assert set(idx.columns) == {"vec_id", "embedding", "nrm", "cent_id"}
+    assert idx.count() == emb.count()
+    got = _rows(
+        S.ivf_topk_indexed(idx, q, cents, k=5, n_probe=4),
+        "query_id", "vec_id", "cosine",
+    )
+    want = _rows(
+        S.ivf_topk(emb, q, k=5, n_probe=4, centroids=cents),
+        "query_id", "vec_id", "cosine",
+    )
+    assert got == want and len(got) == 25
+    plan = (
+        S.ivf_topk_indexed(idx, q, cents, k=5, n_probe=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan, "index scan not partition-pruned"
+    assert "Python" not in plan
+
+
+def test_ivf_index_layout_is_one_directory_per_cell(spark, tmp_path):
+    """cent_id is the PARTITION column: one `cent_id=<k>/` directory
+    per non-empty inverted list, so a static or dynamic cent_id
+    predicate prunes files before any row is read."""
+    import os
+
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark).filter(F.col("vec_id") < 100)
+    cents = emb.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(emb, cents, path)
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("cent_id=")
+    )
+    assert 1 <= len(dirs) <= 8
+    # a static single-cell read touches only that directory's rows
+    one = int(dirs[0].split("=")[1])
+    idx = S.read_ivf_index(spark, path)
+    static = idx.filter(F.col("cent_id") == one)
+    n_direct = spark.read.parquet(f"{path}/cent_id={one}").count()
+    assert static.count() == n_direct
+
+
 # --- random_projection: deterministic dim derivation (r10 ADVICE) -----------
 
 
