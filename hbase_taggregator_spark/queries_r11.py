@@ -23,6 +23,16 @@ through the salted top-k plan), mean-threshold binary codes, in-cell
 Hamming shortlist of 20, exact decimal-cosine re-rank to 5, recall@5 vs
 brute force — every stage restated in DuckDB SQL by composing the
 shared ``TWOLEVEL_SQL_CTES`` and ``binary_bits_ctes`` chains.
+
+``embedding_binary_dedup_survivors`` gates the drop-the-larger-id
+near-duplicate dedup over the banded radius pairs (SemDeDup's survivor
+rule at 24 B/vector), hashed against the exhaustive drop rule.
+
+``similarity_ivf_indexed_recall_at_5`` gates the PERSISTED index path:
+cent_id-partitioned parquet built once, probed through the
+dynamic-partition-pruned join — row-identical to the in-memory plan,
+so it hashes against the SAME flat-IVF oracle as
+``similarity_ivf_recall_at_5``.
 """
 
 from __future__ import annotations
