@@ -357,6 +357,40 @@ def test_ivf_index_layout_is_one_directory_per_cell(spark, tmp_path):
     assert static.count() == n_direct
 
 
+def test_ivf_index_append_equals_full_build(spark, tmp_path):
+    """Incremental index maintenance: building on half the corpus and
+    APPENDING the other half (same centroids — the standing-index
+    contract) must answer queries identically to a one-shot full
+    build. Parquet append lands new files inside the existing cent_id
+    directories, so the pruned probe sees old and new vectors alike."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    cents = emb.orderBy("vec_id").limit(16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    full_path = str(tmp_path / "full")
+    incr_path = str(tmp_path / "incr")
+    S.write_ivf_index(emb, cents, full_path)
+    S.write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), cents, incr_path)
+    S.write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), cents, incr_path, mode="append"
+    )
+    idx_full = S.read_ivf_index(spark, full_path)
+    idx_incr = S.read_ivf_index(spark, incr_path)
+    assert idx_incr.count() == idx_full.count()
+    got = _rows(
+        S.ivf_topk_indexed(idx_incr, q, cents, k=5, n_probe=4),
+        "query_id", "vec_id", "cosine",
+    )
+    want = _rows(
+        S.ivf_topk_indexed(idx_full, q, cents, k=5, n_probe=4),
+        "query_id", "vec_id", "cosine",
+    )
+    assert got == want and len(got) == 25
+
+
 # --- random_projection: deterministic dim derivation (r10 ADVICE) -----------
 
 
