@@ -1432,6 +1432,10 @@ def write_ivf_index(
     n_super: int | None = None,
     n_super_probe: int = 4,
     mode: str = "overwrite",
+    binary: bool = False,
+    dim: int = 64,
+    threshold: str = "mean",
+    thresholds: list[float] | None = None,
 ) -> None:
     """Persist the STANDING IVF inverted index: the corpus with its
     nearest-centroid assignment — (id, vec, nrm, cent_id) — written as
@@ -1449,7 +1453,30 @@ def write_ivf_index(
     The norms are precomputed into the index (8 bytes/vector) so query
     scoring never recomputes them. Readers: :func:`read_ivf_index` /
     :func:`ivf_topk_indexed` (whose probe join dynamic-partition-prunes
-    the scan — plan-asserted in tests)."""
+    the scan — plan-asserted in tests).
+
+    ``binary=True`` (VERDICT r11 "Next round" #1) ADDITIONALLY stores
+    the packed 1-bit codes (:func:`binary_quantize` words ``w0..``,
+    24 B/vector at dim=64) alongside each row, and persists the
+    binarization thresholds under ``<path>/_thresholds`` (the
+    underscore prefix hides the sidecar from the main parquet read, the
+    ``_SUCCESS`` convention) so query batches quantize against the SAME
+    codebook the index was built with. With the codes in the layout,
+    :func:`ivf_binary_topk_indexed`'s compressed first pass runs
+    straight off the standing index — corpus-side assignment AND
+    quantization are both amortized to build time, and the first-pass
+    scan reads only (id, cent_id, words): n_probe/nlist of the FILES
+    (dynamic partition pruning) × ~24 B of the COLUMNS (parquet column
+    pruning). ``thresholds``/``threshold`` follow
+    :func:`binary_hamming_topk`'s contract (explicit list > corpus
+    :func:`dimension_means` at ``"mean"`` > sign bits at ``"zero"``).
+
+    NOTE ``mode="append"`` with ``binary=True`` appends rows quantized
+    against THIS call's thresholds — pass the STORED thresholds
+    (:func:`read_ivf_thresholds`) explicitly when growing an existing
+    binary index, or the old and new rows sit in different codebooks
+    (``"mean"`` recomputed on a new batch differs from the build-time
+    corpus means)."""
     if strategy == "twolevel":
         lists = ivf_assign_two_level(
             ensure_parallelism(corpus), centroids, vec_col=vec_col,
@@ -1461,15 +1488,159 @@ def write_ivf_index(
             ensure_parallelism(corpus), centroids, vec_col, id_col,
             n_probe=1, strategy=strategy,
         )
+    if binary:
+        if threshold not in ("mean", "zero"):
+            raise ValueError(f"unknown binary threshold: {threshold!r}")
+        thr = (
+            thresholds
+            if thresholds is not None
+            else (
+                dimension_means(corpus, vec_col=vec_col, dim=dim)
+                if threshold == "mean"
+                else [0.0] * dim
+            )
+        )
+        words = binary_quantize(
+            corpus, vec_col, id_col, dim=dim, thresholds=thr
+        )
+        lists = lists.join(words, id_col)
     lists.write.mode(mode).partitionBy("cent_id").parquet(path)
+    if binary:
+        # sidecar AFTER the main write (an overwrite build wipes the
+        # whole directory first) — and itself always overwrite: on
+        # append the caller passes the STORED thresholds (docstring
+        # contract), so this rewrite is value-identical, where
+        # appending would duplicate the sidecar rows
+        corpus.sparkSession.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(thr)],
+            "i int, threshold double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_thresholds")
 
 
-def read_ivf_index(spark, path: str) -> DataFrame:
+def read_ivf_thresholds(spark, path: str) -> list[float]:
+    """Read back the binarization thresholds a ``binary=True``
+    :func:`write_ivf_index` build stored under ``<path>/_thresholds`` —
+    the codebook every query batch must quantize against (query-side
+    bits from DIFFERENT thresholds would compare codes across
+    codebooks, silently destroying Hamming semantics)."""
+    rows = spark.read.parquet(f"{path}/_thresholds").orderBy("i").collect()
+    return [float(r["threshold"]) for r in rows]
+
+
+def read_ivf_index(
+    spark, path: str, cent_id_type: str = "bigint"
+) -> DataFrame:
     """Read a :func:`write_ivf_index` layout back: (id, vec, nrm,
     cent_id) with ``cent_id`` as the partition column, so any
     ``cent_id`` predicate — static or dynamic-partition-pruned through
-    a probe join — prunes directories before a single row is read."""
-    return spark.read.parquet(path)
+    a probe join — prunes directories before a single row is read.
+
+    ``cent_id`` is re-cast to ``cent_id_type`` (default ``bigint``, the
+    repo's centroid-id convention) because parquet PARTITION-column
+    values are directory names and Spark re-infers their type on read
+    (typically INT) — without the cast the read-back schema silently
+    differs from what :func:`write_ivf_index` wrote (r11 ADVICE). The
+    cast is directory-metadata only; it does not defeat partition
+    pruning."""
+    df = spark.read.parquet(path)
+    return df.withColumn("cent_id", F.col("cent_id").cast(cent_id_type))
+
+
+def ivf_binary_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    thresholds: list[float],
+    k: int = 5,
+    rerank_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_probe: int = 4,
+    exclude_self: bool = True,
+    strategy: str = "auto",
+    dim: int = 64,
+) -> DataFrame:
+    """The composed IVF + binary stack (:func:`ivf_binary_topk`) served
+    from a PERSISTED ``binary=True`` :func:`write_ivf_index` layout —
+    corpus-side assignment AND quantization both amortized to build
+    time (VERDICT r11 "Next round" #1). Per query batch only three
+    things happen: (1) queries probe their ``n_probe`` centroids and
+    quantize against the STORED thresholds
+    (:func:`read_ivf_thresholds` — one codebook, build and probe); (2)
+    the 24 B/vector first pass: the broadcast (query_id, cent_id,
+    words) probe rows equi-join the index scan PROJECTED to (id,
+    cent_id, words) — dynamic partition pruning narrows the scan to the
+    probed cell directories AND parquet column pruning drops the float
+    payload, so first-pass bytes are ~24 B × probed-cell occupancy
+    (plan-asserted: ``dynamicpruning`` in PartitionFilters, no vector
+    column in the first pass's ReadSchema); (3) the exact re-rank
+    joins the ≤ nq·rerank_k candidates back to the index on
+    ``(cent_id, id)`` — candidates remember which cell they came from,
+    so the re-rank scan is dynamic-partition-pruned to the SAME probed
+    cells, and the stored norms make scoring one dot per pair.
+
+    Row-identical to in-memory :func:`ivf_binary_topk` over the same
+    corpus / centroids / thresholds at flat strategies (unit-pinned):
+    the parquet round-trip is exact and every stage's algebra is
+    unchanged. Output: (query_id_col, id_col, cosine)."""
+    missing = [c for c in ("w0", "nrm") if c not in index.columns]
+    if missing:
+        raise ValueError(
+            "ivf_binary_topk_indexed needs a binary=True write_ivf_index "
+            f"layout — columns {missing} absent from the index frame"
+        )
+    n_words = (dim + BINARY_WORD_BITS - 1) // BINARY_WORD_BITS
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    probes = ivf_assign(
+        q, centroids, "__qvec", query_id_col, n_probe=n_probe,
+        strategy=strategy,
+    ).select(query_id_col, "cent_id")
+    qw = binary_quantize(
+        queries, vec_col, id_col, dim=dim, thresholds=thresholds
+    ).select(
+        F.col(id_col).alias(query_id_col),
+        *[F.col(f"w{w}").alias(f"__q{w}") for w in range(n_words)],
+    )
+    qidx = probes.join(qw, query_id_col)
+    first = (
+        index.select(id_col, "cent_id", *[f"w{w}" for w in range(n_words)])
+        .join(F.broadcast(qidx), "cent_id")
+        .filter(
+            F.col(query_id_col) != F.col(id_col)
+            if exclude_self
+            else F.lit(True)
+        )
+        .select(
+            query_id_col, id_col, "cent_id",
+            _hamming_expr(n_words).alias("hamming"),
+        )
+    )
+    cands = top_k_per_group(
+        first, [query_id_col], "hamming", rerank_k,
+        descending=False, tiebreak=[id_col],
+    ).select(query_id_col, id_col, "cent_id")
+    qv = with_norm(q, "__qvec").select(
+        query_id_col, "__qvec", F.col("nrm").alias("__qnrm")
+    )
+    pairs = cands.join(F.broadcast(qv), query_id_col)
+    rers = (
+        index.select(id_col, vec_col, "nrm", "cent_id")
+        .join(F.broadcast(pairs), ["cent_id", id_col])
+        .select(
+            query_id_col,
+            id_col,
+            (
+                dot(F.col("__qvec"), F.col(vec_col))
+                / _nz(F.col("__qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        rers, [query_id_col], "cosine", k, descending=True, tiebreak=[id_col]
+    )
 
 
 def ivf_topk_indexed(
@@ -2058,6 +2229,10 @@ def binary_hamming_radius_pairs(
 
     Output: (id_a, id_b, hamming) with ``id_a < id_b``,
     ``hamming <= radius``."""
+    if thresholds is None and threshold not in ("mean", "zero"):
+        # same guard as binary_hamming_topk (r11 ADVICE): a typo like
+        # "means" must not silently fall through to the zero codebook
+        raise ValueError(f"unknown binary threshold: {threshold!r}")
     bb = _resolve_band_bits(dim, radius, band_bits)
     n_bands = dim // bb
     n_words = (dim + BINARY_WORD_BITS - 1) // BINARY_WORD_BITS
@@ -2243,9 +2418,16 @@ def binary_hamming_topk(
     )
     m = rerank_k or k
     if index == "banded":
-        if dim % band_bits != 0:
+        # same candidate set as _resolve_band_bits (r11 ADVICE): a width
+        # not dividing the packed word would map bands past the last
+        # word (unresolvable column) and band_bits > 32 would divide by
+        # zero in _explode_bands — raise the contract error instead. No
+        # guarantee check here: the verified per-query fallback keeps
+        # the result exact at ANY valid width.
+        if dim % band_bits != 0 or BINARY_WORD_BITS % band_bits != 0:
             raise ValueError(
-                f"band_bits={band_bits} must divide dim={dim}"
+                f"band_bits={band_bits} must divide both dim={dim} and "
+                f"the {BINARY_WORD_BITS}-bit packed word"
             )
         n_bands = dim // band_bits
         cands = _banded_candidates(
