@@ -147,7 +147,7 @@ def _semdedup_sql(nlist_sql: str, threshold: float = 0.42) -> str:
     ORDER BY a.vec_id
     """
 
-def binary_bits_ctes(src: str = "embeddings") -> str:
+def binary_bits_ctes(src: str = "embeddings", mean_src: str | None = None) -> str:
     """The shared filtered-unnest + per-dimension-mean + bit-packing CTE
     chain the binary-quantization gates build on — the EXACT algebra of
     ``operators/similarity.py::dimension_means`` + ``binary_quantize``
@@ -162,15 +162,27 @@ def binary_bits_ctes(src: str = "embeddings") -> str:
     doubling every decimal partial sum and the count scales both by a
     power of two, so the IEEE division result is bit-identical). Lives
     here (leaf module) because queries_r10 AND queries_r11 both need it
-    at module top and the query modules form an import ring."""
+    at module top and the query modules form an import ring.
+
+    ``mean_src`` (default: ``src``) is the relation the THRESHOLD MEANS
+    are computed over, when it differs from the relation being
+    binarized — the r12 incremental-admission gate quantizes the whole
+    table against the STANDING corpus's stored thresholds (batch rows
+    must use the build-time codebook, exactly
+    ``write_binary_band_index``'s sidecar contract)."""
+    mean_rel = mean_src if mean_src is not None else src
     return f"""
     eb AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
            FROM {src} AS __bsrc, (SELECT unnest(generate_series(1, 64)) AS i)
            WHERE len(embedding) = 64
              AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    ebm AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+            FROM {mean_rel} AS __msrc, (SELECT unnest(generate_series(1, 64)) AS i)
+            WHERE len(embedding) = 64
+              AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     means AS (SELECT i, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
                         / COUNT(*) AS m
-              FROM eb GROUP BY i),
+              FROM ebm GROUP BY i),
     bits AS (SELECT vec_id,
                     CAST(SUM(CASE WHEN v > m AND eb.i <= 32
                              THEN CAST(1 AS BIGINT) << (eb.i - 1)
@@ -311,6 +323,87 @@ def _ivf_recall_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
     hits AS (
       SELECT x.query_id, COUNT(*) AS n_hits
       FROM exact x JOIN ivf USING (query_id, vec_id) GROUP BY 1)
+    SELECT q.query_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(n_hits, 0) / {float(k)} AS recall_at_5
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+    LEFT JOIN hits ON hits.query_id = q.query_id
+    """
+
+
+def _ivf_binary_recall_sql(
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    rerank_k: int = 20,
+    k: int = 5,
+) -> str:
+    """The FLAT-IVF composed-stack recall@k oracle: first-vector
+    centroids, assignment argmax at rk=1, query probes at rk<=n_probe,
+    in-cell Hamming shortlist of ``rerank_k`` over the mean-threshold
+    binary bits, exact-cosine re-rank to ``k``, recall vs brute force —
+    every stage of ``ivf_binary_topk`` at flat strategies restated.
+    Shared by the r12 persisted-index gate
+    (``similarity_ivf_binary_indexed_recall_at_5``): the index
+    write/read round-trip is exact and the indexed plan is row-pinned
+    to the in-memory one, so both paths hash against this one algebra
+    (the same sharing discipline as ``_ivf_recall_sql``). Lives here
+    (leaf module) because the query modules form an import ring."""
+    return f"""
+    WITH {_SQL_E},
+    {binary_bits_ctes()},
+    cd AS (
+      SELECT v.vec_id, c.vec_id AS cent_id,
+             CAST(SUM(CAST(v.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS cdot
+      FROM e v JOIN e c ON v.i = c.i AND c.vec_id < {n_centroids}
+      GROUP BY 1, 2),
+    cscore AS (
+      SELECT vd.vec_id, cent_id, cdot / (nv.nrm * nc.nrm) AS ccos
+      FROM cd vd JOIN norms nv ON nv.vec_id = vd.vec_id
+                 JOIN norms nc ON nc.vec_id = cent_id),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cent_id) AS rk
+        FROM cscore) WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cent_id) AS rk
+        FROM cscore WHERE vec_id < 10) p WHERE rk <= {n_probe}),
+    hb AS (
+      SELECT p.query_id, a.vec_id,
+             bit_count(xor(qb.w0, cb.w0)) + bit_count(xor(qb.w1, cb.w1))
+               AS hamming
+      FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+      JOIN bits qb ON qb.vec_id = p.query_id
+      JOIN bits cb ON cb.vec_id = a.vec_id
+      WHERE p.query_id != a.vec_id),
+    shortlist AS (SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, vec_id) AS rk
+        FROM hb) WHERE rk <= {rerank_k}),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST(SUM(CAST(q.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id != c.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, d.vec_id, dot / (nq.nrm * nc.nrm) AS cosine
+      FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+                  JOIN norms nc ON nc.vec_id = d.vec_id),
+    exact AS (SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored) WHERE rk <= {k}),
+    rr AS (
+      SELECT s.query_id, s.vec_id, s.cosine
+      FROM scored s JOIN shortlist f USING (query_id, vec_id)),
+    ivb AS (SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM rr) WHERE rk <= {k}),
+    hits AS (
+      SELECT x.query_id, COUNT(*) AS n_hits
+      FROM exact x JOIN ivb USING (query_id, vec_id) GROUP BY 1)
     SELECT q.query_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
            COALESCE(n_hits, 0) / {float(k)} AS recall_at_5
     FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q

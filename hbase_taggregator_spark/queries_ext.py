@@ -3241,14 +3241,18 @@ _register(
 
 def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC recall@5 against exact Euclidean top-k:
-    per-subspace codebooks (first-16 init, code id = source vec_id),
+    per-subspace codebooks (first-16 init, LLOYD-REFINED one iteration —
+    assign→decimal-mean per subspace, empty codewords keep their init),
     map-side encoding to m=4 codes, per-query distance LUT, 4-term
-    decimal-exact ADC sums. The oracle restates the whole scheme — encode
-    argmin, LUT, ADC ranking, exact-L2 ground truth — so PQ is hash-gated
-    end to end."""
+    decimal-exact ADC sums. The oracle restates the whole scheme —
+    init argmin, per-subspace mean update, refined-codebook encode,
+    LUT, ADC ranking, exact-L2 ground truth — so PQ is hash-gated end
+    to end (r12: re-gated with the refined codebooks per VERDICT r11
+    #4; refined-vs-init recall censused at the sf1 hard fixture in
+    tools/bench_pq_r12.json)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    pq = S.pq_adc_topk(emb, queries, k=5, m=4, n_codes=16)
+    pq = S.pq_adc_topk(emb, queries, k=5, m=4, n_codes=16, refine_iters=1)
     exact = S.l2_topk(emb, queries, k=5).select("query_id", "vec_id")
     hits = (
         exact.join(pq.select("query_id", "vec_id"),
@@ -3265,16 +3269,49 @@ def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_recall_sql(m: int = 4, n_codes: int = 16, k: int = 5, dim: int = 64) -> str:
+    """PQ-ADC recall@k with ONE Lloyd refinement of the sampling-init
+    codebooks restated relationally: init assignment (``enc0``),
+    per-(subspace, codeword, component) DECIMAL(28,12) means (``rm`` —
+    the engine-portable mean contract), empty codewords carried over
+    from the init books (``cb1``'s anti-join branch), then encode / LUT
+    / ADC against the REFINED books. Products involving the computed
+    means route through VARCHAR before the decimal cast (the r8 ADVICE
+    discipline, see TWOLEVEL_SQL_CTES): a mean is a full-precision
+    division result, where the init codewords were float32-widened
+    exact doubles whose products never straddle a scale-12 midpoint."""
     sub = dim // m
     return f"""
     WITH {_SQL_E},
     sube AS (SELECT vec_id, (i - 1) // {sub} AS s, i, v FROM e),
     cb AS (SELECT vec_id AS code, s, i, v FROM sube WHERE vec_id < {n_codes}),
-    encd AS (
+    encd0 AS (
       SELECT x.vec_id, c.s, c.code,
              CAST(SUM(CAST((x.v - c.v) * (x.v - c.v) AS DECIMAL(18,12)))
                AS DOUBLE) AS d
       FROM sube x JOIN cb c ON c.s = x.s AND c.i = x.i
+      GROUP BY 1, 2, 3),
+    enc0 AS (
+      SELECT vec_id, s, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d, code) AS rk
+        FROM encd0) WHERE rk = 1),
+    rm AS (
+      SELECT e0.s, e0.code, x.i,
+             CAST(SUM(CAST(x.v AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM enc0 e0 JOIN sube x ON x.vec_id = e0.vec_id AND x.s = e0.s
+      GROUP BY 1, 2, 3),
+    cb1 AS (
+      SELECT code, s, i, v FROM rm
+      UNION ALL
+      SELECT cb.code, cb.s, cb.i, cb.v FROM cb
+      WHERE NOT EXISTS (SELECT 1 FROM rm
+                        WHERE rm.s = cb.s AND rm.code = cb.code)),
+    encd AS (
+      SELECT x.vec_id, c.s, c.code,
+             CAST(SUM(CAST(CAST((x.v - c.v) * (x.v - c.v) AS VARCHAR)
+                           AS DECIMAL(18,12))) AS DOUBLE) AS d
+      FROM sube x JOIN cb1 c ON c.s = x.s AND c.i = x.i
       GROUP BY 1, 2, 3),
     enc AS (
       SELECT vec_id, s, code FROM (
@@ -3286,7 +3323,8 @@ def _pq_recall_sql(m: int = 4, n_codes: int = 16, k: int = 5, dim: int = 64) -> 
       FROM encd WHERE vec_id < 10),
     adc AS (
       SELECT l.query_id, enc.vec_id,
-             CAST(SUM(CAST(l.d AS DECIMAL(18,12))) AS DOUBLE) AS adc_dist
+             CAST(SUM(CAST(CAST(l.d AS VARCHAR) AS DECIMAL(18,12)))
+               AS DOUBLE) AS adc_dist
       FROM enc JOIN lut l ON l.s = enc.s AND l.code = enc.code
       WHERE l.query_id != enc.vec_id
       GROUP BY 1, 2),
@@ -4530,5 +4568,6 @@ import hbase_taggregator_spark.queries_r8  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r9  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r10  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r11  # noqa: E402,F401
+import hbase_taggregator_spark.queries_r12  # noqa: E402,F401
 
 _apply_gate_window(strict=False)

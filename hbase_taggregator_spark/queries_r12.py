@@ -1,0 +1,231 @@
+"""Round-12 catalog queries (VERDICT r11 "Next round" #1, #5, #6).
+
+``similarity_ivf_binary_indexed_recall_at_5`` gates the composed
+IVF + binary stack served from the PERSISTED ``binary=True`` index:
+corpus assignment and 1-bit quantization are both amortized to build
+time, the 24 B first pass runs off the standing layout through the
+dynamic-partition-pruned probe join, and the exact re-rank prunes to
+the same probed cells via the (cent_id, id) join. Row-identical to the
+in-memory flat stack, so it hashes against the shared
+``_ivf_binary_recall_sql`` algebra (the ``_ivf_recall_sql`` sharing
+discipline).
+
+``embedding_binary_incremental_admitted`` gates batch admission
+against a standing binary band index: the corpus's codes live exploded
+in (band_idx, band_val) bucket directories with the thresholds
+sidecar'd; a batch quantizes against the STORED codebook, broadcasts
+its own band rows into the partition-pruned equi-join, and a batch id
+is admitted iff NO smaller id (indexed or earlier-batch) sits within
+Hamming radius — which the oracle restates as the EXHAUSTIVE
+drop-the-larger-id rule on the full table, restricted to batch ids:
+admission ≡ full recompute on the union.
+
+``similarity_ivf_binary_recall_floor`` is the standing
+retrieval-QUALITY gate on the composed stack (the
+``percentile_approx_accuracy_gate`` pattern): at the committed
+operating point (nlist=16, n_probe=4, rerank_k=20) the stack's mean
+recall@5 vs brute force must clear the committed floor — the oracle
+pins the PASS verdict, so a refactor that silently degrades retrieval
+(wrong thresholds, broken shortlist, off-by-one probe) flips the gate
+red even though every row-algebra gate upstream still hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hbase_taggregator_spark.oracle_fragments import (
+    _ivf_binary_recall_sql,
+    binary_bits_ctes,
+)
+from hbase_taggregator_spark.queries import _register, load_table
+
+#: the indexed composed-stack gate's dials — the FLAT fixture
+#: convention (first-16 centroids, 4 probes) with the r11 shortlist
+IVFB_IDX_NPROBE = 4
+IVFB_IDX_RERANK_K = 20
+RECALL_K = 5
+
+#: committed retrieval-quality floor for the composed stack at the
+#: operating point above: measured mean recall@5 is 0.62 at BOTH the
+#: sf0.001 and sf0.01 fixtures (deterministic — every stage tiebreaks);
+#: the floor sits one recall quantum (1 hit / 50) below, so any change
+#: that costs even two hits across the ten queries fails the gate
+IVFB_RECALL_FLOOR = 0.6
+
+#: admission gate split: the standing corpus is vec_id < 400, the
+#: admission batch vec_id >= 400 — the batch-ids-exceed-indexed-ids
+#: contract binary_incremental_admitted documents (500 vectors at both
+#: gate fixtures)
+ADMIT_SPLIT = 400
+
+#: admission radius/width: the r11 banded-family convention (16×4-bit
+#: bands guarantee radius 15 by pigeonhole)
+ADMIT_RADIUS = 15
+ADMIT_BAND_BITS = 4
+
+
+def _q_ivf_binary_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the composed IVF+binary stack served from the
+    persisted binary index (assignment + quantization amortized to
+    build; first pass partition- AND column-pruned; re-rank pruned to
+    the probed cells)."""
+    import tempfile
+
+    from hbase_taggregator_spark.operators.similarity import (
+        ivf_binary_topk_indexed,
+        read_ivf_index,
+        read_ivf_thresholds,
+        write_ivf_index,
+    )
+    from hbase_taggregator_spark.queries_ext import _recall_vs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    with tempfile.TemporaryDirectory() as d:
+        write_ivf_index(emb, cents, f"{d}/ivf", binary=True)
+        idx = read_ivf_index(spark, f"{d}/ivf")
+        thr = read_ivf_thresholds(spark, f"{d}/ivf")
+        approx = ivf_binary_topk_indexed(
+            idx, queries, cents, thr, k=RECALL_K,
+            rerank_k=IVFB_IDX_RERANK_K, n_probe=IVFB_IDX_NPROBE,
+        )
+        rec = _recall_vs_exact(emb, queries, approx, k=RECALL_K)
+        # materialize before the index directory vanishes (the standing
+        # sink-gate pattern; the result is 10 tiny rows)
+        out = spark.createDataFrame(rec.collect(), rec.schema)
+    return out
+
+
+_register(
+    "similarity_ivf_binary_indexed_recall_at_5",
+    _q_ivf_binary_indexed,
+    # the shared flat composed-stack oracle: the persisted-index path is
+    # row-pinned to the in-memory plan (tests/test_round12.py), so any
+    # loss, duplication, codebook drift, or precision drift in the
+    # binary-extended write/read breaks the hash
+    _ivf_binary_recall_sql(
+        n_centroids=16, n_probe=IVFB_IDX_NPROBE,
+        rerank_k=IVFB_IDX_RERANK_K, k=RECALL_K,
+    ),
+)
+
+
+def _q_binary_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit the vec_id >= 400 batch against the standing band index of
+    the vec_id < 400 corpus: batch codes (quantized against the STORED
+    thresholds) broadcast into the partition-pruned banded join; a
+    batch id survives iff no smaller id sits within Hamming radius 15."""
+    import tempfile
+
+    from hbase_taggregator_spark.operators.similarity import (
+        binary_incremental_admitted,
+        read_binary_band_index,
+        write_binary_band_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < ADMIT_SPLIT)
+    batch = emb.filter(F.col("vec_id") >= ADMIT_SPLIT)
+    with tempfile.TemporaryDirectory() as d:
+        write_binary_band_index(
+            corpus, f"{d}/bands", band_bits=ADMIT_BAND_BITS
+        )
+        idx, thr, bb, dim = read_binary_band_index(spark, f"{d}/bands")
+        adm = binary_incremental_admitted(
+            idx, batch, thr, radius=ADMIT_RADIUS, dim=dim, band_bits=bb
+        ).orderBy("vec_id")
+        # materialize before the index directory vanishes
+        out = spark.createDataFrame(adm.collect(), adm.schema)
+    return out
+
+
+_CORPUS_SRC = f"(SELECT * FROM embeddings WHERE vec_id < {ADMIT_SPLIT})"
+
+_register(
+    "embedding_binary_incremental_admitted",
+    _q_binary_admitted,
+    f"""
+    -- the EXHAUSTIVE restatement: bits over the WHOLE table but means
+    -- from the STANDING corpus only (the stored-thresholds contract);
+    -- a batch id is admitted iff it is not the larger element of any
+    -- radius pair — admission against the index plus the batch
+    -- self-join equals this full-recompute rule restricted to the
+    -- batch, because the drop rule is non-iterative
+    WITH {binary_bits_ctes(mean_src=_CORPUS_SRC)},
+    hd AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM bits a JOIN bits b ON a.vec_id < b.vec_id
+           WHERE bit_count(xor(a.w0, b.w0))
+                 + bit_count(xor(a.w1, b.w1)) <= {ADMIT_RADIUS})
+    SELECT vec_id FROM bits
+    WHERE vec_id >= {ADMIT_SPLIT}
+      AND vec_id NOT IN (SELECT id_b FROM hd WHERE id_b >= {ADMIT_SPLIT})
+    ORDER BY vec_id
+    """,
+)
+
+
+def _q_ivf_binary_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing retrieval-quality floor on the composed IVF+binary
+    stack: mean recall@5 at the committed (nlist=16, n_probe=4,
+    rerank_k=20) operating point must clear 0.6. The approximation is
+    CHECKED, not reproduced (the percentile-gate pattern) — the oracle
+    pins the verdict row."""
+    from hbase_taggregator_spark.operators.similarity import ivf_binary_topk
+    from hbase_taggregator_spark.queries_ext import _recall_vs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_binary_topk(
+        emb, queries, k=RECALL_K, rerank_k=IVFB_IDX_RERANK_K,
+        centroids=cents, n_probe=IVFB_IDX_NPROBE, threshold="mean",
+    )
+    rec = _recall_vs_exact(emb, queries, approx, k=RECALL_K)
+    return rec.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.avg("recall_at_5") >= F.lit(IVFB_RECALL_FLOOR)).alias(
+            "recall_floor_met"
+        ),
+    ).select(
+        F.lit(16).alias("nlist"),
+        F.lit(IVFB_IDX_NPROBE).alias("n_probe"),
+        F.lit(IVFB_IDX_RERANK_K).alias("rerank_k"),
+        F.lit(IVFB_RECALL_FLOOR).alias("floor"),
+        "n_queries",
+        "recall_floor_met",
+    )
+
+
+_register(
+    "similarity_ivf_binary_recall_floor",
+    _q_ivf_binary_floor,
+    f"""
+    SELECT 16 AS nlist, {IVFB_IDX_NPROBE} AS n_probe,
+           {IVFB_IDX_RERANK_K} AS rerank_k,
+           CAST({IVFB_RECALL_FLOOR} AS DOUBLE) AS floor,
+           CAST(10 AS BIGINT) AS n_queries,
+           TRUE AS recall_floor_met
+    """,
+)
+
+
+# re-apply the gate-window ordering now that round-12 queries are
+# registered (tolerant on every import path, same as queries_r3..r11 —
+# whichever module finishes last sees the full catalog).
+from hbase_taggregator_spark.queries_ext import _apply_gate_window  # noqa: E402
+
+_apply_gate_window(strict=False)
