@@ -7,7 +7,7 @@ queries + a pointer): every prior round's driver artifact ended up with
 "parsed": null because the full 136-query line outgrew the driver's tail
 capture. The complete per-query dict (sf0.1 + sf1 + ratios + run counts)
 is written by this script itself to $SPARK_GRAFT_BENCH_OUT (default
-tools/bench_local_r11.json).
+tools/bench_local_r12.json).
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect — the number measures the distributed plan, not result
@@ -178,9 +178,9 @@ HEADLINE = [
     "graph_pagerank_suppliers",
     "sink_orc_roundtrip",
     "profile_skew_report",
-    # similarity_dup_clusters is gate-only for the same reason as
-    # dedup_duplicate_clusters: its driver-side fixpoint loop pays a
-    # per-job scheduling floor that would mis-read as operator throughput
+    # similarity_dup_clusters / dedup_duplicate_clusters are timed from
+    # r12 on — see the round-12 block below for the scheduling-floor
+    # caveat their walls carry
     "corpus_source_mixing",
     "text_rare_bigram_ratio",
     "corpus_clean_boilerplate",
@@ -225,15 +225,75 @@ HEADLINE = [
     # z-score whitening-prep companion
     "embedding_covariance_matrix",
     "embedding_standardize_checksums",
-    # dedup_duplicate_clusters is gate-only: its driver-side fixpoint loop
-    # (one job per propagation round) is real algorithm cost, but at bench
-    # fixture scale the per-job scheduling floor dominates and would
-    # mis-read as operator throughput
-    # similarity_pq_recall_at_5 is gate-only: at fixture scale its cost is
-    # ~all Catalyst/codegen compile of the m×k codebook expressions, which
-    # a throughput bench would mis-read (the compiled plan is map-side and
-    # scan-bound at real scale)
+    # round-12 (VERDICT r11 "What's wrong" #1 / "Next round" #3): the
+    # bench now covers the FULL catalog — every queries() entry is
+    # timed, including the formerly gate-only ones. Caveats carried
+    # into the numbers, not into exclusions: dedup_duplicate_clusters /
+    # similarity_dup_clusters pay a driver-side fixpoint loop whose
+    # per-job scheduling floor dominates at fixture scale (read their
+    # walls as floor-bound, not operator throughput);
+    # similarity_pq_recall_at_5 is mostly Catalyst/codegen compile of
+    # the m×k codebook expressions at this sf (the compiled plan is
+    # map-side and scan-bound at real scale) — both caveats were the
+    # old exclusion rationale, but a floor-bound number still catches a
+    # regression where a blind spot catches nothing.
+    # --- round-12 new gates ---
+    "similarity_ivf_binary_indexed_recall_at_5",
+    "embedding_binary_incremental_admitted",
+    "similarity_ivf_binary_recall_floor",
+    "similarity_pq_recall_at_5",
+    # --- formerly unbenched catalog entries (cheap variants, streaming
+    # replay forms, SQL-entry views, and the iterative/compile-bound
+    # operators above) ---
+    "ts_min_900",
+    "ts_avg_900_odd_start",
+    "window_running_order_total",
+    "window_lag_user_gaps",
+    "rollup_order_status_priority",
+    "cube_returnflag_linestatus",
+    "setops_purchase_error_users",
+    "semi_anti_customer_orders",
+    "distinct_counts_lineitem",
+    "approx_distinct_lineitem",
+    "multiversion_latest_2_per_user",
+    "text_language_id",
+    "text_fingerprint_tokens",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_signatures",
+    "similarity_neardup_pairs",
+    "similarity_ann_lsh_topk",
+    "streaming_ts_count_max_3600",
+    "multimodal_binary_features",
+    "ts_count_900_gapfilled",
+    "session_windows_6h_per_user",
+    "pivot_event_type_daily",
+    "scalar_functions_showcase",
+    "date_functions_orders",
+    "q14_promo_revenue",
+    "correlated_above_avg_balance",
+    "streaming_stateful_running_extrema",
+    "rowkey_range_scan",
+    "streaming_dedup_exact",
+    "similarity_ivf_kmeans_recall_at_5",
+    "dedup_duplicate_clusters",
+    "text_vocabulary",
+    "text_posting_lists",
+    "text_conjunctive_search",
+    "sql_entry_nation_revenue",
+    "sql_entry_rollup_view",
+    "similarity_dup_clusters",
 ]
+
+# full-catalog coverage is a standing invariant from r12 on: a new
+# queries() entry that is not benched (or any name drift) fails loudly
+# at import instead of silently shrinking the suite
+def _assert_full_coverage() -> None:
+    missing = [n for n in QUERIES if n not in set(HEADLINE)]
+    stale = [n for n in HEADLINE if n not in QUERIES]
+    assert not missing and not stale, (missing, stale)
+
+
+_assert_full_coverage()
 
 #: order-of-magnitude scaling evidence: a representative subset re-timed at
 #: sf1 (10× sf0.1, generated in-repo by tools/make_sf1.py). Chosen to cover
@@ -443,7 +503,7 @@ def main() -> None:
     # capture — every earlier round recorded "parsed": null because the
     # full line outgrew it
     repo_rel = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", f"{repo}/tools/bench_local_r11.json"
+        "SPARK_GRAFT_BENCH_OUT", f"{repo}/tools/bench_local_r12.json"
     )
     with open(repo_rel, "w") as f:
         json.dump(full, f, indent=1)

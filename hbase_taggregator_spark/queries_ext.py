@@ -4452,90 +4452,94 @@ _register(
 )
 # ---------------------------------------------------------------------------
 # Driver gate window (rotated per round): the driver records CORRECTNESS
-# rows for the FIRST 50 catalog entries. r11 priority: the FIVE new
-# queries (similarity_binary_banded_radius15 — the multi-index banded
-# self-join's completeness gate; similarity_binary_banded_dup_top1 —
-# the banded top-k path gated in its near-duplicate regime, no
-# fallback; similarity_ivf_binary_recall_at_5 — the composed IVF +
-# binary retrieval stack; embedding_binary_dedup_survivors — the
-# drop-the-larger-id dedup over the banded radius pairs;
-# similarity_ivf_indexed_recall_at_5 — IVF through a persisted
-# cent_id-partitioned index, dynamic-partition-pruned probe join,
-# hashed against the SAME oracle as the in-memory path), every query
-# whose implementation or oracle
-# text changed this round (similarity_binary_hamming_recall_at_5 —
-# binary_hamming_topk refactored for the index= first pass;
-# embedding_binary_quantize_words — its oracle now composes the shared
-# binary_bits_ctes fragment; embedding_random_projection_checksums —
-# dim derivation made data-deterministic, gate pins dim=64), then the
-# FINAL TEN r6 entries (the r6 block is now fully re-gated), then the
-# FIRST 32 of the 41 stale r7-window queries (window of
-# CORRECTNESS_r07) in r7-window order, SKIPPING the nine re-gated in
-# r8-r10; the final nine r7 entries (bloom_runtime_filter_orders,
-# sketch_count_min_estimates, udaf_weighted_mean_cents,
-# ts_linear_trend_per_type, ts_rollup_incremental_merge,
-# multimodal_decode_pixels, sketch_kmv_distinct_users,
-# sketch_kmv_set_ops_users, sketch_kmv_grouped_distinct) roll to r12.
+# rows for the FIRST 50 catalog entries. r12 priority: the THREE new
+# queries (similarity_ivf_binary_indexed_recall_at_5 — the composed
+# IVF+binary stack served from the binary=True persisted index,
+# dynamic-partition- and column-pruned first pass;
+# embedding_binary_incremental_admitted — batch admission against the
+# standing band index, pinned to the exhaustive drop rule;
+# similarity_ivf_binary_recall_floor — the standing retrieval-quality
+# floor on the composed stack), then every query whose implementation
+# or oracle text changed this round: similarity_pq_recall_at_5
+# (re-gated at refine_iters=1, oracle grew the Lloyd-refinement CTEs),
+# similarity_ivf_indexed_recall_at_5 (read_ivf_index now re-casts
+# cent_id — r11 ADVICE), and the six gates whose oracles compose
+# binary_bits_ctes, whose text changed for the mean_src knob
+# (similarity_binary_banded_radius15, similarity_binary_banded_dup_top1,
+# embedding_binary_dedup_survivors, similarity_ivf_binary_recall_at_5,
+# embedding_binary_quantize_words,
+# similarity_binary_hamming_recall_at_5 — the radius-pairs/banded-topk
+# guard additions from the r11 ADVICE land here too). Then the FINAL
+# NINE r7-window entries per the standing queue (the r7 block is now
+# fully re-gated), then the FIRST 30 of the 40 stale r8-window queries
+# (window of CORRECTNESS_r08) in r8-window order, SKIPPING the ten
+# re-gated in r9-r11; the final ten r8 entries
+# (fuzzy_customer_name_candidates, corpus_contamination_overlap,
+# text_rare_token_ratio, cohort_weekly_retention,
+# funnel_three_step_ordered, ts_mad_outliers_per_type,
+# ts_seasonal_baseline_error, table_diff_after_merge,
+# fuzzy_entity_resolution, sql_entry_nation_revenue) roll to r13.
 # Every query pushed out is green in earlier CORRECTNESS rounds, the
-# judge's r10 full-catalog re-run, and this round's full-catalog oracle
-# log (tools/oracle_full_r11.log).
+# judge's r11 full-catalog re-run, and this round's full-catalog oracle
+# log (tools/oracle_full_r12.log).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # new this round (r11)
+    # new this round (r12)
+    "similarity_ivf_binary_indexed_recall_at_5",
+    "embedding_binary_incremental_admitted",
+    "similarity_ivf_binary_recall_floor",
+    # implementation/oracle changed this round — re-gate first
+    "similarity_pq_recall_at_5",
+    "similarity_ivf_indexed_recall_at_5",
     "similarity_binary_banded_radius15",
     "similarity_binary_banded_dup_top1",
-    "similarity_ivf_binary_recall_at_5",
     "embedding_binary_dedup_survivors",
-    "similarity_ivf_indexed_recall_at_5",
-    # implementation/oracle changed this round — re-gate first
-    "similarity_binary_hamming_recall_at_5",
+    "similarity_ivf_binary_recall_at_5",
     "embedding_binary_quantize_words",
-    "embedding_random_projection_checksums",
-    # the final ten r6-window queries (the r6 block is now fully re-gated)
-    "similarity_neardup_pairs",
-    "similarity_ann_lsh_topk",
-    "streaming_ts_count_max_3600",
-    "streaming_stateful_running_extrema",
-    "pivot_event_type_daily",
-    "scalar_functions_showcase",
-    "date_functions_orders",
-    "correlated_above_avg_balance",
-    "argmax_event_per_type",
-    "asof_nearest_click",
-    # the stale r7 block, in r7-window order: first 32 of the 41
-    # queries last driver-gated in round 7
-    "corpus_dedup_repeated_substrings",
-    "ts_resample_interpolate_7200",
-    "corpus_pipeline_stats",
-    "percentiles_per_event_type",
-    "stats_moments_per_type",
-    "ts_ewma_smoothed_3600",
-    "streaming_dedup_exact",
-    "q2_min_cost_supplier",
-    "funnel_click_to_purchase_1h",
-    "interval_overlap_regimes_sessions",
-    "histogram_value_25",
-    "q4_order_priority",
-    "q13_customer_distribution",
-    "streaming_static_join_segments",
-    "streaming_stream_join_pairs",
-    "q8_market_share",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q15_top_supplier",
-    "q20_potential_promotions",
-    "multimodal_decode_headers",
-    "dedup_exact_survivor_rows",
-    "dedup_jaccard_df_capped",
-    "ts_rollup_hourly_to_daily",
-    "streaming_dedup_within_watermark",
-    "ts_time_weighted_avg_21600",
-    "ts_counter_rate_21600",
-    "merge_upsert_customers",
-    "text_top_terms_per_lang",
-    "layout_zorder_values",
-    "streaming_continuous_rollup",
-    "multimodal_frame_sample",
+    "similarity_binary_hamming_recall_at_5",
+    # the final nine r7-window queries (the r7 block is now fully
+    # re-gated — the standing queue from the r11 window rotation)
+    "bloom_runtime_filter_orders",
+    "sketch_count_min_estimates",
+    "udaf_weighted_mean_cents",
+    "ts_linear_trend_per_type",
+    "ts_rollup_incremental_merge",
+    "multimodal_decode_pixels",
+    "sketch_kmv_distinct_users",
+    "sketch_kmv_set_ops_users",
+    "sketch_kmv_grouped_distinct",
+    # the stale r8 block, in r8-window order: first 30 of the 40
+    # queries last driver-gated in round 8
+    "embedding_covariance_matrix",
+    "ts_lttb_downsample_50",
+    "ts_qualifier_offset_900",
+    "similarity_ann_recall_at_5",
+    "similarity_lsh_neardup_pairs",
+    "text_repetition_features",
+    "text_pattern_counts",
+    "corpus_train_val_split",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_customer_balance",
+    "corpus_doc_chunks",
+    "corpus_pack_sequences",
+    "embedding_quantize_int8",
+    "skew_salted_distinct_users",
+    "range_band_join_value",
+    "grouping_sets_status_priority",
+    "dedup_keep_best_quality",
+    "streaming_foreachbatch_sink",
+    "corpus_decontaminated",
+    "corpus_sample_per_source",
+    "corpus_global_shuffle",
+    "ingest_json_quarantine",
+    "ts_calendar_rollup_weekly",
+    "ts_largest_gaps_per_type",
+    "scd2_user_event_history",
+    "profile_documents_columns",
+    "percentile_approx_accuracy_gate",
+    "text_feature_hashing_64",
 ]
 
 
