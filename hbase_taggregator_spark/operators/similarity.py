@@ -3096,6 +3096,130 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: DataFrame | None = None,
+    exclude_self: bool = True,
+    dim: int = 64,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """The composed IVF + PQ retrieval stack — IVFADC (Jégou et al.,
+    PQ for nearest neighbor search; public method): IVF probing
+    restricts WHICH vectors are candidates, and the asymmetric PQ
+    distance (per-query LUT, ``m`` table lookups per pair) ranks
+    WITHIN the probed cells — the second classic production ANN
+    composition next to :func:`ivf_binary_topk` (binary Hamming is the
+    re-rank-friendly compressed scan; PQ/ADC is the distance-faithful
+    one). Cells come from cosine :func:`ivf_assign` (this engine's IVF
+    convention); in-cell ranking is squared-L2 ADC — metrics mix
+    exactly as in practice, where the coarse quantizer and the fine
+    codes are tuned independently.
+
+    Physical shape at 100 TB, stage by stage: (1) codebooks are
+    driver-side m×n_codes literals (:func:`pq_codebooks`, optionally
+    Lloyd-refined — ``refine_iters`` passes through
+    :func:`pq_refine_codebooks`); (2) the corpus is scanned ONCE into
+    key-only (id, cent_id) ⋈ (id, s, code) rows — after encoding, raw
+    vectors never move; (3) each query broadcasts its ``n_probe``
+    probed cells AND its m×n_codes LUT of exact subspace distances, so
+    the candidate restriction and the distance lookup are BOTH
+    broadcast hash joins against the code stream — the one shuffle is
+    the final (query, id) ADC aggregation, carrying probed-cell
+    candidates only, never nq × N. Each (query, id) pair appears at
+    most once per subspace (one cell per vector, distinct probes), so
+    the m-term decimal sum needs no dedup.
+
+    Output: (query_id_col, id_col, adc_dist) ascending top-k per
+    query, id tiebreak. Approximate on two priced axes (IVF recall ×
+    PQ quantization error); the gate scores recall@5 against exact
+    Euclidean top-k."""
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+            )
+        )
+    books = pq_codebooks(corpus, m, n_codes, id_col, vec_col, dim)
+    if refine_iters:
+        books = pq_refine_codebooks(
+            corpus, books, m, id_col, vec_col, dim, iters=refine_iters
+        )
+    sub = dim // m
+    # assignment and encoding are BOTH map-side projections — chain them
+    # over one corpus scan (pq_encode's `keep` carries cent_id through),
+    # so the code stream is born with its cell and no id-rejoin shuffle
+    # ever happens
+    assigned = ivf_assign(
+        ensure_parallelism(corpus), centroids, vec_col, id_col, n_probe=1
+    )
+    codes = pq_encode(
+        assigned, books, m, id_col, vec_col, dim, keep=["cent_id"]
+    )
+    code_rows = codes.select(
+        id_col,
+        "cent_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.col(f"code_{s}").alias("code")
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__c"),
+    ).select(
+        id_col, "cent_id",
+        F.col("__c.s").alias("s"), F.col("__c.code").alias("code"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    probes = ivf_assign(
+        q, centroids, "__qvec", query_id_col, n_probe=n_probe
+    ).select(query_id_col, "cent_id")
+    lut_entries = [
+        F.struct(
+            F.lit(s).alias("s"),
+            F.lit(code).alias("code"),
+            _pq_subdist("__qvec", s, sub, cvals).alias("dist"),
+        )
+        for (s, code, cvals) in books
+    ]
+    lut = q.select(
+        query_id_col, F.explode(F.array(*lut_entries)).alias("__e")
+    ).select(
+        query_id_col,
+        F.col("__e.s").alias("s"),
+        F.col("__e.code").alias("code"),
+        F.col("__e.dist").alias("dist"),
+    )
+    scored = (
+        code_rows.join(F.broadcast(probes), "cent_id")
+        .join(F.broadcast(lut), [query_id_col, "s", "code"])
+        .filter(
+            F.col(query_id_col) != F.col(id_col) if exclude_self else F.lit(True)
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(F.col("dist").cast(DEC)).cast("double").alias("adc_dist"))
+    )
+    return top_k_per_group(
+        scored, [query_id_col], "adc_dist", k, descending=False,
+        tiebreak=[id_col],
+    )
+
+
 def negative_pairs(
     df: DataFrame,
     k: int = 4,

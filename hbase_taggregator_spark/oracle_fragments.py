@@ -409,3 +409,61 @@ def _ivf_binary_recall_sql(
     FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
     LEFT JOIN hits ON hits.query_id = q.query_id
     """
+
+
+def pq_refined_ctes(m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
+    """The shared PQ CTE chain with ONE Lloyd refinement: subspace
+    slicing (``sube``), sampling-init books (``cb`` — first n_codes
+    vectors by id, code id = vec_id), init assignment (``encd0`` →
+    ``enc0``), per-(subspace, codeword, component) DECIMAL(28,12) means
+    (``rm`` — the engine-portable mean contract), empty codewords
+    carried from the init books (``cb1``), and the REFINED all-pairs
+    subspace distances + assignment (``encd`` → ``enc``). Products
+    involving the computed means route through VARCHAR before the
+    decimal cast (the r8 ADVICE discipline, see TWOLEVEL_SQL_CTES): a
+    mean is a full-precision division result, where the init codewords
+    were float32-widened exact doubles whose products never straddle a
+    scale-12 midpoint. Ends with ``enc`` (vec_id, s, code) and ``encd``
+    (vec_id, s, code, d) — per-query LUTs slice ``encd``. Shared by
+    ``similarity_pq_recall_at_5`` (queries_ext) and the r12 composed
+    IVFADC gate ``similarity_ivf_pq_recall_at_5`` (queries_r12); lives
+    here (leaf module) because the query modules form an import ring."""
+    sub = dim // m
+    return f"""
+    sube AS (SELECT vec_id, (i - 1) // {sub} AS s, i, v FROM e),
+    cb AS (SELECT vec_id AS code, s, i, v FROM sube WHERE vec_id < {n_codes}),
+    encd0 AS (
+      SELECT x.vec_id, c.s, c.code,
+             CAST(SUM(CAST((x.v - c.v) * (x.v - c.v) AS DECIMAL(18,12)))
+               AS DOUBLE) AS d
+      FROM sube x JOIN cb c ON c.s = x.s AND c.i = x.i
+      GROUP BY 1, 2, 3),
+    enc0 AS (
+      SELECT vec_id, s, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d, code) AS rk
+        FROM encd0) WHERE rk = 1),
+    rm AS (
+      SELECT e0.s, e0.code, x.i,
+             CAST(SUM(CAST(x.v AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM enc0 e0 JOIN sube x ON x.vec_id = e0.vec_id AND x.s = e0.s
+      GROUP BY 1, 2, 3),
+    cb1 AS (
+      SELECT code, s, i, v FROM rm
+      UNION ALL
+      SELECT cb.code, cb.s, cb.i, cb.v FROM cb
+      WHERE NOT EXISTS (SELECT 1 FROM rm
+                        WHERE rm.s = cb.s AND rm.code = cb.code)),
+    encd AS (
+      SELECT x.vec_id, c.s, c.code,
+             CAST(SUM(CAST(CAST((x.v - c.v) * (x.v - c.v) AS VARCHAR)
+                           AS DECIMAL(18,12))) AS DOUBLE) AS d
+      FROM sube x JOIN cb1 c ON c.s = x.s AND c.i = x.i
+      GROUP BY 1, 2, 3),
+    enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d, code) AS rk
+        FROM encd) WHERE rk = 1)
+"""

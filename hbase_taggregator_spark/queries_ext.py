@@ -3270,54 +3270,17 @@ def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_recall_sql(m: int = 4, n_codes: int = 16, k: int = 5, dim: int = 64) -> str:
     """PQ-ADC recall@k with ONE Lloyd refinement of the sampling-init
-    codebooks restated relationally: init assignment (``enc0``),
-    per-(subspace, codeword, component) DECIMAL(28,12) means (``rm`` —
-    the engine-portable mean contract), empty codewords carried over
-    from the init books (``cb1``'s anti-join branch), then encode / LUT
-    / ADC against the REFINED books. Products involving the computed
-    means route through VARCHAR before the decimal cast (the r8 ADVICE
-    discipline, see TWOLEVEL_SQL_CTES): a mean is a full-precision
-    division result, where the init codewords were float32-widened
-    exact doubles whose products never straddle a scale-12 midpoint."""
-    sub = dim // m
+    codebooks restated relationally — the refinement chain is the
+    shared ``oracle_fragments.pq_refined_ctes`` (init assignment →
+    decimal means → empty-codeword carryover → refined encode), also
+    composed by the r12 IVFADC gate. LUT / ADC run against the REFINED
+    distances; the ADC re-sum routes doubles through VARCHAR before
+    the decimal cast (r8 ADVICE discipline)."""
+    from hbase_taggregator_spark.oracle_fragments import pq_refined_ctes
+
     return f"""
     WITH {_SQL_E},
-    sube AS (SELECT vec_id, (i - 1) // {sub} AS s, i, v FROM e),
-    cb AS (SELECT vec_id AS code, s, i, v FROM sube WHERE vec_id < {n_codes}),
-    encd0 AS (
-      SELECT x.vec_id, c.s, c.code,
-             CAST(SUM(CAST((x.v - c.v) * (x.v - c.v) AS DECIMAL(18,12)))
-               AS DOUBLE) AS d
-      FROM sube x JOIN cb c ON c.s = x.s AND c.i = x.i
-      GROUP BY 1, 2, 3),
-    enc0 AS (
-      SELECT vec_id, s, code FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
-                                     ORDER BY d, code) AS rk
-        FROM encd0) WHERE rk = 1),
-    rm AS (
-      SELECT e0.s, e0.code, x.i,
-             CAST(SUM(CAST(x.v AS DECIMAL(28,12))) AS DOUBLE)
-               / COUNT(*) AS v
-      FROM enc0 e0 JOIN sube x ON x.vec_id = e0.vec_id AND x.s = e0.s
-      GROUP BY 1, 2, 3),
-    cb1 AS (
-      SELECT code, s, i, v FROM rm
-      UNION ALL
-      SELECT cb.code, cb.s, cb.i, cb.v FROM cb
-      WHERE NOT EXISTS (SELECT 1 FROM rm
-                        WHERE rm.s = cb.s AND rm.code = cb.code)),
-    encd AS (
-      SELECT x.vec_id, c.s, c.code,
-             CAST(SUM(CAST(CAST((x.v - c.v) * (x.v - c.v) AS VARCHAR)
-                           AS DECIMAL(18,12))) AS DOUBLE) AS d
-      FROM sube x JOIN cb1 c ON c.s = x.s AND c.i = x.i
-      GROUP BY 1, 2, 3),
-    enc AS (
-      SELECT vec_id, s, code FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
-                                     ORDER BY d, code) AS rk
-        FROM encd) WHERE rk = 1),
+    {pq_refined_ctes(m=m, n_codes=n_codes, dim=dim)},
     lut AS (
       SELECT vec_id AS query_id, s, code, d
       FROM encd WHERE vec_id < 10),
@@ -4459,7 +4422,9 @@ _register(
 # embedding_binary_incremental_admitted — batch admission against the
 # standing band index, pinned to the exhaustive drop rule;
 # similarity_ivf_binary_recall_floor — the standing retrieval-quality
-# floor on the composed stack), then every query whose implementation
+# floor on the composed stack; similarity_ivf_pq_recall_at_5 — the
+# composed IVFADC stack, cosine cells × Lloyd-refined asymmetric PQ
+# distance), then every query whose implementation
 # or oracle text changed this round: similarity_pq_recall_at_5
 # (re-gated at refine_iters=1, oracle grew the Lloyd-refinement CTEs),
 # similarity_ivf_indexed_recall_at_5 (read_ivf_index now re-casts
@@ -4471,10 +4436,11 @@ _register(
 # similarity_binary_hamming_recall_at_5 — the radius-pairs/banded-topk
 # guard additions from the r11 ADVICE land here too). Then the FINAL
 # NINE r7-window entries per the standing queue (the r7 block is now
-# fully re-gated), then the FIRST 30 of the 40 stale r8-window queries
+# fully re-gated), then the FIRST 29 of the 40 stale r8-window queries
 # (window of CORRECTNESS_r08) in r8-window order, SKIPPING the ten
-# re-gated in r9-r11; the final ten r8 entries
-# (fuzzy_customer_name_candidates, corpus_contamination_overlap,
+# re-gated in r9-r11; the final eleven r8 entries
+# (text_feature_hashing_64,
+# fuzzy_customer_name_candidates, corpus_contamination_overlap,
 # text_rare_token_ratio, cohort_weekly_retention,
 # funnel_three_step_ordered, ts_mad_outliers_per_type,
 # ts_seasonal_baseline_error, table_diff_after_merge,
@@ -4488,6 +4454,7 @@ _GATE_WINDOW = [
     "similarity_ivf_binary_indexed_recall_at_5",
     "embedding_binary_incremental_admitted",
     "similarity_ivf_binary_recall_floor",
+    "similarity_ivf_pq_recall_at_5",
     # implementation/oracle changed this round — re-gate first
     "similarity_pq_recall_at_5",
     "similarity_ivf_indexed_recall_at_5",
@@ -4508,7 +4475,7 @@ _GATE_WINDOW = [
     "sketch_kmv_distinct_users",
     "sketch_kmv_set_ops_users",
     "sketch_kmv_grouped_distinct",
-    # the stale r8 block, in r8-window order: first 30 of the 40
+    # the stale r8 block, in r8-window order: first 29 of the 40
     # queries last driver-gated in round 8
     "embedding_covariance_matrix",
     "ts_lttb_downsample_50",
@@ -4539,7 +4506,6 @@ _GATE_WINDOW = [
     "scd2_user_event_history",
     "profile_documents_columns",
     "percentile_approx_accuracy_gate",
-    "text_feature_hashing_64",
 ]
 
 

@@ -35,8 +35,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hbase_taggregator_spark.oracle_fragments import (
+    _SQL_E,
     _ivf_binary_recall_sql,
     binary_bits_ctes,
+    pq_refined_ctes,
 )
 from hbase_taggregator_spark.queries import _register, load_table
 
@@ -219,6 +221,118 @@ _register(
            CAST({IVFB_RECALL_FLOOR} AS DOUBLE) AS floor,
            CAST(10 AS BIGINT) AS n_queries,
            TRUE AS recall_floor_met
+    """,
+)
+
+
+#: the composed IVFADC gate's dials: flat 16-cell IVF, 4 probes,
+#: refined m=4 × 16-codeword books — the PQ gate's sizing inside the
+#: IVF gate's cells
+IVFPQ_M = 4
+IVFPQ_NCODES = 16
+IVFPQ_NPROBE = 4
+
+
+def _q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the composed IVF + PQ (IVFADC) stack vs exact
+    Euclidean top-k: cosine IVF cells restrict candidates, the
+    Lloyd-refined asymmetric PQ distance ranks within probed cells —
+    every stage (assignment, probes, refinement, encode, LUT,
+    cell-restricted ADC, exact-L2 ground truth) restated in SQL."""
+    from hbase_taggregator_spark.operators.similarity import (
+        ivf_pq_topk,
+        l2_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    pq = ivf_pq_topk(
+        emb, queries, k=RECALL_K, m=IVFPQ_M, n_codes=IVFPQ_NCODES,
+        n_centroids=16, n_probe=IVFPQ_NPROBE, refine_iters=1,
+    ).select("query_id", "vec_id")
+    exact = l2_topk(emb, queries, k=RECALL_K).select("query_id", "vec_id")
+    hits = (
+        exact.join(pq, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) / F.lit(float(RECALL_K))).alias(
+            "recall_at_5"
+        ),
+    )
+
+
+_register(
+    "similarity_ivf_pq_recall_at_5",
+    _q_ivf_pq_recall,
+    f"""
+    -- flat-IVF assignment/probes (cosine argmax — the engine's IVF
+    -- convention) composed with the shared refined-PQ chain; ADC is
+    -- restricted to probed cells, ground truth is exact squared-L2
+    WITH {_SQL_E},
+    {pq_refined_ctes(m=IVFPQ_M, n_codes=IVFPQ_NCODES)},
+    cd AS (
+      SELECT v.vec_id, c.vec_id AS cent_id,
+             CAST(SUM(CAST(v.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS cdot
+      FROM e v JOIN e c ON v.i = c.i AND c.vec_id < 16
+      GROUP BY 1, 2),
+    cscore AS (
+      SELECT vd.vec_id, cent_id, cdot / (nv.nrm * nc.nrm) AS ccos
+      FROM cd vd JOIN norms nv ON nv.vec_id = vd.vec_id
+                 JOIN norms nc ON nc.vec_id = cent_id),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cent_id) AS rk
+        FROM cscore) WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cent_id) AS rk
+        FROM cscore WHERE vec_id < 10) p WHERE rk <= {IVFPQ_NPROBE}),
+    lut AS (
+      SELECT vec_id AS query_id, s, code, d
+      FROM encd WHERE vec_id < 10),
+    adc AS (
+      SELECT l.query_id, enc.vec_id,
+             CAST(SUM(CAST(CAST(l.d AS VARCHAR) AS DECIMAL(18,12)))
+               AS DOUBLE) AS adc_dist
+      FROM enc JOIN lut l ON l.s = enc.s AND l.code = enc.code
+      JOIN assign a ON a.vec_id = enc.vec_id
+      JOIN probes p ON p.query_id = l.query_id AND p.cent_id = a.cent_id
+      WHERE l.query_id != enc.vec_id
+      GROUP BY 1, 2),
+    pq AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, vec_id) AS rk
+        FROM adc) WHERE rk <= {RECALL_K}),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST(SUM(CAST(q.v * c.v AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id != c.vec_id
+      GROUP BY 1, 2),
+    l2s AS (
+      SELECT query_id, d.vec_id,
+             nq.nrm * nq.nrm + nc.nrm * nc.nrm - 2 * dot AS d2
+      FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+                  JOIN norms nc ON nc.vec_id = d.vec_id),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY d2, vec_id) AS rk
+        FROM l2s) WHERE rk <= {RECALL_K}),
+    hits AS (
+      SELECT x.query_id, COUNT(*) AS n_hits
+      FROM exact x JOIN pq USING (query_id, vec_id) GROUP BY 1)
+    SELECT q.query_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(n_hits, 0) / {float(RECALL_K)} AS recall_at_5
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+    LEFT JOIN hits ON hits.query_id = q.query_id
     """,
 )
 

@@ -326,3 +326,43 @@ def test_pq_adc_refine_iters_zero_is_the_sampling_init_path(spark):
         "query_id", "vec_id", "adc_dist",
     )
     assert len(c) == 15 and c != a
+
+
+# --- composed IVF + PQ (IVFADC) ----------------------------------------------
+
+
+def test_ivf_pq_degenerates_to_pq_adc_when_probing_everything(spark):
+    """n_probe == n_centroids probes every cell, so the cell
+    restriction admits ALL (query, id) pairs and the composed stack
+    must rank exactly like plain pq_adc_topk over the same books —
+    the ivf_binary→binary degeneracy pin applied to the PQ axis."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 4)
+    got = _rows(
+        S.ivf_pq_topk(emb, q, k=5, m=4, n_codes=16, n_centroids=8,
+                      n_probe=8),
+        "query_id", "vec_id", "adc_dist",
+    )
+    want = _rows(
+        S.pq_adc_topk(emb, q, k=5, m=4, n_codes=16),
+        "query_id", "vec_id", "adc_dist",
+    )
+    assert got == want and len(got) == 20
+
+
+def test_ivf_pq_plan_is_broadcast_and_jvm_only(spark):
+    """Probes and LUT both broadcast into the code stream; no Python
+    eval nodes; the assignment→encode chain is one projection (no
+    id-rejoin shuffle of corpus-sized sides: the only SortMergeJoin-
+    eligible join keys would be the broadcast ones)."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    df = S.ivf_pq_topk(emb, q, k=5, refine_iters=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

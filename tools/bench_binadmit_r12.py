@@ -2,15 +2,19 @@
 standing band index — join input ∝ BATCH size, not corpus size
 (VERDICT r11 "Next round" #6's "Done" evidence).
 
-Setup: the standing corpus is the first 16k sf1 vectors, band-indexed
-once at 4-bit bands (radius-15 admission). Batches of growing size are
-admitted from the remaining ids. Recorded per batch size:
+Setup: the standing corpus is the first 16k sf1 vectors (by id RANK —
+the sf1 ids are sparse), band-indexed once at 8-BIT bands (8 bands ×
+256 values = 2048 bucket directories; pigeonhole guarantee radius 7).
+Batches of growing size are admitted from the next ids. 8-bit bands —
+not the gate's 4-bit — because the census question is PRUNING: the
+4-bit domain saturates at 256 buckets before the smallest batch, where
+the 2048-bucket domain lets the batch's band footprint grow visibly
+with batch size. Recorded per batch size:
 
 - ``batch_band_rows``        — the batch's exploded band rows (the
-                               broadcast side): |batch| × 16 exactly;
+                               broadcast side): |batch| × 8 exactly;
 - ``probed_buckets``         — distinct (band_idx, band_val) buckets
-                               the batch hashes into (≤ 256 at 4-bit
-                               bands — the directory bound);
+                               the batch hashes into (≤ 2048);
 - ``index_rows_in_probed``   — standing rows inside probed buckets:
                                the corpus-side rows the pruned scan
                                feeds the join (the "join input");
@@ -21,14 +25,17 @@ admitted from the remaining ids. Recorded per batch size:
                                (min-of-2) — what admission replaces;
 - ``equal``                  — admission == full recompute (checked).
 
-At 4-bit bands the bucket domain saturates quickly (256 buckets), so
-``index_rows_in_probed`` approaches the full band table as the batch
-covers every bucket — the honest fixture bound. What stays ∝ batch is
-the BROADCAST side and the candidate pair volume; the corpus-side
-saving that scales is RE-COMPUTATION (full recompute re-quantizes and
-re-self-joins the corpus every batch, admission never does), plus
-bucket pruning whenever the batch's band footprint is sparse (small
-batches below).
+Two quantities stay ∝ batch: the BROADCAST side (batch_band_rows,
+exactly 8×|batch|) and the pruned corpus-side read
+(index_rows_in_probed — the batch's bucket footprint grows with batch
+size and every unprobed bucket directory is never read, DPP
+plan-asserted in tests). On top of pruning, the saving that scales is
+RE-COMPUTATION: full recompute re-quantizes and re-self-joins the
+corpus every batch; admission never touches corpus compute at all.
+``admitted`` is fixture-determined: every sf1 batch vector is a
+jittered COPY of a corpus base vector, so a radius-7 admission
+correctly rejects nearly all of them — rejection ≡ recompute is the
+``equal`` flag.
 
 Writes tools/bench_binadmit_r12.json.
 Usage: python tools/bench_binadmit_r12.py
@@ -48,7 +55,7 @@ sys.path.insert(0, REPO)
 SF1 = f"{REPO}/.benchdata/sf1"
 OUT = f"{REPO}/tools/bench_binadmit_r12.json"
 CORPUS_N = 16_000
-RADIUS, BAND_BITS = 15, 4
+RADIUS, BAND_BITS = 7, 8
 BATCHES = [250, 1000, 4000]
 
 
@@ -112,7 +119,7 @@ def main() -> None:
                 S.binary_dedup_survivors(
                     union, radius=RADIUS, band_bits=BAND_BITS,
                     thresholds=thr,
-                ).filter(F.col("vec_id") >= CORPUS_N).write.format(
+                ).filter(F.col("vec_id") > corpus_max).write.format(
                     "noop"
                 ).mode("overwrite").save()
 
@@ -128,7 +135,7 @@ def main() -> None:
                     union, radius=RADIUS, band_bits=BAND_BITS,
                     thresholds=thr,
                 )
-                .filter(F.col("vec_id") >= CORPUS_N)
+                .filter(F.col("vec_id") > corpus_max)
                 .collect()
             )
 
