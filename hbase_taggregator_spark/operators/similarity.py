@@ -1504,6 +1504,10 @@ def write_ivf_index(
             corpus, vec_col, id_col, dim=dim, thresholds=thr
         )
         lists = lists.join(words, id_col)
+    # cluster by inverted list before the partitioned write — one file
+    # per cell instead of tasks × cells small files (the band-index
+    # writer's discipline; the build-time shuffle is the amortized step)
+    lists = lists.repartition("cent_id")
     lists.write.mode(mode).partitionBy("cent_id").parquet(path)
     if binary:
         # sidecar AFTER the main write (an overwrite build wipes the
@@ -2383,6 +2387,14 @@ def write_binary_band_index(
         F.col("__bidx").alias("band_idx"),
         F.col("__bval").alias("band_val"),
     )
+    # cluster rows by their target bucket BEFORE the partitioned write:
+    # without this every write task holds a file open in every bucket it
+    # sees (tasks × buckets small files — a file-listing floor on every
+    # later probe; the r12 census measured a 2048-bucket build at 250 s
+    # against 39 s clustered). The shuffle is key-only band rows — cheap
+    # at any scale — and oversized buckets still split across tasks by
+    # maxRecordsPerFile-style knobs downstream if ever needed.
+    rows = rows.repartition("band_idx", "band_val")
     rows.write.mode(mode).partitionBy("band_idx", "band_val").parquet(path)
     spark = df.sparkSession
     # sidecars AFTER the main write (overwrite wipes the directory);

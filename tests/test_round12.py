@@ -366,3 +366,27 @@ def test_ivf_pq_plan_is_broadcast_and_jvm_only(spark):
     assert "Python" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_index_writers_cluster_one_file_per_bucket(spark, tmp_path):
+    """Both standing-index writers repartition by their partition
+    columns before the partitioned write, so each bucket directory
+    holds ONE data file instead of tasks × buckets small files — the
+    file-listing floor the r12 census measured (2048-bucket band build:
+    250 s unclustered vs ~39 s clustered; every probe re-pays the
+    listing otherwise)."""
+    import glob
+
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark).repartition(8)
+    band_path = str(tmp_path / "bands")
+    S.write_binary_band_index(emb, band_path, band_bits=4)
+    for d in glob.glob(f"{band_path}/band_idx=*/band_val=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d
+    ivf_path = str(tmp_path / "ivf")
+    S.write_ivf_index(emb, _cents(emb), ivf_path, binary=True)
+    for d in glob.glob(f"{ivf_path}/cent_id=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d

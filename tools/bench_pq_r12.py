@@ -1,16 +1,32 @@
-"""Round-12 census: Lloyd-refined vs sampling-init PQ codebooks on the
-sf1 HARD fixture (the non-saturating operating point r11 established —
-20k vectors: 2000 base × 10 copies with jitter 0.12 on a hash-selected
-half of the dimensions, regenerated deterministically if absent).
+"""Round-12 census: Lloyd-refined vs sampling-init PQ codebooks, on
+TWO fixtures whose disagreement is the finding.
 
 Measures recall@5 of ``pq_adc_topk`` against exact Euclidean top-5 at
 ``refine_iters`` 0 / 1 / 2 (m=4 subspaces, 16 codewords each — the
-gate sizing) over 50 queries, plus the per-call wall (min-of-2; the
-refinement adds one distributed assign→mean pass per iteration).
-The claim under test is VERDICT r11 "What's wrong" #2: sampling-init
-codebooks under-deliver the quality the operator advertises — the
-refined books should buy recall at unchanged serving cost (encoding
-and ADC shape are identical; only the literal codeword values change).
+gate sizing) over 50 queries, plus the per-call wall (min-of-2; each
+refinement iteration adds one distributed assign→mean pass). The claim
+under test is VERDICT r11 "What's wrong" #2: sampling-init codebooks
+under-deliver — Lloyd refinement should buy recall at unchanged
+serving cost (encode/ADC shape identical; only codeword values move).
+
+Fixtures:
+- ``sf01_regular`` — the 2000-vector sf0.1 table (generic corpus):
+  refinement HELPS, measured 0.064 → 0.108 → 0.124 over iters 0/1/2 —
+  the MSE-minimizing update improves ADC distance fidelity, the
+  textbook effect.
+- ``sf1_hard`` — the r11 non-saturating fixture (20k vectors: 2000
+  base × 10 copies, jitter 0.12 on half the dims): refinement HURTS
+  recall-vs-exact-L2 (0.04 → ~0), and the mechanism matters more than
+  the number: Lloyd pulls codewords to cluster means, so a base
+  vector's ten near-copies (and their neighbors) collapse to ONE code
+  per subspace — ADC then TIES across the whole copy block and top-5
+  membership inside a tie is id-tiebreak-arbitrary, where the
+  sampling-init books (actual corpus vectors) accidentally separate
+  some copies. PQ at m=4/k=16 cannot discriminate within
+  near-duplicate blocks with EITHER codebook (init recall 0.04 ≈
+  within-tie chance); on dup-heavy corpora that is the binary/Hamming
+  family's regime (its hard-fixture recall@5 is 0.618 at rerank 250),
+  not PQ's.
 
 Writes tools/bench_pq_r12.json.
 Usage: python tools/bench_pq_r12.py
@@ -77,52 +93,68 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     _ensure_hard_fixture(spark)
-    hard = spark.read.parquet(f"{HARD}/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
-    n = hard.count()
-    q = hard.filter(F.col("vec_id") < NQ)
-
-    exact = S.l2_topk(hard, q, k=K).select("query_id", "vec_id")
-    exact.persist()
-    n_exact = exact.count()
-
     result = {
-        "fixture": "sf1_hard (r11 construction): 2000 base x 10 copies,"
-        " jitter 0.12 on the hash-selected half of dims",
-        "vectors": n,
-        "n_queries": NQ,
         "m": M,
         "n_codes": N_CODES,
         "k": K,
-        "points": {},
+        "n_queries": NQ,
+        "fixtures": {},
+        "note": "refinement helps on the generic corpus and collapses"
+        " to ADC ties on the near-duplicate fixture — see the module"
+        " docstring for the mechanism; dup-heavy corpora are the"
+        " binary/Hamming family's regime, not PQ's.",
     }
 
-    for iters in (0, 1, 2):
-        def run():
-            S.pq_adc_topk(
-                hard, q, k=K, m=M, n_codes=N_CODES, refine_iters=iters
-            ).write.format("noop").mode("overwrite").save()
+    for fname, frame in (
+        (
+            "sf01_regular",
+            spark.read.parquet(
+                "/root/testdata/sf0.1/embeddings.parquet"
+            ).select("vec_id", "embedding"),
+        ),
+        (
+            "sf1_hard",
+            spark.read.parquet(f"{HARD}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            ),
+        ),
+    ):
+        q = frame.filter(F.col("vec_id") < NQ)
+        exact = S.l2_topk(frame, q, k=K).select("query_id", "vec_id")
+        exact.persist()
+        n_exact = exact.count()
+        points = {}
+        for iters in (0, 1, 2):
+            def run():
+                S.pq_adc_topk(
+                    frame, q, k=K, m=M, n_codes=N_CODES, refine_iters=iters
+                ).write.format("noop").mode("overwrite").save()
 
-        pq = S.pq_adc_topk(
-            hard, q, k=K, m=M, n_codes=N_CODES, refine_iters=iters
-        ).select("query_id", "vec_id")
-        hits = exact.join(pq, ["query_id", "vec_id"], "left_semi").count()
-        run()
-        walls = []
-        for _ in range(2):
-            t0 = time.time()
+            pq = S.pq_adc_topk(
+                frame, q, k=K, m=M, n_codes=N_CODES, refine_iters=iters
+            ).select("query_id", "vec_id")
+            hits = exact.join(pq, ["query_id", "vec_id"], "left_semi").count()
             run()
-            walls.append(round(time.time() - t0, 2))
-        result["points"][f"refine_iters={iters}"] = {
-            "recall_at_5": round(hits / n_exact, 4),
-            "wall_s": min(walls),
-            "walls_raw": walls,
+            walls = []
+            for _ in range(2):
+                t0 = time.time()
+                run()
+                walls.append(round(time.time() - t0, 2))
+            points[f"refine_iters={iters}"] = {
+                "recall_at_5": round(hits / n_exact, 4),
+                "wall_s": min(walls),
+                "walls_raw": walls,
+            }
+        exact.unpersist()
+        result["fixtures"][fname] = {
+            "vectors": frame.count(),
+            "points": points,
+            "refined_minus_init_recall": round(
+                points["refine_iters=1"]["recall_at_5"]
+                - points["refine_iters=0"]["recall_at_5"],
+                4,
+            ),
         }
-
-    r0 = result["points"]["refine_iters=0"]["recall_at_5"]
-    r1 = result["points"]["refine_iters=1"]["recall_at_5"]
-    result["refined_minus_init_recall"] = round(r1 - r0, 4)
     with open(OUT, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
