@@ -240,6 +240,7 @@ HEADLINE = [
     # --- round-12 new gates ---
     "similarity_ivf_binary_indexed_recall_at_5",
     "similarity_ivf_pq_recall_at_5",
+    "similarity_ivf_pq_indexed_recall_at_5",
     "embedding_binary_incremental_admitted",
     "similarity_ivf_binary_recall_floor",
     "similarity_pq_recall_at_5",

@@ -1436,6 +1436,11 @@ def write_ivf_index(
     dim: int = 64,
     threshold: str = "mean",
     thresholds: list[float] | None = None,
+    pq: bool = False,
+    pq_m: int = 4,
+    pq_codes: int = 16,
+    pq_refine_iters: int = 1,
+    codebooks: list[tuple[int, int, list[float]]] | None = None,
 ) -> None:
     """Persist the STANDING IVF inverted index: the corpus with its
     nearest-centroid assignment — (id, vec, nrm, cent_id) — written as
@@ -1471,12 +1476,24 @@ def write_ivf_index(
     :func:`binary_hamming_topk`'s contract (explicit list > corpus
     :func:`dimension_means` at ``"mean"`` > sign bits at ``"zero"``).
 
+    ``pq=True`` (the PQ sibling of ``binary=True``) ADDITIONALLY stores
+    each row's product-quantization codes (``code_0..code_{m-1}`` — m
+    small ints/vector) and persists the codebooks — sampling-init
+    Lloyd-refined ``pq_refine_iters`` times, or the explicit
+    ``codebooks`` — under ``<path>/_codebooks``, so
+    :func:`ivf_pq_topk_indexed` serves the composed IVFADC stack
+    straight off the standing layout: assignment AND encoding amortized
+    to build, the ADC first pass partition-pruned to probed cells and
+    column-pruned to (id, cent_id, codes). ``binary`` and ``pq``
+    compose — one index can carry both compressed representations.
+
     NOTE ``mode="append"`` with ``binary=True`` appends rows quantized
     against THIS call's thresholds — pass the STORED thresholds
     (:func:`read_ivf_thresholds`) explicitly when growing an existing
     binary index, or the old and new rows sit in different codebooks
     (``"mean"`` recomputed on a new batch differs from the build-time
-    corpus means)."""
+    corpus means). The same contract holds for ``pq=True``: pass the
+    STORED ``codebooks`` (:func:`read_ivf_codebooks`) when appending."""
     if strategy == "twolevel":
         lists = ivf_assign_two_level(
             ensure_parallelism(corpus), centroids, vec_col=vec_col,
@@ -1504,11 +1521,33 @@ def write_ivf_index(
             corpus, vec_col, id_col, dim=dim, thresholds=thr
         )
         lists = lists.join(words, id_col)
+    if pq:
+        books = codebooks
+        if books is None:
+            books = pq_codebooks(corpus, pq_m, pq_codes, id_col, vec_col, dim)
+            if pq_refine_iters:
+                books = pq_refine_codebooks(
+                    corpus, books, pq_m, id_col, vec_col, dim,
+                    iters=pq_refine_iters,
+                )
+        codes = pq_encode(corpus, books, pq_m, id_col, vec_col, dim)
+        lists = lists.join(codes, id_col)
     # cluster by inverted list before the partitioned write — one file
     # per cell instead of tasks × cells small files (the band-index
     # writer's discipline; the build-time shuffle is the amortized step)
     lists = lists.repartition("cent_id")
     lists.write.mode(mode).partitionBy("cent_id").parquet(path)
+    if pq:
+        # codebooks sidecar — same underscore-hidden, always-overwrite
+        # discipline as _thresholds (append callers pass STORED books)
+        corpus.sparkSession.createDataFrame(
+            [
+                (s, code, i, float(v))
+                for (s, code, vals) in books
+                for i, v in enumerate(vals)
+            ],
+            "s int, code int, i int, v double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebooks")
     if binary:
         # sidecar AFTER the main write (an overwrite build wipes the
         # whole directory first) — and itself always overwrite: on
@@ -1529,6 +1568,121 @@ def read_ivf_thresholds(spark, path: str) -> list[float]:
     codebooks, silently destroying Hamming semantics)."""
     rows = spark.read.parquet(f"{path}/_thresholds").orderBy("i").collect()
     return [float(r["threshold"]) for r in rows]
+
+
+def read_ivf_codebooks(
+    spark, path: str
+) -> list[tuple[int, int, list[float]]]:
+    """Read back the PQ codebooks a ``pq=True`` :func:`write_ivf_index`
+    build stored under ``<path>/_codebooks``, in the
+    :func:`pq_codebooks` format — the codebooks every query batch's LUT
+    must be built from (a LUT from different books would score codes
+    against the wrong codewords). The parquet round-trip is exact
+    (doubles are binary-stable)."""
+    rows = spark.read.parquet(f"{path}/_codebooks").orderBy(
+        "s", "code", "i"
+    ).collect()
+    books: dict[tuple[int, int], list[float]] = {}
+    for r in rows:
+        books.setdefault((int(r["s"]), int(r["code"])), []).append(
+            float(r["v"])
+        )
+    return [(s, code, vals) for (s, code), vals in sorted(books.items())]
+
+
+def ivf_pq_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    k: int = 5,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_probe: int = 4,
+    exclude_self: bool = True,
+    strategy: str = "auto",
+    dim: int = 64,
+) -> DataFrame:
+    """The composed IVF + PQ stack (:func:`ivf_pq_topk`) served from a
+    PERSISTED ``pq=True`` :func:`write_ivf_index` layout — the IVFADC
+    sibling of :func:`ivf_binary_topk_indexed`: corpus assignment,
+    codebook training, AND encoding all amortized to build time. Per
+    query batch: queries probe their ``n_probe`` centroids and build
+    their m×n_codes LUT from the STORED codebooks
+    (:func:`read_ivf_codebooks` — one codebook, build and probe); the
+    ADC first pass is the index scan PROJECTED to (id, cent_id,
+    code_0..code_{m-1}) — dynamic partition pruning narrows it to the
+    probed cell directories and parquet column pruning drops the float
+    payload AND the binary words if present (plan-asserted:
+    ``dynamicpruning`` in PartitionFilters, codes-only ReadSchema), so
+    first-pass bytes are ~m small ints × probed-cell occupancy. Probes
+    and LUT both broadcast; the one shuffle is the (query, id) ADC
+    aggregation over probed-cell candidates. Row-identical to in-memory
+    :func:`ivf_pq_topk` over the same corpus / centroids / codebooks
+    (unit-pinned). Output: (query_id_col, id_col, adc_dist) ascending
+    top-k, id tiebreak."""
+    missing = [c for c in (f"code_{s}" for s in range(m)) if c not in index.columns]
+    if missing:
+        raise ValueError(
+            "ivf_pq_topk_indexed needs a pq=True write_ivf_index layout — "
+            f"columns {missing} absent from the index frame"
+        )
+    sub = dim // m
+    code_rows = index.select(
+        id_col,
+        "cent_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.col(f"code_{s}").alias("code")
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__c"),
+    ).select(
+        id_col, "cent_id",
+        F.col("__c.s").alias("s"), F.col("__c.code").alias("code"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    probes = ivf_assign(
+        q, centroids, "__qvec", query_id_col, n_probe=n_probe,
+        strategy=strategy,
+    ).select(query_id_col, "cent_id")
+    lut_entries = [
+        F.struct(
+            F.lit(s).alias("s"),
+            F.lit(code).alias("code"),
+            _pq_subdist("__qvec", s, sub, cvals).alias("dist"),
+        )
+        for (s, code, cvals) in codebooks
+    ]
+    lut = q.select(
+        query_id_col, F.explode(F.array(*lut_entries)).alias("__e")
+    ).select(
+        query_id_col,
+        F.col("__e.s").alias("s"),
+        F.col("__e.code").alias("code"),
+        F.col("__e.dist").alias("dist"),
+    )
+    scored = (
+        code_rows.join(F.broadcast(probes), "cent_id")
+        .join(F.broadcast(lut), [query_id_col, "s", "code"])
+        .filter(
+            F.col(query_id_col) != F.col(id_col) if exclude_self else F.lit(True)
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(F.col("dist").cast(DEC)).cast("double").alias("adc_dist"))
+    )
+    return top_k_per_group(
+        scored, [query_id_col], "adc_dist", k, descending=False,
+        tiebreak=[id_col],
+    )
 
 
 def read_ivf_index(

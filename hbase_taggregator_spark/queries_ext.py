@@ -4424,7 +4424,8 @@ _register(
 # similarity_ivf_binary_recall_floor — the standing retrieval-quality
 # floor on the composed stack; similarity_ivf_pq_recall_at_5 — the
 # composed IVFADC stack, cosine cells × Lloyd-refined asymmetric PQ
-# distance), then every query whose implementation
+# distance; similarity_ivf_pq_indexed_recall_at_5 — the same stack
+# served from the pq=True persisted index), then every query whose implementation
 # or oracle text changed this round: similarity_pq_recall_at_5
 # (re-gated at refine_iters=1, oracle grew the Lloyd-refinement CTEs),
 # similarity_ivf_indexed_recall_at_5 (read_ivf_index now re-casts
@@ -4436,10 +4437,10 @@ _register(
 # similarity_binary_hamming_recall_at_5 — the radius-pairs/banded-topk
 # guard additions from the r11 ADVICE land here too). Then the FINAL
 # NINE r7-window entries per the standing queue (the r7 block is now
-# fully re-gated), then the FIRST 29 of the 40 stale r8-window queries
+# fully re-gated), then the FIRST 28 of the 40 stale r8-window queries
 # (window of CORRECTNESS_r08) in r8-window order, SKIPPING the ten
-# re-gated in r9-r11; the final eleven r8 entries
-# (text_feature_hashing_64,
+# re-gated in r9-r11; the final twelve r8 entries
+# (percentile_approx_accuracy_gate, text_feature_hashing_64,
 # fuzzy_customer_name_candidates, corpus_contamination_overlap,
 # text_rare_token_ratio, cohort_weekly_retention,
 # funnel_three_step_ordered, ts_mad_outliers_per_type,
@@ -4455,6 +4456,7 @@ _GATE_WINDOW = [
     "embedding_binary_incremental_admitted",
     "similarity_ivf_binary_recall_floor",
     "similarity_ivf_pq_recall_at_5",
+    "similarity_ivf_pq_indexed_recall_at_5",
     # implementation/oracle changed this round — re-gate first
     "similarity_pq_recall_at_5",
     "similarity_ivf_indexed_recall_at_5",
@@ -4475,7 +4477,7 @@ _GATE_WINDOW = [
     "sketch_kmv_distinct_users",
     "sketch_kmv_set_ops_users",
     "sketch_kmv_grouped_distinct",
-    # the stale r8 block, in r8-window order: first 29 of the 40
+    # the stale r8 block, in r8-window order: first 28 of the 40
     # queries last driver-gated in round 8
     "embedding_covariance_matrix",
     "ts_lttb_downsample_50",
@@ -4505,7 +4507,6 @@ _GATE_WINDOW = [
     "ts_largest_gaps_per_type",
     "scd2_user_event_history",
     "profile_documents_columns",
-    "percentile_approx_accuracy_gate",
 ]
 
 

@@ -248,6 +248,64 @@ IVFPQ_NCODES = 16
 IVFPQ_NPROBE = 4
 
 
+def _q_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the composed IVFADC stack served from the pq=True
+    persisted index (assignment + codebook training + encoding all
+    amortized to build; the ADC first pass partition- and
+    column-pruned to (id, cent_id, codes); LUT from the STORED
+    codebooks). Row-identical to the in-memory ivf_pq_topk, so it
+    hashes against the same composed oracle."""
+    import tempfile
+
+    from hbase_taggregator_spark.operators.similarity import (
+        ivf_pq_topk_indexed,
+        l2_topk,
+        read_ivf_codebooks,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    with tempfile.TemporaryDirectory() as d:
+        write_ivf_index(
+            emb, cents, f"{d}/ivfpq", pq=True, pq_m=IVFPQ_M,
+            pq_codes=IVFPQ_NCODES, pq_refine_iters=1,
+        )
+        idx = read_ivf_index(spark, f"{d}/ivfpq")
+        books = read_ivf_codebooks(spark, f"{d}/ivfpq")
+        pq = ivf_pq_topk_indexed(
+            idx, queries, cents, books, k=RECALL_K, m=IVFPQ_M,
+            n_probe=IVFPQ_NPROBE,
+        ).select("query_id", "vec_id")
+        exact = l2_topk(emb, queries, k=RECALL_K).select(
+            "query_id", "vec_id"
+        )
+        hits = (
+            exact.join(pq, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        qids = queries.select(F.col("vec_id").alias("query_id"))
+        rec = qids.join(hits, "query_id", "left").select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(float(RECALL_K))).alias(
+                "recall_at_5"
+            ),
+        )
+        # materialize before the index directory vanishes
+        out = spark.createDataFrame(rec.collect(), rec.schema)
+    return out
+
+
 def _q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of the composed IVF + PQ (IVFADC) stack vs exact
     Euclidean top-k: cosine IVF cells restrict candidates, the
@@ -281,10 +339,11 @@ def _q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register(
-    "similarity_ivf_pq_recall_at_5",
-    _q_ivf_pq_recall,
-    f"""
+#: shared by the in-memory IVFADC gate AND the persisted-index one —
+#: the indexed path is row-pinned to the in-memory plan
+#: (tests/test_round12.py), the same sharing discipline as
+#: `_ivf_recall_sql` / `_ivf_binary_recall_sql`
+_IVFPQ_RECALL_SQL = f"""
     -- flat-IVF assignment/probes (cosine argmax — the engine's IVF
     -- convention) composed with the shared refined-PQ chain; ADC is
     -- restricted to probed cells, ground truth is exact squared-L2
@@ -348,7 +407,13 @@ _register(
            COALESCE(n_hits, 0) / {float(RECALL_K)} AS recall_at_5
     FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
     LEFT JOIN hits ON hits.query_id = q.query_id
-    """,
+    """
+
+_register("similarity_ivf_pq_recall_at_5", _q_ivf_pq_recall, _IVFPQ_RECALL_SQL)
+_register(
+    "similarity_ivf_pq_indexed_recall_at_5",
+    _q_ivf_pq_indexed,
+    _IVFPQ_RECALL_SQL,
 )
 
 

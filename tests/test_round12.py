@@ -390,3 +390,58 @@ def test_index_writers_cluster_one_file_per_bucket(spark, tmp_path):
     for d in glob.glob(f"{ivf_path}/cent_id=*"):
         files = [f for f in glob.glob(f"{d}/*.parquet")]
         assert len(files) == 1, d
+
+
+def test_ivf_pq_indexed_equals_in_memory_and_prunes(spark, tmp_path):
+    """The pq=True persisted index serves the IVFADC stack
+    row-identically to the in-memory ivf_pq_topk over the same
+    corpus/centroids/codebooks (the codebooks sidecar round-trips
+    exactly); the ADC first pass is dynamic-partition-pruned and
+    column-pruned to (id, cent_id, codes)."""
+    import re
+
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    cents = _cents(emb)
+    q = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivfpq")
+    S.write_ivf_index(emb, cents, path, pq=True, pq_refine_iters=1)
+    idx = S.read_ivf_index(spark, path)
+    assert {"code_0", "code_1", "code_2", "code_3"} <= set(idx.columns)
+    books = S.read_ivf_codebooks(spark, path)
+    want_books = S.pq_refine_codebooks(
+        emb, S.pq_codebooks(emb, m=4, k=16), m=4, iters=1
+    )
+    assert books == want_books
+    got = _rows(
+        S.ivf_pq_topk_indexed(idx, q, cents, books, k=5, n_probe=4),
+        "query_id", "vec_id", "adc_dist",
+    )
+    want = _rows(
+        S.ivf_pq_topk(emb, q, k=5, n_centroids=16, n_probe=4,
+                      centroids=cents, refine_iters=1),
+        "query_id", "vec_id", "adc_dist",
+    )
+    assert got == want and len(got) == 25
+    plan = (
+        S.ivf_pq_topk_indexed(idx, q, cents, books, k=5, n_probe=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan and "Python" not in plan
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert any(
+        "code_0" in s and "embedding" not in s for s in schemas
+    ), schemas
+
+
+def test_ivf_pq_indexed_requires_pq_layout(spark, tmp_path):
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    path = str(tmp_path / "plain")
+    S.write_ivf_index(emb, _cents(emb), path)
+    idx = S.read_ivf_index(spark, path)
+    q = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="pq=True"):
+        S.ivf_pq_topk_indexed(idx, q, _cents(emb), [])
