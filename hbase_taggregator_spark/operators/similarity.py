@@ -1487,13 +1487,13 @@ def write_ivf_index(
     column-pruned to (id, cent_id, codes). ``binary`` and ``pq``
     compose — one index can carry both compressed representations.
 
-    NOTE ``mode="append"`` with ``binary=True`` appends rows quantized
-    against THIS call's thresholds — pass the STORED thresholds
-    (:func:`read_ivf_thresholds`) explicitly when growing an existing
-    binary index, or the old and new rows sit in different codebooks
-    (``"mean"`` recomputed on a new batch differs from the build-time
-    corpus means). The same contract holds for ``pq=True``: pass the
-    STORED ``codebooks`` (:func:`read_ivf_codebooks`) when appending."""
+    ``mode="append"`` enforces the ONE-CODEBOOK contract (r12 review):
+    with ``thresholds``/``codebooks`` omitted, the batch quantizes and
+    encodes against the STORED sidecars (never re-trained on the
+    batch — ``"mean"`` recomputed on a batch differs from the
+    build-time corpus means and would corrupt every later comparison);
+    explicit values that differ from the stored sidecars RAISE, and
+    the sidecars are only ever written by builds."""
     if strategy == "twolevel":
         lists = ivf_assign_two_level(
             ensure_parallelism(corpus), centroids, vec_col=vec_col,
@@ -1508,21 +1508,32 @@ def write_ivf_index(
     if binary:
         if threshold not in ("mean", "zero"):
             raise ValueError(f"unknown binary threshold: {threshold!r}")
-        thr = (
-            thresholds
-            if thresholds is not None
-            else (
+        if thresholds is not None:
+            thr = thresholds
+        elif mode == "append":
+            # GROWING an existing binary index: the batch MUST quantize
+            # against the stored build-time codebook — silently
+            # re-training means(batch) would put old and new rows in
+            # different codebooks and corrupt every later Hamming
+            # comparison (r12 review). Raises if the sidecar is absent.
+            thr = read_ivf_thresholds(corpus.sparkSession, path)
+        else:
+            thr = (
                 dimension_means(corpus, vec_col=vec_col, dim=dim)
                 if threshold == "mean"
                 else [0.0] * dim
             )
-        )
         words = binary_quantize(
             corpus, vec_col, id_col, dim=dim, thresholds=thr
         )
         lists = lists.join(words, id_col)
     if pq:
         books = codebooks
+        if books is None and mode == "append":
+            # same stored-codebook contract as the thresholds above;
+            # m comes from the stored books, not the pq_m default
+            books = read_ivf_codebooks(corpus.sparkSession, path)
+            pq_m = max(s for s, _, _ in books) + 1
         if books is None:
             books = pq_codebooks(corpus, pq_m, pq_codes, id_col, vec_col, dim)
             if pq_refine_iters:
@@ -1538,26 +1549,53 @@ def write_ivf_index(
     lists = lists.repartition("cent_id")
     lists.write.mode(mode).partitionBy("cent_id").parquet(path)
     if pq:
-        # codebooks sidecar — same underscore-hidden, always-overwrite
-        # discipline as _thresholds (append callers pass STORED books)
-        corpus.sparkSession.createDataFrame(
-            [
-                (s, code, i, float(v))
-                for (s, code, vals) in books
-                for i, v in enumerate(vals)
-            ],
-            "s int, code int, i int, v double",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebooks")
+        # codebooks sidecar — underscore-hidden like _thresholds; written
+        # on BUILDS only (appends encode against the stored books, which
+        # stay authoritative; an explicit divergent book set on append
+        # is rejected below rather than silently clobbering the sidecar)
+        if mode == "append":
+            stored = read_ivf_codebooks(corpus.sparkSession, path)
+            if books != stored:
+                raise ValueError(
+                    "write_ivf_index(mode='append', pq=True): explicit "
+                    "codebooks differ from the stored _codebooks sidecar "
+                    "— appending rows encoded in a different codebook "
+                    "would corrupt the index (pass "
+                    "read_ivf_codebooks(...) or omit codebooks)"
+                )
+        else:
+            corpus.sparkSession.createDataFrame(
+                [
+                    (s, code, i, float(v))
+                    for (s, code, vals) in books
+                    for i, v in enumerate(vals)
+                ],
+                "s int, code int, i int, v double",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/_codebooks"
+            )
     if binary:
         # sidecar AFTER the main write (an overwrite build wipes the
-        # whole directory first) — and itself always overwrite: on
-        # append the caller passes the STORED thresholds (docstring
-        # contract), so this rewrite is value-identical, where
-        # appending would duplicate the sidecar rows
-        corpus.sparkSession.createDataFrame(
-            [(i, float(v)) for i, v in enumerate(thr)],
-            "i int, threshold double",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_thresholds")
+        # whole directory first); written on BUILDS only — appends
+        # quantize against the stored thresholds, which stay
+        # authoritative, and an explicit divergent set is rejected
+        if mode == "append":
+            stored_thr = read_ivf_thresholds(corpus.sparkSession, path)
+            if [float(v) for v in thr] != stored_thr:
+                raise ValueError(
+                    "write_ivf_index(mode='append', binary=True): "
+                    "explicit thresholds differ from the stored "
+                    "_thresholds sidecar — appending rows quantized in "
+                    "a different codebook would corrupt the index (pass "
+                    "read_ivf_thresholds(...) or omit thresholds)"
+                )
+        else:
+            corpus.sparkSession.createDataFrame(
+                [(i, float(v)) for i, v in enumerate(thr)],
+                "i int, threshold double",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/_thresholds"
+            )
 
 
 def read_ivf_thresholds(spark, path: str) -> list[float]:
@@ -2511,10 +2549,11 @@ def write_binary_band_index(
     those by ``band_idx`` alone via a future knob if ever needed (the
     admission regime is fine bands, small radii).
 
-    Growth: ``mode="append"`` with the STORED thresholds
-    (:func:`read_binary_band_index`) lands an admitted batch's band
-    rows inside the existing bucket directories — same contract as the
-    IVF index's incremental append."""
+    Growth: ``mode="append"`` lands an admitted batch's band rows
+    inside the existing bucket directories, quantized against the
+    STORED thresholds automatically (explicit divergent thresholds or
+    a mismatched band layout RAISE — the one-codebook append contract,
+    same as :func:`write_ivf_index`)."""
     if threshold not in ("mean", "zero"):
         raise ValueError(f"unknown binary threshold: {threshold!r}")
     if dim % band_bits != 0 or BINARY_WORD_BITS % band_bits != 0:
@@ -2522,6 +2561,28 @@ def write_binary_band_index(
             f"band_bits={band_bits} must divide both dim={dim} and the "
             f"{BINARY_WORD_BITS}-bit packed word"
         )
+    if mode == "append":
+        # the one-codebook/one-layout append contract (r12 review, the
+        # write_ivf_index discipline): the batch quantizes against the
+        # STORED thresholds, and the band geometry must match the
+        # standing layout — a divergent explicit value raises instead
+        # of silently mixing codebooks or band domains
+        _idx, stored_thr, stored_bb, stored_dim = read_binary_band_index(
+            df.sparkSession, path
+        )
+        if (band_bits, dim) != (stored_bb, stored_dim):
+            raise ValueError(
+                f"write_binary_band_index(mode='append'): layout "
+                f"(band_bits={band_bits}, dim={dim}) differs from the "
+                f"stored ({stored_bb}, {stored_dim})"
+            )
+        if thresholds is None:
+            thresholds = stored_thr
+        elif [float(v) for v in thresholds] != stored_thr:
+            raise ValueError(
+                "write_binary_band_index(mode='append'): explicit "
+                "thresholds differ from the stored _thresholds sidecar"
+            )
     thr = (
         thresholds
         if thresholds is not None
@@ -2552,13 +2613,16 @@ def write_binary_band_index(
     rows.write.mode(mode).partitionBy("band_idx", "band_val").parquet(path)
     spark = df.sparkSession
     # sidecars AFTER the main write (overwrite wipes the directory);
-    # always overwrite — append callers pass the stored values
-    spark.createDataFrame(
-        [(i, float(v)) for i, v in enumerate(thr)], "i int, threshold double"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_thresholds")
-    spark.createDataFrame(
-        [(band_bits, dim)], "band_bits int, dim int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_layout")
+    # builds only — appends validated against the stored values above,
+    # which stay authoritative
+    if mode != "append":
+        spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(thr)],
+            "i int, threshold double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_thresholds")
+        spark.createDataFrame(
+            [(band_bits, dim)], "band_bits int, dim int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_layout")
 
 
 def read_binary_band_index(
@@ -2569,18 +2633,24 @@ def read_binary_band_index(
     are re-cast to their written types (band_idx INT, band_val BIGINT —
     directory-name inference would alter them, the
     :func:`read_ivf_index` discipline); the thresholds are the build
-    codebook every admission batch must quantize against."""
+    codebook every admission batch must quantize against. The frame
+    carries its (band_bits, dim) layout as ``band_idx`` column
+    METADATA, so :func:`binary_incremental_admitted` can reject a
+    mismatched width instead of silently joining misaligned band keys
+    (r12 review)."""
+    layout = spark.read.parquet(f"{path}/_layout").collect()[0]
+    bb, d = int(layout["band_bits"]), int(layout["dim"])
     df = (
         spark.read.parquet(path)
         .withColumn("band_idx", F.col("band_idx").cast("int"))
         .withColumn("band_val", F.col("band_val").cast("bigint"))
+        .withMetadata("band_idx", {"band_bits": bb, "dim": d})
     )
     thr = [
         float(r["threshold"])
         for r in spark.read.parquet(f"{path}/_thresholds").orderBy("i").collect()
     ]
-    layout = spark.read.parquet(f"{path}/_layout").collect()[0]
-    return df, thr, int(layout["band_bits"]), int(layout["dim"])
+    return df, thr, bb, d
 
 
 def binary_incremental_admitted(
@@ -2624,6 +2694,20 @@ def binary_incremental_admitted(
 
     Returns the surviving batch ids (one column, ``id_col``)."""
     bb = _resolve_band_bits(dim, radius, band_bits)
+    meta = index.schema["band_idx"].metadata if "band_idx" in index.columns else {}
+    if meta.get("band_bits") is not None and (
+        int(meta["band_bits"]) != bb or int(meta.get("dim", dim)) != dim
+    ):
+        # a pigeonhole-VALID width that doesn't match the standing
+        # layout would explode the batch into band keys that never
+        # align with the index's buckets — near-duplicates would be
+        # silently ADMITTED (r12 review). read_binary_band_index
+        # stamps the layout into the column metadata checked here.
+        raise ValueError(
+            f"binary_incremental_admitted: requested layout (band_bits="
+            f"{bb}, dim={dim}) does not match the standing index's "
+            f"({meta['band_bits']}, {meta.get('dim')})"
+        )
     n_bands = dim // bb
     n_words = (dim + BINARY_WORD_BITS - 1) // BINARY_WORD_BITS
     nb = binary_quantize(new, vec_col, id_col, dim=dim, thresholds=thresholds)
@@ -2633,16 +2717,18 @@ def binary_incremental_admitted(
         F.col("__bidx").alias("band_idx"),
         F.col("__bval").alias("band_val"),
     )
+    # no distinct() on either rejection stream (or their union): the
+    # left_anti join is insensitive to duplicate keys on its right
+    # side, and each dedup was a full extra exchange (r12 review)
     rej_corpus = (
         index.join(F.broadcast(probe), ["band_idx", "band_val"])
         .filter(_hamming_expr(n_words, "__n") <= radius)
         .select(F.col("__new_id").alias(id_col))
-        .distinct()
     )
     rej_batch = binary_hamming_radius_pairs(
         new, radius=radius, dim=dim, band_bits=bb,
         vec_col=vec_col, id_col=id_col, thresholds=thresholds,
-    ).select(F.col("id_b").alias(id_col)).distinct()
+    ).select(F.col("id_b").alias(id_col))
     e = F.col(vec_col)
     clean = new.filter(
         e.isNotNull()
@@ -2651,7 +2737,7 @@ def binary_incremental_admitted(
     )
     return (
         clean.select(id_col)
-        .join(rej_corpus.unionByName(rej_batch).distinct(), id_col, "left_anti")
+        .join(rej_corpus.unionByName(rej_batch), id_col, "left_anti")
     )
 
 

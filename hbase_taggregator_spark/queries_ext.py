@@ -4415,7 +4415,7 @@ _register(
 )
 # ---------------------------------------------------------------------------
 # Driver gate window (rotated per round): the driver records CORRECTNESS
-# rows for the FIRST 50 catalog entries. r12 priority: the THREE new
+# rows for the FIRST 50 catalog entries. r12 priority: the FIVE new
 # queries (similarity_ivf_binary_indexed_recall_at_5 — the composed
 # IVF+binary stack served from the binary=True persisted index,
 # dynamic-partition- and column-pruned first pass;

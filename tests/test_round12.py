@@ -445,3 +445,72 @@ def test_ivf_pq_indexed_requires_pq_layout(spark, tmp_path):
     q = emb.filter(F.col("vec_id") < 2)
     with pytest.raises(ValueError, match="pq=True"):
         S.ivf_pq_topk_indexed(idx, q, _cents(emb), [])
+
+
+# --- r12 review guards: append codebook contract + layout validation --------
+
+
+def test_append_reads_stored_codebooks_and_rejects_divergent(spark, tmp_path):
+    """Growing a binary/pq index with thresholds/codebooks omitted must
+    quantize the batch against the STORED sidecars (never re-train on
+    the batch — that silently mixes codebooks); explicit divergent
+    values raise; sidecars are only written by builds."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    a = emb.filter(F.col("vec_id") < 300)
+    b = emb.filter(F.col("vec_id") >= 300)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(a, _cents(emb), path, binary=True, pq=True,
+                      pq_refine_iters=0)
+    thr0 = S.read_ivf_thresholds(spark, path)
+    books0 = S.read_ivf_codebooks(spark, path)
+    # append WITHOUT passing thresholds/codebooks: stored ones apply
+    S.write_ivf_index(b, _cents(emb), path, binary=True, pq=True,
+                      pq_refine_iters=0, mode="append")
+    assert S.read_ivf_thresholds(spark, path) == thr0
+    assert S.read_ivf_codebooks(spark, path) == books0
+    idx = S.read_ivf_index(spark, path)
+    # the appended rows carry codes in the ORIGINAL codebook: quantize
+    # the full corpus at thr0 and compare words row-for-row
+    want = _rows(S.binary_quantize(emb, thresholds=thr0),
+                 "vec_id", "w0", "w1")
+    assert _rows(idx, "vec_id", "w0", "w1") == want
+    # explicit divergent values raise instead of clobbering
+    with pytest.raises(ValueError, match="differ from the stored"):
+        S.write_ivf_index(b, _cents(emb), path, binary=True,
+                          thresholds=[0.0] * 64, mode="append")
+    with pytest.raises(ValueError, match="differ from the stored"):
+        S.write_ivf_index(b, _cents(emb), path, pq=True,
+                          codebooks=[(s, c, [0.0] * 16)
+                                     for s in range(4) for c in range(16)],
+                          mode="append")
+
+
+def test_band_index_append_contract_and_admission_layout_guard(
+    spark, tmp_path
+):
+    """write_binary_band_index append: stored thresholds apply
+    automatically, layout mismatches raise; and
+    binary_incremental_admitted rejects a band width that doesn't
+    match the standing index's layout (metadata-stamped by
+    read_binary_band_index) — a misaligned width would silently admit
+    near-duplicates."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "bands")
+    S.write_binary_band_index(corpus, path, band_bits=4)
+    idx, thr, bb, dim = S.read_binary_band_index(spark, path)
+    # append without thresholds: stored codebook applies (equal to the
+    # explicit-stored-thresholds append pinned in the earlier test)
+    S.write_binary_band_index(batch, path, band_bits=4, mode="append")
+    idx2, thr2, _, _ = S.read_binary_band_index(spark, path)
+    assert thr2 == thr and idx2.count() == idx.count() + batch.count() * 16
+    with pytest.raises(ValueError, match="layout"):
+        S.write_binary_band_index(batch, path, band_bits=8, mode="append")
+    with pytest.raises(ValueError, match="does not match the standing"):
+        S.binary_incremental_admitted(idx, batch, thr, radius=15,
+                                      band_bits=2)
