@@ -1422,6 +1422,20 @@ def ivf_topk(
     )
 
 
+def _ivf_sidecar_or_none(reader, spark, path: str):
+    """Read an index sidecar (``_thresholds`` / ``_codebooks``),
+    returning None when it is absent — a standing index built without
+    that representation, or no index at the path yet. Only the
+    path-not-found analysis error maps to None; corrupt sidecars still
+    raise."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return reader(spark, path)
+    except AnalysisException:
+        return None
+
+
 def write_ivf_index(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -1493,7 +1507,52 @@ def write_ivf_index(
     batch — ``"mean"`` recomputed on a batch differs from the
     build-time corpus means and would corrupt every later comparison);
     explicit values that differ from the stored sidecars RAISE, and
-    the sidecars are only ever written by builds."""
+    the sidecars are only ever written by builds. ALL append validation
+    (divergent values AND representation-set mismatches — e.g.
+    ``binary=False`` against a binary index, whose appended rows would
+    read back NULL words and silently vanish from Hamming candidates)
+    runs BEFORE the first byte is written, so a rejected append leaves
+    the standing index untouched (r12 review)."""
+    stored_thr: list[float] | None = None
+    stored_books: list[tuple[int, int, list[float]]] | None = None
+    if mode == "append":
+        # Validate the batch against the standing index BEFORE any
+        # write — each sidecar is read exactly once and reused for the
+        # encode below.
+        ss = corpus.sparkSession
+        stored_thr = _ivf_sidecar_or_none(read_ivf_thresholds, ss, path)
+        stored_books = _ivf_sidecar_or_none(read_ivf_codebooks, ss, path)
+        for flag, name, sidecar, present in (
+            (binary, "binary", "_thresholds", stored_thr is not None),
+            (pq, "pq", "_codebooks", stored_books is not None),
+        ):
+            if flag != present:
+                raise ValueError(
+                    f"write_ivf_index(mode='append'): {name}={flag} "
+                    f"does not match the standing index ({sidecar} "
+                    f"sidecar {'present' if present else 'absent'}) — "
+                    "appended rows must carry exactly the standing "
+                    "layout's representation set, or readers see NULL "
+                    "codes and silently drop them from candidates"
+                )
+        if binary and thresholds is not None and [
+            float(v) for v in thresholds
+        ] != stored_thr:
+            raise ValueError(
+                "write_ivf_index(mode='append', binary=True): explicit "
+                "thresholds differ from the stored _thresholds sidecar "
+                "— appending rows quantized in a different codebook "
+                "would corrupt the index (pass read_ivf_thresholds(...) "
+                "or omit thresholds)"
+            )
+        if pq and codebooks is not None and codebooks != stored_books:
+            raise ValueError(
+                "write_ivf_index(mode='append', pq=True): explicit "
+                "codebooks differ from the stored _codebooks sidecar — "
+                "appending rows encoded in a different codebook would "
+                "corrupt the index (pass read_ivf_codebooks(...) or "
+                "omit codebooks)"
+            )
     if strategy == "twolevel":
         lists = ivf_assign_two_level(
             ensure_parallelism(corpus), centroids, vec_col=vec_col,
@@ -1508,15 +1567,17 @@ def write_ivf_index(
     if binary:
         if threshold not in ("mean", "zero"):
             raise ValueError(f"unknown binary threshold: {threshold!r}")
-        if thresholds is not None:
-            thr = thresholds
-        elif mode == "append":
+        if mode == "append":
             # GROWING an existing binary index: the batch MUST quantize
             # against the stored build-time codebook — silently
             # re-training means(batch) would put old and new rows in
             # different codebooks and corrupt every later Hamming
-            # comparison (r12 review). Raises if the sidecar is absent.
-            thr = read_ivf_thresholds(corpus.sparkSession, path)
+            # comparison (r12 review). Explicit thresholds were
+            # validated equal to the sidecar above, so the stored list
+            # (already in hand — read once) is authoritative.
+            thr = stored_thr
+        elif thresholds is not None:
+            thr = thresholds
         else:
             thr = (
                 dimension_means(corpus, vec_col=vec_col, dim=dim)
@@ -1528,12 +1589,14 @@ def write_ivf_index(
         )
         lists = lists.join(words, id_col)
     if pq:
-        books = codebooks
-        if books is None and mode == "append":
-            # same stored-codebook contract as the thresholds above;
-            # m comes from the stored books, not the pq_m default
-            books = read_ivf_codebooks(corpus.sparkSession, path)
+        if mode == "append":
+            # same stored-codebook contract as the thresholds above
+            # (explicit books validated equal before the write); m
+            # comes from the stored books, not the pq_m default
+            books = stored_books
             pq_m = max(s for s, _, _ in books) + 1
+        else:
+            books = codebooks
         if books is None:
             books = pq_codebooks(corpus, pq_m, pq_codes, id_col, vec_col, dim)
             if pq_refine_iters:
@@ -1548,54 +1611,28 @@ def write_ivf_index(
     # writer's discipline; the build-time shuffle is the amortized step)
     lists = lists.repartition("cent_id")
     lists.write.mode(mode).partitionBy("cent_id").parquet(path)
-    if pq:
-        # codebooks sidecar — underscore-hidden like _thresholds; written
-        # on BUILDS only (appends encode against the stored books, which
-        # stay authoritative; an explicit divergent book set on append
-        # is rejected below rather than silently clobbering the sidecar)
-        if mode == "append":
-            stored = read_ivf_codebooks(corpus.sparkSession, path)
-            if books != stored:
-                raise ValueError(
-                    "write_ivf_index(mode='append', pq=True): explicit "
-                    "codebooks differ from the stored _codebooks sidecar "
-                    "— appending rows encoded in a different codebook "
-                    "would corrupt the index (pass "
-                    "read_ivf_codebooks(...) or omit codebooks)"
-                )
-        else:
-            corpus.sparkSession.createDataFrame(
-                [
-                    (s, code, i, float(v))
-                    for (s, code, vals) in books
-                    for i, v in enumerate(vals)
-                ],
-                "s int, code int, i int, v double",
-            ).coalesce(1).write.mode("overwrite").parquet(
-                f"{path}/_codebooks"
-            )
-    if binary:
-        # sidecar AFTER the main write (an overwrite build wipes the
-        # whole directory first); written on BUILDS only — appends
-        # quantize against the stored thresholds, which stay
-        # authoritative, and an explicit divergent set is rejected
-        if mode == "append":
-            stored_thr = read_ivf_thresholds(corpus.sparkSession, path)
-            if [float(v) for v in thr] != stored_thr:
-                raise ValueError(
-                    "write_ivf_index(mode='append', binary=True): "
-                    "explicit thresholds differ from the stored "
-                    "_thresholds sidecar — appending rows quantized in "
-                    "a different codebook would corrupt the index (pass "
-                    "read_ivf_thresholds(...) or omit thresholds)"
-                )
-        else:
-            corpus.sparkSession.createDataFrame(
-                [(i, float(v)) for i, v in enumerate(thr)],
-                "i int, threshold double",
-            ).coalesce(1).write.mode("overwrite").parquet(
-                f"{path}/_thresholds"
-            )
+    # sidecars AFTER the main write (an overwrite build wipes the whole
+    # directory first) and on BUILDS only — appends were validated
+    # against the stored sidecars BEFORE the write above, so the stored
+    # values stay authoritative and a rejected append wrote nothing
+    if pq and mode != "append":
+        corpus.sparkSession.createDataFrame(
+            [
+                (s, code, i, float(v))
+                for (s, code, vals) in books
+                for i, v in enumerate(vals)
+            ],
+            "s int, code int, i int, v double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/_codebooks"
+        )
+    if binary and mode != "append":
+        corpus.sparkSession.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(thr)],
+            "i int, threshold double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/_thresholds"
+        )
 
 
 def read_ivf_thresholds(spark, path: str) -> list[float]:

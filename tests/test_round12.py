@@ -476,15 +476,30 @@ def test_append_reads_stored_codebooks_and_rejects_divergent(spark, tmp_path):
     want = _rows(S.binary_quantize(emb, thresholds=thr0),
                  "vec_id", "w0", "w1")
     assert _rows(idx, "vec_id", "w0", "w1") == want
-    # explicit divergent values raise instead of clobbering
+    # explicit divergent values raise BEFORE anything is written: the
+    # index must be byte-for-byte untouched after each rejection (r12
+    # ADVICE — validation used to run after the append had persisted)
+    n0 = idx.count()
     with pytest.raises(ValueError, match="differ from the stored"):
-        S.write_ivf_index(b, _cents(emb), path, binary=True,
+        S.write_ivf_index(b, _cents(emb), path, binary=True, pq=True,
                           thresholds=[0.0] * 64, mode="append")
     with pytest.raises(ValueError, match="differ from the stored"):
-        S.write_ivf_index(b, _cents(emb), path, pq=True,
+        S.write_ivf_index(b, _cents(emb), path, binary=True, pq=True,
                           codebooks=[(s, c, [0.0] * 16)
                                      for s in range(4) for c in range(16)],
                           mode="append")
+    # representation-set mismatches raise too (r12 ADVICE): an append
+    # lacking the standing layout's codes would read back NULL words
+    # and silently vanish from Hamming/ADC candidates
+    with pytest.raises(ValueError, match="does not match the standing"):
+        S.write_ivf_index(b, _cents(emb), path, mode="append")
+    with pytest.raises(ValueError, match="does not match the standing"):
+        S.write_ivf_index(b, _cents(emb), path, binary=True, mode="append")
+    after = S.read_ivf_index(spark, path)
+    assert after.count() == n0
+    assert _rows(after, "vec_id", "w0", "w1") == want
+    assert S.read_ivf_thresholds(spark, path) == thr0
+    assert S.read_ivf_codebooks(spark, path) == books0
 
 
 def test_band_index_append_contract_and_admission_layout_guard(
