@@ -1679,6 +1679,7 @@ def ivf_pq_topk_indexed(
     exclude_self: bool = True,
     strategy: str = "auto",
     dim: int = 64,
+    pq_strategy: str = "auto",
 ) -> DataFrame:
     """The composed IVF + PQ stack (:func:`ivf_pq_topk`) served from a
     PERSISTED ``pq=True`` :func:`write_ivf_index` layout — the IVFADC
@@ -1704,7 +1705,6 @@ def ivf_pq_topk_indexed(
             "ivf_pq_topk_indexed needs a pq=True write_ivf_index layout — "
             f"columns {missing} absent from the index frame"
         )
-    sub = dim // m
     code_rows = index.select(
         id_col,
         "cent_id",
@@ -1729,21 +1729,9 @@ def ivf_pq_topk_indexed(
         q, centroids, "__qvec", query_id_col, n_probe=n_probe,
         strategy=strategy,
     ).select(query_id_col, "cent_id")
-    lut_entries = [
-        F.struct(
-            F.lit(s).alias("s"),
-            F.lit(code).alias("code"),
-            _pq_subdist("__qvec", s, sub, cvals).alias("dist"),
-        )
-        for (s, code, cvals) in codebooks
-    ]
-    lut = q.select(
-        query_id_col, F.explode(F.array(*lut_entries)).alias("__e")
-    ).select(
-        query_id_col,
-        F.col("__e.s").alias("s"),
-        F.col("__e.code").alias("code"),
-        F.col("__e.dist").alias("dist"),
+    lut = _pq_lut(
+        q, codebooks, m, dim, query_id_col,
+        _resolve_pq_strategy(pq_strategy, codebooks),
     )
     scored = (
         code_rows.join(F.broadcast(probes), "cent_id")
@@ -3185,6 +3173,20 @@ def pq_codebooks(
     return books
 
 
+def _pq_sqdist(seg: Column, code_vec: Column) -> Column:
+    """Decimal-accumulated squared L2 between a subspace slice and a
+    codeword vector — exact and order-free, so SQL SUM() over the same
+    terms is bit-identical. Shared by the inline (literal codeword) and
+    broadcast (codeword column) strategies: both run the IDENTICAL
+    decimal algebra, which is what makes them output-identical."""
+    diffs = F.zip_with(
+        seg,
+        code_vec,
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    return _dec_sum(diffs)
+
+
 def _pq_subdist(vec_col: str, s: int, sub: int, cvals: list[float]) -> Column:
     """Decimal-accumulated squared L2 between a vector's subspace-s slice
     and a literal codeword — exact and order-free, so SQL SUM() over the
@@ -3192,13 +3194,161 @@ def _pq_subdist(vec_col: str, s: int, sub: int, cvals: list[float]) -> Column:
     16-deep chained-cast expression: m×k of those sends Catalyst analysis
     + codegen into the minutes — the nested-HOF trap from round 1)."""
     seg = F.slice(F.col(vec_col), s * sub + 1, sub)
-    cl = F.array(*[F.lit(v) for v in cvals])
-    diffs = F.zip_with(
-        seg,
-        cl,
-        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    return _pq_sqdist(seg, F.array(*[F.lit(v) for v in cvals]))
+
+
+#: past this many total codebook floats (m × n_codes × dim/m = k·dim),
+#: the inline strategy's plan literals hit the same Catalyst plan-size
+#: ceiling the IVF family documented at nlist=10⁴ (VERDICT r12 "What's
+#: wrong" #3: production dials m=16 × 256 codes × dim=1024 → 262k
+#: literals per query plan). ``pq_strategy="auto"`` switches to the
+#: broadcast-join form above it: the codebook rides a BroadcastExchange
+#: (m×k rows, shipped once per executor), ZERO plan literals at any
+#: dial, and the identical decimal algebra — output-identical to
+#: inline (unit-pinned). Below it, inline wins: one projection, no
+#: join machinery, no explode fan-out.
+PQ_INLINE_MAX_LITERALS = 8192
+
+
+def _resolve_pq_strategy(
+    pq_strategy: str, codebooks: list[tuple[int, int, list[float]]]
+) -> str:
+    if pq_strategy not in ("auto", "inline", "broadcast"):
+        raise ValueError(
+            f"unknown pq_strategy: {pq_strategy!r} "
+            "(expected 'auto', 'inline' or 'broadcast')"
+        )
+    if pq_strategy != "auto":
+        return pq_strategy
+    lits = sum(len(vals) for (_, _, vals) in codebooks)
+    return "broadcast" if lits > PQ_INLINE_MAX_LITERALS else "inline"
+
+
+def _pq_codebook_df(spark, codebooks) -> DataFrame:
+    """The codebooks as a tiny DataFrame (__cb_s, __cb_code, __cb_cvec)
+    — m×n_codes rows, the broadcast side of the zero-literal strategy.
+    Column names are prefixed so the join never collides with corpus
+    columns."""
+    return spark.createDataFrame(
+        [
+            (int(s), int(code), [float(v) for v in vals])
+            for (s, code, vals) in codebooks
+        ],
+        "__cb_s int, __cb_code int, __cb_cvec array<double>",
     )
-    return _dec_sum(diffs)
+
+
+def _pq_segments(
+    frame: DataFrame, vec_col: str, head: list[str], m: int, sub: int
+) -> DataFrame:
+    """Map-side explode of each vector into its m subspace slices:
+    (head..., __s, __seg) — the probe side of the broadcast codebook
+    join. The slice projection is the same `F.slice` the inline
+    strategy uses, so segment values are bit-identical."""
+    return frame.select(
+        *head,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col(vec_col), s * sub + 1, sub).alias(
+                            "seg"
+                        ),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__x"),
+    ).select(
+        *head, F.col("__x.s").alias("__s"), F.col("__x.seg").alias("__seg")
+    )
+
+
+def _pq_encode_broadcast(
+    corpus: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    m: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    keep: list[str],
+) -> DataFrame:
+    """:func:`pq_encode`'s zero-plan-literal strategy: slices ⋈
+    broadcast(codebook df) → per-(row, subspace) argmin as ONE partial
+    aggregation. The fan-out (m×n_codes scored rows per vector) is the
+    same arithmetic the inline projection performs — here it flows
+    through whole-stage codegen and collapses map-side: `F.min` over
+    struct(dist, code) is partial-aggregable, so the single exchange
+    carries one row per input row, never the fan-out. Tie order
+    (dist asc, code asc — struct ordering) matches inline's
+    `array_sort`. Requires unique ``id_col`` (+``keep``) rows — exact
+    duplicate ids would merge where inline keeps both."""
+    sub = dim // m
+    cb = _pq_codebook_df(corpus.sparkSession, codebooks)
+    segs = _pq_segments(corpus, vec_col, [id_col, *keep], m, sub)
+    scored = segs.join(
+        F.broadcast(cb), F.col("__s") == F.col("__cb_s")
+    ).withColumn("__d", _pq_sqdist(F.col("__seg"), F.col("__cb_cvec")))
+    agg = scored.groupBy(id_col, *keep).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__s") == s,
+                    F.struct(
+                        F.col("__d").alias("dist"),
+                        F.col("__cb_code").alias("code"),
+                    ),
+                )
+            )["code"].alias(f"code_{s}")
+            for s in range(m)
+        ]
+    )
+    return agg.select(id_col, *[f"code_{s}" for s in range(m)], *(keep or []))
+
+
+def _pq_lut(
+    q: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    m: int,
+    dim: int,
+    query_id_col: str,
+    strategy: str,
+) -> DataFrame:
+    """Per-query ADC lookup table (query_id, s, code, dist) — exact
+    subspace distances from the query vector (column ``__qvec``) to
+    every codeword. ``inline`` builds it as m×n_codes literal-codeword
+    expressions; ``broadcast`` as slices ⋈ broadcast(codebook df) —
+    zero plan literals at any dial (VERDICT r12 #3), identical decimal
+    algebra, identical rows."""
+    sub = dim // m
+    if strategy == "broadcast":
+        segs = _pq_segments(q, "__qvec", [query_id_col], m, sub)
+        return segs.join(
+            F.broadcast(_pq_codebook_df(q.sparkSession, codebooks)),
+            F.col("__s") == F.col("__cb_s"),
+        ).select(
+            query_id_col,
+            F.col("__s").alias("s"),
+            F.col("__cb_code").alias("code"),
+            _pq_sqdist(F.col("__seg"), F.col("__cb_cvec")).alias("dist"),
+        )
+    lut_entries = [
+        F.struct(
+            F.lit(s).alias("s"),
+            F.lit(code).alias("code"),
+            _pq_subdist("__qvec", s, sub, cvals).alias("dist"),
+        )
+        for (s, code, cvals) in codebooks
+    ]
+    return q.select(
+        query_id_col, F.explode(F.array(*lut_entries)).alias("__e")
+    ).select(
+        query_id_col,
+        F.col("__e.s").alias("s"),
+        F.col("__e.code").alias("code"),
+        F.col("__e.dist").alias("dist"),
+    )
 
 
 def pq_encode(
@@ -3209,15 +3359,32 @@ def pq_encode(
     vec_col: str = "embedding",
     dim: int = 64,
     keep: list[str] | None = None,
+    pq_strategy: str = "auto",
 ) -> DataFrame:
     """PQ encoding — per subspace, the nearest codeword id (squared-L2
-    argmin, ties by code id). Entirely map-side over inlined codebooks,
-    same zero-shuffle discipline as :func:`ivf_assign`: a 64-dim float
-    vector compresses to ``m`` small ints (the 16× storage cut that makes
-    100 TB ANN serving tractable). Output: (id_col, code_0..code_{m-1},
-    *keep) — ``keep`` carries extra columns (e.g. the vector itself for
-    :func:`pq_refine_codebooks`'s mean step) through the projection
-    without a rejoin."""
+    argmin, ties by code id). A 64-dim float vector compresses to ``m``
+    small ints — the 16× storage cut that makes 100 TB ANN serving
+    tractable. Output: (id_col, code_0..code_{m-1}, *keep) — ``keep``
+    carries extra columns (e.g. the vector itself for
+    :func:`pq_refine_codebooks`'s mean step) through without a rejoin.
+
+    ``pq_strategy`` picks the physical form (both run the identical
+    decimal algebra — output-identical, unit-pinned):
+
+    - ``"inline"``: entirely map-side over literal codewords, the
+      :func:`ivf_assign` zero-shuffle discipline — but the plan carries
+      m×n_codes×(dim/m) literals, which hits Catalyst's plan-size
+      ceiling at production dials (VERDICT r12 #3: m=16, 256 codes,
+      dim=1024 → 262k literals).
+    - ``"broadcast"``: the codebook rides a ``BroadcastExchange`` as a
+      tiny DataFrame and the argmin is one partial aggregation — ZERO
+      plan literals at any dial (plan-asserted at m=16/k=256/dim=512).
+    - ``"auto"`` (default): inline up to ``PQ_INLINE_MAX_LITERALS``
+      total codebook floats, broadcast past it."""
+    if _resolve_pq_strategy(pq_strategy, codebooks) == "broadcast":
+        return _pq_encode_broadcast(
+            corpus, codebooks, m, id_col, vec_col, dim, keep or []
+        )
     sub = dim // m
     out = []
     for s in range(m):
@@ -3307,6 +3474,57 @@ def pq_refine_codebooks(
     return books
 
 
+def pq_code_census(
+    codes: DataFrame, m: int = 4, id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-subspace code-utilization census over a :func:`pq_encode`
+    output — the cheap observable for the dup-heavy PQ collapse
+    (VERDICT r12 "What's wrong" #2): on near-duplicate corpora, Lloyd
+    refinement pulls codewords to copy-block means, whole blocks
+    collapse to ONE code per subspace, ADC ties across the block, and
+    top-k membership inside a tie is id-arbitrary — recall craters
+    (measured 0.04 → 0.008 on the r12 hard fixture,
+    tools/bench_pq_r12.json) while every row-algebra hash stays green.
+
+    Output, one row per subspace: ``(s, n_codes_used,
+    top_code_share)`` — ``top_code_share`` is the fraction of the
+    corpus in the subspace's most-populated codeword. A share near 1.0
+    (or ``n_codes_used`` ≪ the codebook size) in any subspace means
+    the codebook cannot discriminate within that subspace: route to
+    the binary/Hamming family, or dedup the corpus
+    (:func:`minhash_dedup` / :func:`binary_hamming_topk` + drop)
+    BEFORE training PQ codebooks. Shape: one map-side explode to
+    (s, code) key-only rows, partial-agg counts, two tiny exchanges
+    (≤ m×n_codes rows) — safe to run on the full corpus at any
+    scale."""
+    pairs = codes.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.col(f"code_{s}").alias("code")
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__c")
+    ).select(F.col("__c.s").alias("s"), F.col("__c.code").alias("code"))
+    counts = pairs.groupBy("s", "code").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        counts.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_codes_used"),
+            (
+                F.max("__n").cast("double")
+                / F.sum("__n").cast("double")
+            ).alias("top_code_share"),
+        )
+        .orderBy("s")
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -3319,6 +3537,7 @@ def pq_adc_topk(
     dim: int = 64,
     exclude_self: bool = True,
     refine_iters: int = 0,
+    pq_strategy: str = "auto",
 ) -> DataFrame:
     """Asymmetric-distance PQ top-k: the corpus is scanned as codes only
     (m ints/vector), each query precomputes an m×n_codes lookup table of
@@ -3334,33 +3553,28 @@ def pq_adc_topk(
     distributed assign→mean pass each): the production codebook-quality
     knob the sampling init always under-delivers on (VERDICT r11 #4);
     the gate runs at 1, and the sf1 hard-fixture census pairs refined
-    vs sampling-init recall (tools/bench_pq_r12.py)."""
+    vs sampling-init recall (tools/bench_pq_r12.py).
+
+    KNOWN REGIME LIMIT (r12 census): on dup-heavy corpora, refinement
+    collapses copy blocks to tied codes and recall craters (0.04 →
+    0.008 on the hard fixture) with every hash green — run
+    :func:`pq_code_census` on the encode output and, if any
+    subspace's ``top_code_share`` nears 1.0, route to the
+    binary/Hamming family or dedup the corpus before training."""
     books = pq_codebooks(corpus, m, n_codes, id_col, vec_col, dim)
     if refine_iters:
         books = pq_refine_codebooks(
             corpus, books, m, id_col, vec_col, dim, iters=refine_iters
         )
-    codes = pq_encode(ensure_parallelism(corpus), books, m, id_col, vec_col, dim)
-    sub = dim // m
+    strategy = _resolve_pq_strategy(pq_strategy, books)
+    codes = pq_encode(
+        ensure_parallelism(corpus), books, m, id_col, vec_col, dim,
+        pq_strategy=strategy,
+    )
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )
-    lut_entries = [
-        F.struct(
-            F.lit(s).alias("s"),
-            F.lit(code).alias("code"),
-            _pq_subdist("__qvec", s, sub, cvals).alias("dist"),
-        )
-        for (s, code, cvals) in books
-    ]
-    lut = q.select(
-        query_id_col, F.explode(F.array(*lut_entries)).alias("__e")
-    ).select(
-        query_id_col,
-        F.col("__e.s").alias("s"),
-        F.col("__e.code").alias("code"),
-        F.col("__e.dist").alias("dist"),
-    )
+    lut = _pq_lut(q, books, m, dim, query_id_col, strategy)
     code_rows = codes.select(
         id_col,
         F.explode(
@@ -3400,6 +3614,7 @@ def ivf_pq_topk(
     exclude_self: bool = True,
     dim: int = 64,
     refine_iters: int = 0,
+    pq_strategy: str = "auto",
 ) -> DataFrame:
     """The composed IVF + PQ retrieval stack — IVFADC (Jégou et al.,
     PQ for nearest neighbor search; public method): IVF probing
@@ -3430,7 +3645,11 @@ def ivf_pq_topk(
     Output: (query_id_col, id_col, adc_dist) ascending top-k per
     query, id tiebreak. Approximate on two priced axes (IVF recall ×
     PQ quantization error); the gate scores recall@5 against exact
-    Euclidean top-k."""
+    Euclidean top-k. On dup-heavy corpora PQ codes tie across copy
+    blocks and recall craters silently (r12 census) — check
+    :func:`pq_code_census` and prefer :func:`ivf_binary_topk` (or
+    dedup before training) when any subspace's top_code_share nears
+    1.0."""
     if centroids is None:
         centroids = (
             corpus.orderBy(id_col)
@@ -3444,7 +3663,7 @@ def ivf_pq_topk(
         books = pq_refine_codebooks(
             corpus, books, m, id_col, vec_col, dim, iters=refine_iters
         )
-    sub = dim // m
+    strategy = _resolve_pq_strategy(pq_strategy, books)
     # assignment and encoding are BOTH map-side projections — chain them
     # over one corpus scan (pq_encode's `keep` carries cent_id through),
     # so the code stream is born with its cell and no id-rejoin shuffle
@@ -3453,7 +3672,8 @@ def ivf_pq_topk(
         ensure_parallelism(corpus), centroids, vec_col, id_col, n_probe=1
     )
     codes = pq_encode(
-        assigned, books, m, id_col, vec_col, dim, keep=["cent_id"]
+        assigned, books, m, id_col, vec_col, dim, keep=["cent_id"],
+        pq_strategy=strategy,
     )
     code_rows = codes.select(
         id_col,
@@ -3478,22 +3698,7 @@ def ivf_pq_topk(
     probes = ivf_assign(
         q, centroids, "__qvec", query_id_col, n_probe=n_probe
     ).select(query_id_col, "cent_id")
-    lut_entries = [
-        F.struct(
-            F.lit(s).alias("s"),
-            F.lit(code).alias("code"),
-            _pq_subdist("__qvec", s, sub, cvals).alias("dist"),
-        )
-        for (s, code, cvals) in books
-    ]
-    lut = q.select(
-        query_id_col, F.explode(F.array(*lut_entries)).alias("__e")
-    ).select(
-        query_id_col,
-        F.col("__e.s").alias("s"),
-        F.col("__e.code").alias("code"),
-        F.col("__e.dist").alias("dist"),
-    )
+    lut = _pq_lut(q, books, m, dim, query_id_col, strategy)
     scored = (
         code_rows.join(F.broadcast(probes), "cent_id")
         .join(F.broadcast(lut), [query_id_col, "s", "code"])
