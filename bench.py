@@ -7,7 +7,7 @@ queries + a pointer): every prior round's driver artifact ended up with
 "parsed": null because the full 136-query line outgrew the driver's tail
 capture. The complete per-query dict (sf0.1 + sf1 + ratios + run counts)
 is written by this script itself to $SPARK_GRAFT_BENCH_OUT (default
-tools/bench_local_r12.json).
+tools/bench_local_r13.json).
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect — the number measures the distributed plan, not result
@@ -237,6 +237,10 @@ HEADLINE = [
     # map-side and scan-bound at real scale) — both caveats were the
     # old exclusion rationale, but a floor-bound number still catches a
     # regression where a blind spot catches nothing.
+    # --- round-13 new gates ---
+    "similarity_ivf_pq_rerank_recall_at_5",
+    "similarity_ivf_pq_recall_floor",
+    "pq_code_collapse_census",
     # --- round-12 new gates ---
     "similarity_ivf_binary_indexed_recall_at_5",
     "similarity_ivf_pq_recall_at_5",
@@ -505,7 +509,7 @@ def main() -> None:
     # capture — every earlier round recorded "parsed": null because the
     # full line outgrew it
     repo_rel = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", f"{repo}/tools/bench_local_r12.json"
+        "SPARK_GRAFT_BENCH_OUT", f"{repo}/tools/bench_local_r13.json"
     )
     with open(repo_rel, "w") as f:
         json.dump(full, f, indent=1)

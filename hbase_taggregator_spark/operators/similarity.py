@@ -1680,6 +1680,7 @@ def ivf_pq_topk_indexed(
     strategy: str = "auto",
     dim: int = 64,
     pq_strategy: str = "auto",
+    rerank_k: int | None = None,
 ) -> DataFrame:
     """The composed IVF + PQ stack (:func:`ivf_pq_topk`) served from a
     PERSISTED ``pq=True`` :func:`write_ivf_index` layout — the IVFADC
@@ -1698,7 +1699,13 @@ def ivf_pq_topk_indexed(
     aggregation over probed-cell candidates. Row-identical to in-memory
     :func:`ivf_pq_topk` over the same corpus / centroids / codebooks
     (unit-pinned). Output: (query_id_col, id_col, adc_dist) ascending
-    top-k, id tiebreak."""
+    top-k, id tiebreak.
+
+    ``rerank_k`` = IVFADC+R served from the standing layout: the exact
+    squared-L2 second pass reads candidate vectors AND their stored
+    norms from the index itself, partition-pruned to the probed cells
+    by the (cent_id, id) broadcast join — row-identical to the
+    in-memory ``rerank_k`` path (output (query_id_col, id_col, d2))."""
     missing = [c for c in (f"code_{s}" for s in range(m)) if c not in index.columns]
     if missing:
         raise ValueError(
@@ -1739,12 +1746,45 @@ def ivf_pq_topk_indexed(
         .filter(
             F.col(query_id_col) != F.col(id_col) if exclude_self else F.lit(True)
         )
-        .groupBy(query_id_col, id_col)
+        .groupBy(
+            query_id_col, id_col,
+            *(["cent_id"] if rerank_k is not None else []),
+        )
         .agg(F.sum(F.col("dist").cast(DEC)).cast("double").alias("adc_dist"))
     )
-    return top_k_per_group(
-        scored, [query_id_col], "adc_dist", k, descending=False,
+    if rerank_k is None:
+        return top_k_per_group(
+            scored, [query_id_col], "adc_dist", k, descending=False,
+            tiebreak=[id_col],
+        )
+    # IVFADC+R off the standing layout: the exact pass re-reads ONLY
+    # the candidate rows' full-width vectors and STORED norms from the
+    # index — the (cent_id, id) broadcast join prunes the second scan
+    # to the probed cell directories, the ivf_binary_topk_indexed
+    # rerank discipline; L2 algebra = _exact_l2_rerank's
+    cands = top_k_per_group(
+        scored, [query_id_col], "adc_dist", rerank_k, descending=False,
         tiebreak=[id_col],
+    ).select(query_id_col, id_col, "cent_id")
+    qv = with_norm(q, "__qvec").select(
+        query_id_col, "__qvec", F.col("nrm").alias("__qnrm")
+    )
+    pairs = cands.join(F.broadcast(qv), query_id_col)
+    rers = (
+        index.select(id_col, vec_col, "nrm", "cent_id")
+        .join(F.broadcast(pairs), ["cent_id", id_col])
+        .select(
+            query_id_col,
+            id_col,
+            (
+                F.col("__qnrm") * F.col("__qnrm")
+                + F.col("nrm") * F.col("nrm")
+                - 2 * dot(F.col("__qvec"), F.col(vec_col))
+            ).alias("d2"),
+        )
+    )
+    return top_k_per_group(
+        rers, [query_id_col], "d2", k, descending=False, tiebreak=[id_col]
     )
 
 
@@ -2985,6 +3025,48 @@ def _exact_cosine_rerank(
     )
 
 
+def _exact_l2_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cands: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact squared-L2 re-rank of a bounded (query_id, id) candidate
+    set — :func:`_exact_cosine_rerank`'s Euclidean sibling, the "+R"
+    stage of IVFADC+R (Jégou et al.: re-rank the ADC shortlist with
+    exact distances). Same physical shape: candidates broadcast INTO
+    the corpus join with query vectors and norms attached, so corpus
+    full-width vectors are read once and never shuffled; the distance
+    is :func:`l2_topk`'s |q|² + |x|² − 2·q·x over the decimal-exact
+    dot — identical IEEE arithmetic to the oracle's restatement."""
+    qv = with_norm(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        ),
+        "__qvec",
+    ).select(query_id_col, "__qvec", F.col("nrm").alias("__qnrm"))
+    pairs = cands.join(F.broadcast(qv), query_id_col)
+    rers = (
+        with_norm(corpus.select(id_col, vec_col), vec_col)
+        .join(F.broadcast(pairs), id_col)
+        .select(
+            query_id_col,
+            id_col,
+            (
+                F.col("__qnrm") * F.col("__qnrm")
+                + F.col("nrm") * F.col("nrm")
+                - 2 * dot(F.col("__qvec"), F.col(vec_col))
+            ).alias("d2"),
+        )
+    )
+    return top_k_per_group(
+        rers, [query_id_col], "d2", k, descending=False, tiebreak=[id_col]
+    )
+
+
 def ivf_binary_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -3615,6 +3697,7 @@ def ivf_pq_topk(
     dim: int = 64,
     refine_iters: int = 0,
     pq_strategy: str = "auto",
+    rerank_k: int | None = None,
 ) -> DataFrame:
     """The composed IVF + PQ retrieval stack — IVFADC (Jégou et al.,
     PQ for nearest neighbor search; public method): IVF probing
@@ -3649,7 +3732,18 @@ def ivf_pq_topk(
     blocks and recall craters silently (r12 census) — check
     :func:`pq_code_census` and prefer :func:`ivf_binary_topk` (or
     dedup before training) when any subspace's top_code_share nears
-    1.0."""
+    1.0.
+
+    ``rerank_k`` turns the stack into IVFADC+R (Jégou et al.'s
+    re-ranked variant — the production deployment shape): the ADC
+    pass keeps the top ``rerank_k`` candidates per query and a second
+    pass re-ranks that bounded shortlist with EXACT squared-L2
+    (:func:`_exact_l2_rerank` — candidates broadcast into the corpus
+    join, full-width vectors read once, never shuffled), recovering
+    the recall the m·log2(n_codes)-bit codes cannot express (the r13
+    sweep measured 0.44 → code-resolution-bound at 2000 vectors even
+    probing ALL cells; re-rank lifts the stack to the IVF ceiling).
+    Output columns become (query_id_col, id_col, d2) ascending."""
     if centroids is None:
         centroids = (
             corpus.orderBy(id_col)
@@ -3708,9 +3802,17 @@ def ivf_pq_topk(
         .groupBy(query_id_col, id_col)
         .agg(F.sum(F.col("dist").cast(DEC)).cast("double").alias("adc_dist"))
     )
-    return top_k_per_group(
-        scored, [query_id_col], "adc_dist", k, descending=False,
+    if rerank_k is None:
+        return top_k_per_group(
+            scored, [query_id_col], "adc_dist", k, descending=False,
+            tiebreak=[id_col],
+        )
+    cands = top_k_per_group(
+        scored, [query_id_col], "adc_dist", rerank_k, descending=False,
         tiebreak=[id_col],
+    ).select(query_id_col, id_col)
+    return _exact_l2_rerank(
+        corpus, queries, cands, k, id_col, vec_col, query_id_col
     )
 
 

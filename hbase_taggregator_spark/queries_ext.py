@@ -4415,50 +4415,56 @@ _register(
 )
 # ---------------------------------------------------------------------------
 # Driver gate window (rotated per round): the driver records CORRECTNESS
-# rows for the FIRST 50 catalog entries. r12 priority: the FIVE new
-# queries (similarity_ivf_binary_indexed_recall_at_5 — the composed
-# IVF+binary stack served from the binary=True persisted index,
-# dynamic-partition- and column-pruned first pass;
-# embedding_binary_incremental_admitted — batch admission against the
-# standing band index, pinned to the exhaustive drop rule;
-# similarity_ivf_binary_recall_floor — the standing retrieval-quality
-# floor on the composed stack; similarity_ivf_pq_recall_at_5 — the
-# composed IVFADC stack, cosine cells × Lloyd-refined asymmetric PQ
-# distance; similarity_ivf_pq_indexed_recall_at_5 — the same stack
-# served from the pq=True persisted index), then every query whose implementation
-# or oracle text changed this round: similarity_pq_recall_at_5
-# (re-gated at refine_iters=1, oracle grew the Lloyd-refinement CTEs),
-# similarity_ivf_indexed_recall_at_5 (read_ivf_index now re-casts
-# cent_id — r11 ADVICE), and the six gates whose oracles compose
-# binary_bits_ctes, whose text changed for the mean_src knob
-# (similarity_binary_banded_radius15, similarity_binary_banded_dup_top1,
-# embedding_binary_dedup_survivors, similarity_ivf_binary_recall_at_5,
-# embedding_binary_quantize_words,
-# similarity_binary_hamming_recall_at_5 — the radius-pairs/banded-topk
-# guard additions from the r11 ADVICE land here too). Then the FINAL
-# NINE r7-window entries per the standing queue (the r7 block is now
-# fully re-gated), then the FIRST 28 of the 40 stale r8-window queries
-# (window of CORRECTNESS_r08) in r8-window order, SKIPPING the ten
-# re-gated in r9-r11; the final twelve r8 entries
-# (percentile_approx_accuracy_gate, text_feature_hashing_64,
-# fuzzy_customer_name_candidates, corpus_contamination_overlap,
-# text_rare_token_ratio, cohort_weekly_retention,
-# funnel_three_step_ordered, ts_mad_outliers_per_type,
-# ts_seasonal_baseline_error, table_diff_after_merge,
-# fuzzy_entity_resolution, sql_entry_nation_revenue) roll to r13.
-# Every query pushed out is green in earlier CORRECTNESS rounds, the
-# judge's r11 full-catalog re-run, and this round's full-catalog oracle
-# log (tools/oracle_full_r12.log).
+# rows for the FIRST 50 catalog entries. r13 priority: the THREE new
+# queries (similarity_ivf_pq_rerank_recall_at_5 — the IVFADC+R row
+# algebra, ADC shortlist re-ranked by exact squared-L2;
+# similarity_ivf_pq_recall_floor — the standing retrieval-quality
+# floor on the IVFADC stack at the censused production point, driving
+# the broadcast codebook strategy; pq_code_collapse_census — the
+# dup-collapse detector, per-subspace code utilization over the
+# refined encode), then every query whose implementation changed this
+# round: the four PQ-family/persisted-index gates re-routed through
+# the strategy-dispatched encode/LUT (_pq_lut / _resolve_pq_strategy)
+# and the before-write append validation in write_ivf_index
+# (similarity_pq_recall_at_5, similarity_ivf_pq_recall_at_5,
+# similarity_ivf_pq_indexed_recall_at_5,
+# similarity_ivf_binary_indexed_recall_at_5). Then the FINAL TWELVE
+# r8-window entries per the standing queue — this COMPLETES the
+# full-catalog re-gate of every pre-r9 oracle (rotation queue for
+# r14+: the r9-gated block is now the oldest latest-gating). The
+# remaining 31 slots retain the most recent (r12) window entries in
+# r12 order — the newest standing gates (floors, admission, banded
+# family, sketches, and the r8 re-gate block's head) stay hot.
+# Every query pushed out is green in earlier CORRECTNESS rounds and
+# this round's full-catalog oracle log (tools/oracle_full_r13.log).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # new this round (r12)
-    "similarity_ivf_binary_indexed_recall_at_5",
-    "embedding_binary_incremental_admitted",
-    "similarity_ivf_binary_recall_floor",
+    # new this round (r13)
+    "similarity_ivf_pq_rerank_recall_at_5",
+    "similarity_ivf_pq_recall_floor",
+    "pq_code_collapse_census",
+    # implementation changed this round — re-gate first
+    "similarity_pq_recall_at_5",
     "similarity_ivf_pq_recall_at_5",
     "similarity_ivf_pq_indexed_recall_at_5",
-    # implementation/oracle changed this round — re-gate first
-    "similarity_pq_recall_at_5",
+    "similarity_ivf_binary_indexed_recall_at_5",
+    # the final twelve r8-window entries (the standing queue — the
+    # pre-r9 catalog is now fully re-gated)
+    "percentile_approx_accuracy_gate",
+    "text_feature_hashing_64",
+    "fuzzy_customer_name_candidates",
+    "corpus_contamination_overlap",
+    "text_rare_token_ratio",
+    "cohort_weekly_retention",
+    "funnel_three_step_ordered",
+    "ts_mad_outliers_per_type",
+    "ts_seasonal_baseline_error",
+    "table_diff_after_merge",
+    "fuzzy_entity_resolution",
+    "sql_entry_nation_revenue",
+    # retained r12-window entries (most recent gating), r12 order
+    "embedding_binary_incremental_admitted",
+    "similarity_ivf_binary_recall_floor",
     "similarity_ivf_indexed_recall_at_5",
     "similarity_binary_banded_radius15",
     "similarity_binary_banded_dup_top1",
@@ -4466,8 +4472,6 @@ _GATE_WINDOW = [
     "similarity_ivf_binary_recall_at_5",
     "embedding_binary_quantize_words",
     "similarity_binary_hamming_recall_at_5",
-    # the final nine r7-window queries (the r7 block is now fully
-    # re-gated — the standing queue from the r11 window rotation)
     "bloom_runtime_filter_orders",
     "sketch_count_min_estimates",
     "udaf_weighted_mean_cents",
@@ -4477,8 +4481,6 @@ _GATE_WINDOW = [
     "sketch_kmv_distinct_users",
     "sketch_kmv_set_ops_users",
     "sketch_kmv_grouped_distinct",
-    # the stale r8 block, in r8-window order: first 28 of the 40
-    # queries last driver-gated in round 8
     "embedding_covariance_matrix",
     "ts_lttb_downsample_50",
     "ts_qualifier_offset_900",
@@ -4492,21 +4494,6 @@ _GATE_WINDOW = [
     "q19_disjunctive_revenue",
     "q22_idle_customer_balance",
     "corpus_doc_chunks",
-    "corpus_pack_sequences",
-    "embedding_quantize_int8",
-    "skew_salted_distinct_users",
-    "range_band_join_value",
-    "grouping_sets_status_priority",
-    "dedup_keep_best_quality",
-    "streaming_foreachbatch_sink",
-    "corpus_decontaminated",
-    "corpus_sample_per_source",
-    "corpus_global_shuffle",
-    "ingest_json_quarantine",
-    "ts_calendar_rollup_weekly",
-    "ts_largest_gaps_per_type",
-    "scd2_user_event_history",
-    "profile_documents_columns",
 ]
 
 
@@ -4540,5 +4527,6 @@ import hbase_taggregator_spark.queries_r9  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r10  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r11  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r12  # noqa: E402,F401
+import hbase_taggregator_spark.queries_r13  # noqa: E402,F401
 
 _apply_gate_window(strict=False)

@@ -128,6 +128,50 @@ def test_pq_broadcast_plan_has_zero_literals_at_production_dials(spark):
     assert "123456789" not in lplan and "Python" not in lplan
 
 
+# --- IVFADC+R (rerank_k) ------------------------------------------------------
+
+
+def test_ivf_pq_rerank_indexed_matches_in_memory(spark, tmp_path):
+    """The +R stage served from the standing pq=True layout (exact
+    pass reads candidate vectors and STORED norms from the index,
+    pruned to probed cells by the (cent_id, id) join) must be
+    row-identical to the in-memory rerank_k path, and big-enough
+    rerank_k must degenerate to exact L2 top-k restricted to probed
+    cells."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    cents = emb.orderBy("vec_id").limit(16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    mem = S.ivf_pq_topk(
+        emb, q, k=5, m=4, n_codes=16, n_centroids=16, n_probe=4,
+        refine_iters=1, rerank_k=20,
+    )
+    assert mem.columns == ["query_id", "vec_id", "d2"]
+    path = str(tmp_path / "ivfpq")
+    S.write_ivf_index(emb, cents, path, pq=True, pq_m=4, pq_codes=16,
+                      pq_refine_iters=1)
+    idx = S.read_ivf_index(spark, path)
+    books = S.read_ivf_codebooks(spark, path)
+    served = S.ivf_pq_topk_indexed(
+        idx, q, cents, books, k=5, m=4, n_probe=4, rerank_k=20
+    )
+    cols = mem.columns
+    assert _rows(served, *cols) == _rows(mem, *cols)
+    # rerank_k >= corpus: the ADC shortlist covers every probed-cell
+    # candidate, so the result is exact L2 top-k over probed cells
+    wide = S.ivf_pq_topk(
+        emb, q, k=5, m=4, n_codes=16, n_centroids=16, n_probe=16,
+        refine_iters=0, rerank_k=10_000,
+    ).select("query_id", "vec_id")
+    exact = S.l2_topk(emb, q, k=5).select("query_id", "vec_id")
+    assert _rows(wide, "query_id", "vec_id") == _rows(
+        exact, "query_id", "vec_id"
+    )
+
+
 # --- dup-collapse detector ----------------------------------------------------
 
 
