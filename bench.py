@@ -402,15 +402,55 @@ def main() -> None:
     timings: dict[str, float] = {}
     run_counts: dict[str, int] = {}
 
+    # --- canary interleave (VERDICT r12 "What's wrong" #4) ---------------
+    # This box swings ±15-30% on byte-identical code within a session
+    # (r12: three full identical-code runs read 1.13×/1.29×/1.44× and
+    # produced 80 false flags). The canaries are five fixed, cheap,
+    # plan-family-diverse queries sampled at regular intervals THROUGH
+    # the suite; their chronological walls measure the host, not the
+    # plans. Triage (tools/bench_compare.py) divides every per-query
+    # ratio by the canary-level ratio between the two runs, so a flag
+    # means a PLAN got slower relative to the same-host baseline — not
+    # that the neighbor got noisy. Canaries are warmed with the suite
+    # warm-up so the first samples don't carry cold file-listing costs.
+    CANARY = [
+        "ts_max_900",
+        "q1_pricing_summary",
+        "window_topk_parts_per_brand",
+        "dedup_exact",
+        "similarity_cosine_topk",
+    ]
+    CANARY_EVERY = 40  # one sample roughly every 40 timed queries
+    canary_samples: dict[str, list[float]] = {}
+    _timed_count = [0]
+
+    for c in CANARY:
+        QUERIES[c](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    def _canary_sample():
+        name = CANARY[
+            (_timed_count[0] // CANARY_EVERY) % len(CANARY)
+        ]
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        canary_samples.setdefault(name, []).append(
+            round(time.time() - t0, 3)
+        )
+
     def _time_pass(names):
         for name in names:
             if name not in QUERIES:
                 continue
+            if _timed_count[0] % CANARY_EVERY == 0:
+                _canary_sample()
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
             run_counts[name] = run_counts.get(name, 0) + 1
+            _timed_count[0] += 1
 
     _time_pass(HEADLINE)
     _time_pass(HEADLINE)
@@ -493,6 +533,24 @@ def main() -> None:
             " = tools/ab_pagerank_r7b.py (4.0s sf0.1 min-of-5)",
         },
     }
+    if canary_samples:
+        import statistics
+
+        full["canary"] = {
+            "queries": CANARY,
+            "every_n_timed_queries": CANARY_EVERY,
+            "samples": canary_samples,
+            "median_level": round(
+                sum(
+                    statistics.median(v) for v in canary_samples.values()
+                ),
+                3,
+            ),
+            "note": "host-state normalizer: before flagging a cross-run "
+            "regression, divide each per-query ratio by "
+            "(this median_level / reference median_level) — "
+            "tools/bench_compare.py does this",
+        }
     if sf1_timings:
         full["sf1_queries"] = sf1_timings
         full["sf1_total"] = round(sum(sf1_timings.values()), 3)

@@ -172,6 +172,37 @@ def test_ivf_pq_rerank_indexed_matches_in_memory(spark, tmp_path):
     )
 
 
+# --- twolevel index build (VERDICT r12 #7) -------------------------------------
+
+
+def test_twolevel_built_index_serves_identical_to_flat(spark, tmp_path):
+    """write_ivf_index(strategy='twolevel') at GUARANTEEING settings
+    (n_super_probe = n_super — every super-cell probed, so the
+    candidate set is the full centroid set and the argmin is exact)
+    must produce the same (id -> cent_id) assignment as the flat
+    build, and the index served off both layouts must return identical
+    top-k rows."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    cents = emb.orderBy("vec_id").limit(16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    flat_path = str(tmp_path / "flat")
+    tl_path = str(tmp_path / "tl")
+    S.write_ivf_index(emb, cents, flat_path)
+    S.write_ivf_index(
+        emb, cents, tl_path, strategy="twolevel", n_super=4, n_super_probe=4
+    )
+    flat = S.read_ivf_index(spark, flat_path)
+    tl = S.read_ivf_index(spark, tl_path)
+    assert _rows(tl, "vec_id", "cent_id") == _rows(flat, "vec_id", "cent_id")
+    a = S.ivf_topk_indexed(flat, q, cents, k=5, n_probe=4)
+    b = S.ivf_topk_indexed(tl, q, cents, k=5, n_probe=4)
+    assert _rows(b, *b.columns) == _rows(a, *a.columns)
+
+
 # --- dup-collapse detector ----------------------------------------------------
 
 
