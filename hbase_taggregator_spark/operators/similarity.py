@@ -3280,16 +3280,25 @@ def _pq_subdist(vec_col: str, s: int, sub: int, cvals: list[float]) -> Column:
 
 
 #: past this many total codebook floats (m × n_codes × dim/m = k·dim),
-#: the inline strategy's plan literals hit the same Catalyst plan-size
-#: ceiling the IVF family documented at nlist=10⁴ (VERDICT r12 "What's
-#: wrong" #3: production dials m=16 × 256 codes × dim=1024 → 262k
-#: literals per query plan). ``pq_strategy="auto"`` switches to the
-#: broadcast-join form above it: the codebook rides a BroadcastExchange
-#: (m×k rows, shipped once per executor), ZERO plan literals at any
-#: dial, and the identical decimal algebra — output-identical to
-#: inline (unit-pinned). Below it, inline wins: one projection, no
-#: join machinery, no explode fan-out.
-PQ_INLINE_MAX_LITERALS = 8192
+#: ``pq_strategy="auto"`` switches from the inline (literal-codeword)
+#: projection to the broadcast-join form: the codebook rides a
+#: BroadcastExchange (m×k rows, shipped once per executor), ZERO plan
+#: literals at any dial, and the identical decimal algebra —
+#: output-identical to inline (unit-pinned). Two independent ceilings
+#: motivate the switch, both measured (tools/bench_pq_strategy_r13.json):
+#: (1) plan SIZE — at production dials (m=16 × 256 codes × dim=1024 →
+#: 262k literals, VERDICT r12 #3) the literal plan hits the same
+#: Catalyst ceiling the IVF family documented at nlist=10⁴; (2) plan
+#: COST — well before that, the m×k struct-sort expression falls out
+#: of whole-stage codegen and evaluates interpreted per row: at 4096
+#: floats the inline encode reads 40.9 s vs broadcast 7.8 s over 40k
+#: rows (5.2×, and the gap GROWS with rows), at 2048 floats 16.3 s vs
+#: 1.8 s over the small fixture. The crossover sits at/below 1024
+#: floats (inline 6.6 s vs broadcast 3.9 s at 40k rows — a bounded
+#: constant-ish gap), so auto keeps inline only at/below 1024, where
+#: the single-projection form avoids the join fan-out entirely and the
+#: gate fixtures' plans stay byte-stable.
+PQ_INLINE_MAX_LITERALS = 1024
 
 
 def _resolve_pq_strategy(
