@@ -3295,10 +3295,15 @@ def _pq_subdist(vec_col: str, s: int, sub: int, cvals: list[float]) -> Column:
 #: rows (5.2×, and the gap GROWS with rows), at 2048 floats 16.3 s vs
 #: 1.8 s over the small fixture. The crossover sits at/below 1024
 #: floats (inline 6.6 s vs broadcast 3.9 s at 40k rows — a bounded
-#: constant-ish gap), so auto keeps inline only at/below 1024, where
-#: the single-projection form avoids the join fan-out entirely and the
-#: gate fixtures' plans stay byte-stable.
-PQ_INLINE_MAX_LITERALS = 1024
+#: constant-ish gap). r13 kept inline at exactly 1024 floats only for
+#: gate-plan byte-stability; the same census shows broadcast winning
+#: at EVERY measured dial including 1024 (2.6–3.8 s vs 6.5–10.4 s —
+#: the m×k struct-sort is analysis/codegen-bound well before the plan
+#: size ceiling), so r14 drops the threshold to 512 (VERDICT r13 #1):
+#: the default gate dials (m=4 × 16 codes × dim=64 = 1024 floats) now
+#: ride the broadcast codebook, and inline survives only for tiny
+#: books where the single projection beats the join setup outright.
+PQ_INLINE_MAX_LITERALS = 512
 
 
 def _resolve_pq_strategy(
