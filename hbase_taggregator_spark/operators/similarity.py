@@ -1422,18 +1422,39 @@ def ivf_topk(
     )
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Existence probe through the session's Hadoop FileSystem — the
+    same resolution the parquet reader uses, so 'absent' here means
+    exactly what a read would report as PATH_NOT_FOUND."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def _ivf_sidecar_or_none(reader, spark, path: str):
     """Read an index sidecar (``_thresholds`` / ``_codebooks``),
     returning None when it is absent — a standing index built without
-    that representation, or no index at the path yet. Only the
-    path-not-found analysis error maps to None; corrupt sidecars still
-    raise."""
+    that representation, or no index at the path yet. ONLY the
+    path-not-found condition maps to None (r13 review): a sidecar that
+    EXISTS but fails to read — empty directory from a crashed write
+    (UNABLE_TO_INFER_SCHEMA), wrong columns (UNRESOLVED_COLUMN), or
+    any other analysis error — re-raises, because treating it as
+    'representation absent' would let a plain append against a
+    binary/PQ index whose sidecar is corrupt pass validation and write
+    rows lacking word/code columns — exactly the silent NULL-codes
+    corruption the before-write validation exists to block."""
     from pyspark.errors import AnalysisException
 
     try:
         return reader(spark, path)
-    except AnalysisException:
-        return None
+    except AnalysisException as e:
+        cond = e.getCondition() if hasattr(e, "getCondition") else None
+        if cond is None and hasattr(e, "getErrorClass"):
+            cond = e.getErrorClass()
+        if cond == "PATH_NOT_FOUND":
+            return None
+        raise
 
 
 def write_ivf_index(
@@ -1520,6 +1541,18 @@ def write_ivf_index(
         # write — each sidecar is read exactly once and reused for the
         # encode below.
         ss = corpus.sparkSession
+        if (binary or pq) and not _hadoop_path_exists(ss, path):
+            # bootstrap misuse, not a representation mismatch (r13
+            # review): nothing stands at the path, so the honest
+            # diagnosis is 'no index here' — the sidecar-mismatch
+            # message below would send the caller hunting a codebook
+            # conflict that doesn't exist
+            raise ValueError(
+                f"write_ivf_index(mode='append'): no standing index at "
+                f"{path!r} — build it first with mode='overwrite' "
+                "(append grows an existing index; it never trains "
+                "sidecar codebooks)"
+            )
         stored_thr = _ivf_sidecar_or_none(read_ivf_thresholds, ss, path)
         stored_books = _ivf_sidecar_or_none(read_ivf_codebooks, ss, path)
         for flag, name, sidecar, present in (
@@ -3463,6 +3496,14 @@ def pq_encode(
     tractable. Output: (id_col, code_0..code_{m-1}, *keep) — ``keep``
     carries extra columns (e.g. the vector itself for
     :func:`pq_refine_codebooks`'s mean step) through without a rejoin.
+
+    REQUIRES unique (id_col, *keep) rows (r13 review): the broadcast
+    strategy's argmin is a group-by over those columns, so exact
+    duplicate ids MERGE to one output row where inline keeps both —
+    and ``pq_strategy="auto"`` reaches the broadcast form without the
+    caller choosing it once the codebook crosses
+    ``PQ_INLINE_MAX_LITERALS``. Dedup ids first (every caller in this
+    package feeds unique vector ids).
 
     ``pq_strategy`` picks the physical form (both run the identical
     decimal algebra — output-identical, unit-pinned):

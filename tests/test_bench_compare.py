@@ -35,11 +35,11 @@ def test_host_drift_is_normalized_away(tmp_path):
     kill."""
     prev = {
         "queries": {"a": 2.0, "b": 4.0, "c": 10.0},
-        "canary": {"median_level": 4.0},
+        "canary": {"median_level": 4.0, "samples": {"k1": [1.0], "k2": [3.0]}},
     }
     cur = {
         "queries": {"a": 3.0, "b": 6.0, "c": 15.0},
-        "canary": {"median_level": 6.0},
+        "canary": {"median_level": 6.0, "samples": {"k1": [1.5], "k2": [4.5]}},
     }
     d = _run(prev, cur, tmp_path)
     assert d["raw_total_ratio"] == 1.5
@@ -53,11 +53,11 @@ def test_real_regression_survives_normalization(tmp_path):
     query, with raw == normalized ratio."""
     prev = {
         "queries": {"a": 2.0, "b": 4.0},
-        "canary": {"median_level": 4.0},
+        "canary": {"median_level": 4.0, "samples": {"k": [1.0]}},
     }
     cur = {
         "queries": {"a": 6.0, "b": 4.0},
-        "canary": {"median_level": 4.0},
+        "canary": {"median_level": 4.0, "samples": {"k": [1.0]}},
     }
     d = _run(prev, cur, tmp_path)
     assert list(d["flags"]) == ["a"]
@@ -67,8 +67,10 @@ def test_real_regression_survives_normalization(tmp_path):
 
 def test_subsecond_walls_never_flag(tmp_path):
     """Sub-second current walls are scheduling noise at any ratio."""
-    prev = {"queries": {"a": 0.1}, "canary": {"median_level": 1.0}}
-    cur = {"queries": {"a": 0.9}, "canary": {"median_level": 1.0}}
+    prev = {"queries": {"a": 0.1},
+            "canary": {"median_level": 1.0, "samples": {"k": [1.0]}}}
+    cur = {"queries": {"a": 0.9},
+           "canary": {"median_level": 1.0, "samples": {"k": [1.0]}}}
     d = _run(prev, cur, tmp_path)
     assert d["n_flags"] == 0
 
@@ -85,8 +87,10 @@ def test_missing_canary_falls_back_to_raw_and_says_so(tmp_path):
 
 
 def test_threshold_argument_is_respected(tmp_path):
-    prev = {"queries": {"a": 2.0}, "canary": {"median_level": 1.0}}
-    cur = {"queries": {"a": 2.5}, "canary": {"median_level": 1.0}}
+    prev = {"queries": {"a": 2.0},
+            "canary": {"median_level": 1.0, "samples": {"k": [1.0]}}}
+    cur = {"queries": {"a": 2.5},
+           "canary": {"median_level": 1.0, "samples": {"k": [1.0]}}}
     assert _run(prev, cur, tmp_path)["n_flags"] == 0  # 1.25 < 1.3
     assert _run(prev, cur, tmp_path, "1.2")["n_flags"] == 1
 
@@ -96,3 +100,40 @@ def test_tool_importable():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert callable(mod.main)
+
+
+def test_mismatched_canary_sets_fall_back_to_raw(tmp_path):
+    """(r13 review) A short/interrupted run that sampled only a SUBSET
+    of the canaries yields a median_level summed over different queries
+    — structurally incomparable. The compare must fall back to labelled
+    raw triage instead of skewing every normalized ratio."""
+    prev = {
+        "queries": {"a": 2.0},
+        "canary": {"median_level": 4.0,
+                   "samples": {"k1": [1.0], "k2": [3.0]}},
+    }
+    cur = {
+        "queries": {"a": 3.0},
+        "canary": {"median_level": 1.0, "samples": {"k1": [1.0]}},
+    }
+    d = _run(prev, cur, tmp_path)
+    assert d["canary_ratio"] == "unavailable (raw triage)"
+    assert d["flags"]["a"]["normalized_ratio"] == 1.5
+
+
+def test_zero_median_level_is_missing_not_infinite(tmp_path):
+    """(r13 review) A 0.0 median_level is a broken sample, not a
+    measured level — explicit None checks, never truthiness (the old
+    `if (pc and cc)` silently treated 0.0 as absent on one side but a
+    division by it on the other path would blow up)."""
+    prev = {
+        "queries": {"a": 2.0},
+        "canary": {"median_level": 0.0, "samples": {"k": [0.0]}},
+    }
+    cur = {
+        "queries": {"a": 3.0},
+        "canary": {"median_level": 2.0, "samples": {"k": [2.0]}},
+    }
+    d = _run(prev, cur, tmp_path)
+    assert d["canary_ratio"] == "unavailable (raw triage)"
+    assert d["flags"]["a"]["normalized_ratio"] == 1.5

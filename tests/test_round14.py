@@ -1,0 +1,83 @@
+"""Round-14 regression tests (r13 ADVICE guards on the standing-index
+append contract):
+
+- ``_ivf_sidecar_or_none`` maps ONLY the path-not-found condition to
+  'representation absent'; a sidecar that EXISTS but fails to read
+  (empty dir from a crashed write, wrong columns) re-raises — a plain
+  append against a binary/PQ index whose sidecar is corrupt must NOT
+  pass validation and write rows lacking word/code columns.
+- an append with binary/pq=True against a path holding NO index at all
+  raises the dedicated 'no standing index' error, not the misleading
+  representation-mismatch message; a plain append to a fresh path keeps
+  working as a first build (parquet append semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def _cents(emb, n=16):
+    return emb.orderBy("vec_id").limit(n).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+
+
+def test_corrupt_sidecar_fails_append_validation(spark, tmp_path):
+    """An empty _thresholds dir (the residue of a crashed sidecar
+    write) must fail the append validation loudly — the old blanket
+    AnalysisException->None mapping read it as 'representation absent',
+    so a plain append PASSED and wrote rows whose words read back NULL
+    and silently vanished from Hamming candidates."""
+    from hbase_taggregator_spark.operators import similarity as S
+    from pyspark.errors import AnalysisException
+
+    emb = _emb(spark)
+    a = emb.filter(F.col("vec_id") < 300)
+    b = emb.filter(F.col("vec_id") >= 300)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(a, _cents(emb), path, binary=True)
+    # simulate the crashed sidecar write: directory present, no files
+    shutil.rmtree(f"{path}/_thresholds")
+    os.makedirs(f"{path}/_thresholds")
+    with pytest.raises(AnalysisException):
+        S.write_ivf_index(b, _cents(emb), path, mode="append")
+    with pytest.raises(AnalysisException):
+        S.write_ivf_index(b, _cents(emb), path, binary=True, mode="append")
+    # a sidecar with the WRONG columns is corruption too, not absence
+    spark.range(3).write.mode("overwrite").parquet(f"{path}/_thresholds")
+    with pytest.raises(AnalysisException):
+        S.write_ivf_index(b, _cents(emb), path, mode="append")
+
+
+def test_bootstrap_append_raises_dedicated_error(spark, tmp_path):
+    """binary/pq append against a path with no index at all must say
+    'no standing index', not 'does not match the standing index
+    (sidecar absent)' — the bootstrap misuse is a missing build, not a
+    codebook conflict."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    b = emb.filter(F.col("vec_id") < 100)
+    path = str(tmp_path / "nothing_here")
+    with pytest.raises(ValueError, match="no standing index"):
+        S.write_ivf_index(b, _cents(emb), path, binary=True, mode="append")
+    with pytest.raises(ValueError, match="no standing index"):
+        S.write_ivf_index(b, _cents(emb), path, pq=True, mode="append")
+    assert not os.path.exists(path)  # rejected appends write nothing
+    # a PLAIN append to a fresh path keeps its parquet first-build
+    # semantics (no sidecar contract to violate)
+    S.write_ivf_index(b, _cents(emb), path, mode="append")
+    assert S.read_ivf_index(spark, path).count() == b.count()

@@ -45,9 +45,21 @@ def main() -> int:
     prev_total = sum(pq[n] for n in common)
     cur_total = sum(cq[n] for n in common)
 
-    pc = prev.get("canary", {}).get("median_level")
-    cc = cur.get("canary", {}).get("median_level")
-    canary_ratio = (cc / pc) if (pc and cc) else 1.0
+    # Normalize only when BOTH artifacts carry a canary level sampled
+    # over the SAME canary set (r13 review): a short or interrupted run
+    # that sampled a subset yields a median_level summed over different
+    # queries — structurally incomparable, so fall back to raw triage
+    # (labelled) instead of silently skewing every normalized ratio.
+    # Explicit None checks — a 0.0 level is 'broken sample', also raw.
+    pcan, ccan = prev.get("canary", {}), cur.get("canary", {})
+    pc, cc = pcan.get("median_level"), ccan.get("median_level")
+    pkeys = sorted(pcan.get("samples", {}))
+    ckeys = sorted(ccan.get("samples", {}))
+    comparable = (
+        pc is not None and cc is not None and pc > 0 and cc > 0
+        and pkeys == ckeys and pkeys
+    )
+    canary_ratio = (cc / pc) if comparable else 1.0
 
     flags = {}
     for n in common:
@@ -69,7 +81,7 @@ def main() -> int:
         "cur_total_s": round(cur_total, 1),
         "raw_total_ratio": round(cur_total / prev_total, 3),
         "canary_ratio": round(canary_ratio, 3)
-        if (pc and cc)
+        if comparable
         else "unavailable (raw triage)",
         "normalized_total_ratio": round(
             cur_total / prev_total / canary_ratio, 3
