@@ -411,7 +411,13 @@ def _ivf_binary_recall_sql(
     """
 
 
-def pq_refined_ctes(m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
+def pq_refined_ctes(
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    src: str = "e",
+    full_precision_src: bool = False,
+) -> str:
     """The shared PQ CTE chain with ONE Lloyd refinement: subspace
     slicing (``sube``), sampling-init books (``cb`` — first n_codes
     vectors by id, code id = vec_id), init assignment (``encd0`` →
@@ -427,14 +433,34 @@ def pq_refined_ctes(m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
     (vec_id, s, code, d) — per-query LUTs slice ``encd``. Shared by
     ``similarity_pq_recall_at_5`` (queries_ext) and the r12 composed
     IVFADC gate ``similarity_ivf_pq_recall_at_5`` (queries_r12); lives
-    here (leaf module) because the query modules form an import ring."""
+    here (leaf module) because the query modules form an import ring.
+
+    ``src`` points the chain at a different exploded-vector CTE (the
+    r14 residual gate feeds ``er`` — residual components); with
+    ``full_precision_src=True`` the INIT products and the refined-mean
+    sums ALSO route through VARCHAR — a residual component is itself a
+    computed full-precision double (raw − mean), so the
+    raw-values-cast-directly shortcut the default chain takes on
+    ``encd0``/``rm`` no longer applies. Defaults generate byte-
+    identical text to the pre-r14 fragment (standing oracle texts
+    unchanged)."""
     sub = dim // m
+    d0 = (
+        "CAST(CAST((x.v - c.v) * (x.v - c.v) AS VARCHAR) AS DECIMAL(18,12))"
+        if full_precision_src
+        else "CAST((x.v - c.v) * (x.v - c.v) AS DECIMAL(18,12))"
+    )
+    mv = (
+        "CAST(CAST(x.v AS VARCHAR) AS DECIMAL(28,12))"
+        if full_precision_src
+        else "CAST(x.v AS DECIMAL(28,12))"
+    )
     return f"""
-    sube AS (SELECT vec_id, (i - 1) // {sub} AS s, i, v FROM e),
+    sube AS (SELECT vec_id, (i - 1) // {sub} AS s, i, v FROM {src}),
     cb AS (SELECT vec_id AS code, s, i, v FROM sube WHERE vec_id < {n_codes}),
     encd0 AS (
       SELECT x.vec_id, c.s, c.code,
-             CAST(SUM(CAST((x.v - c.v) * (x.v - c.v) AS DECIMAL(18,12)))
+             CAST(SUM({d0})
                AS DOUBLE) AS d
       FROM sube x JOIN cb c ON c.s = x.s AND c.i = x.i
       GROUP BY 1, 2, 3),
@@ -445,7 +471,7 @@ def pq_refined_ctes(m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
         FROM encd0) WHERE rk = 1),
     rm AS (
       SELECT e0.s, e0.code, x.i,
-             CAST(SUM(CAST(x.v AS DECIMAL(28,12))) AS DOUBLE)
+             CAST(SUM({mv}) AS DOUBLE)
                / COUNT(*) AS v
       FROM enc0 e0 JOIN sube x ON x.vec_id = e0.vec_id AND x.s = e0.s
       GROUP BY 1, 2, 3),

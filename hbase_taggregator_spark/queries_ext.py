@@ -4528,5 +4528,6 @@ import hbase_taggregator_spark.queries_r10  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r11  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r12  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r13  # noqa: E402,F401
+import hbase_taggregator_spark.queries_r14  # noqa: E402,F401
 
 _apply_gate_window(strict=False)

@@ -18,7 +18,10 @@ the BROADCAST codebook strategy in production form) with the
 corpus-proportional 4% shortlist reads mean recall@5 of 0.94 / 0.92 /
 1.00 at sf0.001 / 0.01 / 0.1; the committed floor is 0.8. The oracle
 pins the PASS verdict row (the percentile-gate pattern — the
-approximation is CHECKED, not reproduced).
+approximation is CHECKED, not reproduced). r14 re-dialed the committed
+point to RESIDUAL codes + a FIXED rerank_k=100 (same measured recall
+at every sf, tools/bench_pq_residual_r14.json), retiring the
+O(corpus)-per-query shortlist the r13 VERDICT flagged.
 
 ``pq_code_collapse_census`` hash-gates the dup-collapse detector
 (VERDICT r12 #5): per-subspace (n_codes_used, top_code_share) over
@@ -49,19 +52,21 @@ IVFPQR_NPROBE = 4
 IVFPQR_RERANK_K = 20
 
 #: the floor gate's committed operating point (censused, not asserted
-#: — tools/bench_pq_r13.json and the rerank sweep in COVERAGE.md):
-#: 128-bit codes, one Lloyd refinement, 4/16 cells probed, and the
-#: binary floor's corpus-proportional shortlist scaling (max(20,
-#: corpus/25) — a fixed 4% fraction, floored at the gate fixtures) so
-#: the gate doesn't silently harden as fixtures grow. Measured mean
-#: recall@5 at these dials: 0.94 / 0.92 / 1.00 at sf0.001 / 0.01 /
-#: 0.1 — the 0.8 floor holds with ≥ 0.12 margin everywhere.
+#: — tools/bench_pq_residual_r14.json): 128-bit RESIDUAL codes (x −
+#: cell-mean — the r14 production form), one Lloyd refinement, 4/16
+#: cells probed, and a FIXED exact-rerank budget. r13 scaled the
+#: shortlist corpus-proportionally (max(20, corpus/25)) — an
+#: O(corpus·dim)-per-query second pass that the r13 VERDICT correctly
+#: called a 100×-scale-killer; the r14 sweep shows the fixed budget
+#: matches the legacy point at EVERY measured sf (recall@5 0.94 /
+#: 0.92 / 1.00 at sf0.001 / 0.01 / 0.1, identical to corpus/25) —
+#: the 0.8 floor holds with ≥ 0.12 margin everywhere, and the rerank
+#: cost is now constant per query.
 IVFPQ_FLOOR_M = 16
 IVFPQ_FLOOR_NCODES = 256
 IVFPQ_FLOOR_NPROBE = 4
 IVFPQ_RECALL_FLOOR = 0.8
-IVFPQ_FLOOR_RERANK_MIN = 20
-IVFPQ_FLOOR_RERANK_DIV = 25
+IVFPQ_FLOOR_RERANK_K = 100
 
 
 def _recall_frame(spark, queries, approx, exact):
@@ -185,25 +190,27 @@ _register(
 
 def _q_ivf_pq_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standing retrieval-quality floor on the IVFADC+R stack at the
-    censused production point (m=16 × 256 codewords — the broadcast
-    codebook strategy — one Lloyd refinement, 4/16 probes, 4%
-    corpus-proportional shortlist): mean recall@5 vs exact Euclidean
-    top-k must clear 0.8. The approximation is CHECKED, not reproduced
-    — the oracle pins the verdict row."""
+    censused production point (m=16 × 256 RESIDUAL codewords — the
+    broadcast codebook strategy — one Lloyd refinement, 4/16 probes,
+    FIXED rerank_k=100): mean recall@5 vs exact Euclidean top-k must
+    clear 0.8. The r14 re-dial (tools/bench_pq_residual_r14.json)
+    retired the r13 corpus-proportional shortlist: the fixed budget
+    reads the same recall at every measured sf, and the gate no longer
+    institutionalizes an O(corpus)-per-query second pass. The
+    approximation is CHECKED, not reproduced — the oracle pins the
+    verdict row."""
     from hbase_taggregator_spark.operators.similarity import (
         ivf_pq_topk,
         l2_topk,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    rerank_k = max(
-        IVFPQ_FLOOR_RERANK_MIN, emb.count() // IVFPQ_FLOOR_RERANK_DIV
-    )
     queries = emb.filter(F.col("vec_id") < 10)
     pq = ivf_pq_topk(
         emb, queries, k=RECALL_K, m=IVFPQ_FLOOR_M,
         n_codes=IVFPQ_FLOOR_NCODES, n_centroids=16,
-        n_probe=IVFPQ_FLOOR_NPROBE, refine_iters=1, rerank_k=rerank_k,
+        n_probe=IVFPQ_FLOOR_NPROBE, refine_iters=1,
+        rerank_k=IVFPQ_FLOOR_RERANK_K, residual=True,
     ).select("query_id", "vec_id")
     exact = l2_topk(emb, queries, k=RECALL_K).select("query_id", "vec_id")
     rec = _recall_frame(spark, queries, pq, exact)
@@ -216,6 +223,8 @@ def _q_ivf_pq_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(IVFPQ_FLOOR_M).alias("m"),
         F.lit(IVFPQ_FLOOR_NCODES).alias("n_codes"),
         F.lit(IVFPQ_FLOOR_NPROBE).alias("n_probe"),
+        F.lit(IVFPQ_FLOOR_RERANK_K).alias("rerank_k"),
+        F.lit(True).alias("residual"),
         F.lit(IVFPQ_RECALL_FLOOR).alias("floor"),
         "n_queries",
         "recall_floor_met",
@@ -228,6 +237,8 @@ _register(
     f"""
     SELECT {IVFPQ_FLOOR_M} AS m, {IVFPQ_FLOOR_NCODES} AS n_codes,
            {IVFPQ_FLOOR_NPROBE} AS n_probe,
+           {IVFPQ_FLOOR_RERANK_K} AS rerank_k,
+           TRUE AS residual,
            CAST({IVFPQ_RECALL_FLOOR} AS DOUBLE) AS floor,
            CAST(10 AS BIGINT) AS n_queries,
            TRUE AS recall_floor_met
