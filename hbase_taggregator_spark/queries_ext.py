@@ -4415,85 +4415,81 @@ _register(
 )
 # ---------------------------------------------------------------------------
 # Driver gate window (rotated per round): the driver records CORRECTNESS
-# rows for the FIRST 50 catalog entries. r13 priority: the THREE new
-# queries (similarity_ivf_pq_rerank_recall_at_5 — the IVFADC+R row
-# algebra, ADC shortlist re-ranked by exact squared-L2;
-# similarity_ivf_pq_recall_floor — the standing retrieval-quality
-# floor on the IVFADC stack at the censused production point, driving
-# the broadcast codebook strategy; pq_code_collapse_census — the
-# dup-collapse detector, per-subspace code utilization over the
-# refined encode), then every query whose implementation changed this
-# round: the four PQ-family/persisted-index gates re-routed through
-# the strategy-dispatched encode/LUT (_pq_lut / _resolve_pq_strategy)
-# and the before-write append validation in write_ivf_index
-# (similarity_pq_recall_at_5, similarity_ivf_pq_recall_at_5,
-# similarity_ivf_pq_indexed_recall_at_5,
-# similarity_ivf_binary_indexed_recall_at_5). Then the FINAL TWELVE
-# r8-window entries per the standing queue — this COMPLETES the
-# full-catalog re-gate of every pre-r9 oracle (rotation queue for
-# r14+: the r9-gated block is now the oldest latest-gating). The
-# remaining 31 slots retain the most recent (r12) window entries in
-# r12 order — the newest standing gates (floors, admission, banded
-# family, sketches, and the r8 re-gate block's head) stay hot.
+# rows for the FIRST 50 catalog entries. r14 priority: the ONE new query
+# (similarity_ivf_pq_residual_recall_at_5 — the residual IVFADC row
+# algebra: cell-mean residual codes, per-(query, cell) LUTs, full SQL
+# restatement), then every query whose implementation or ORACLE TEXT
+# changed this round: the floor gate (re-dialed to residual codes +
+# FIXED rerank_k=100, verdict row extended — oracle text changed), the
+# PQ family re-routed by the PQ_INLINE_MAX_LITERALS 1024→512 flip
+# (the default m=4/16-code dials now take the broadcast codebook) and
+# by the ivf_pq_topk restructure (assignment now precedes codebook
+# training; LUT gains the extra_keys seam), and the two persisted-index
+# gates over write_ivf_index, whose append validation hardened
+# (PATH_NOT_FOUND-only sidecar mapping + the bootstrap-append guard).
+# Then the R9 BLOCK per the standing rotation queue — the oldest
+# latest-gating entries (CORRECTNESS_r09 keys not re-gated since); 42
+# of its 45 fit this window, the final three
+# (dedup_duplicate_clusters, text_quality_features, text_bm25_retrieval)
+# head the r15 queue, after which the rotation queue moves to the r10
+# block. No retained filler this round — rotation consumed the window.
 # Every query pushed out is green in earlier CORRECTNESS rounds and
-# this round's full-catalog oracle log (tools/oracle_full_r13.log).
+# this round's full-catalog oracle log (tools/oracle_full_r14.log).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # new this round (r13)
-    "similarity_ivf_pq_rerank_recall_at_5",
+    # new this round (r14)
+    "similarity_ivf_pq_residual_recall_at_5",
+    # implementation or oracle text changed this round — re-gate first
     "similarity_ivf_pq_recall_floor",
-    "pq_code_collapse_census",
-    # implementation changed this round — re-gate first
+    "similarity_ivf_pq_rerank_recall_at_5",
     "similarity_pq_recall_at_5",
     "similarity_ivf_pq_recall_at_5",
     "similarity_ivf_pq_indexed_recall_at_5",
+    "pq_code_collapse_census",
     "similarity_ivf_binary_indexed_recall_at_5",
-    # the final twelve r8-window entries (the standing queue — the
-    # pre-r9 catalog is now fully re-gated)
-    "percentile_approx_accuracy_gate",
-    "text_feature_hashing_64",
-    "fuzzy_customer_name_candidates",
-    "corpus_contamination_overlap",
-    "text_rare_token_ratio",
-    "cohort_weekly_retention",
-    "funnel_three_step_ordered",
-    "ts_mad_outliers_per_type",
-    "ts_seasonal_baseline_error",
-    "table_diff_after_merge",
-    "fuzzy_entity_resolution",
-    "sql_entry_nation_revenue",
-    # retained r12-window entries (most recent gating), r12 order
-    "embedding_binary_incremental_admitted",
-    "similarity_ivf_binary_recall_floor",
-    "similarity_ivf_indexed_recall_at_5",
-    "similarity_binary_banded_radius15",
-    "similarity_binary_banded_dup_top1",
-    "embedding_binary_dedup_survivors",
-    "similarity_ivf_binary_recall_at_5",
-    "embedding_binary_quantize_words",
-    "similarity_binary_hamming_recall_at_5",
-    "bloom_runtime_filter_orders",
-    "sketch_count_min_estimates",
-    "udaf_weighted_mean_cents",
-    "ts_linear_trend_per_type",
-    "ts_rollup_incremental_merge",
-    "multimodal_decode_pixels",
-    "sketch_kmv_distinct_users",
-    "sketch_kmv_set_ops_users",
-    "sketch_kmv_grouped_distinct",
-    "embedding_covariance_matrix",
-    "ts_lttb_downsample_50",
-    "ts_qualifier_offset_900",
-    "similarity_ann_recall_at_5",
-    "similarity_lsh_neardup_pairs",
-    "text_repetition_features",
-    "text_pattern_counts",
-    "corpus_train_val_split",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q22_idle_customer_balance",
-    "corpus_doc_chunks",
+    # the r9 block (standing rotation queue): oldest latest-gating
+    "embedding_truncate_renorm_checksums",
+    "embedding_standardize_checksums",
+    "approx_distinct_lineitem",
+    "semdedup_survivors",
+    "semdedup_survivors_cellcap",
+    "similarity_ivf_recall_at_5",
+    "similarity_ivf_kmeans_recall_at_5",
+    "sql_entry_rollup_view",
+    "pit_feature_lookup_regimes",
+    "nullsafe_join_device_counts",
+    "setops_multiset_all_users",
+    "corpus_dedup_doc_segments",
+    "sink_orc_roundtrip",
+    "similarity_dup_clusters",
+    "text_rare_bigram_ratio",
+    "corpus_clean_boilerplate",
+    "dedup_simhash_signatures",
+    "dedup_simhash_pairs",
+    "bi_mom_growth_per_segment",
+    "bi_pareto_customers_80pct",
+    "decoder_registry_double_be",
+    "decoder_registry_decimal_be",
+    "feature_quantile_bins_decile",
+    "feature_winsorize_p05_p95",
+    "json_props_extract",
+    "reshape_pivot_unpivot_roundtrip",
+    "sink_csv_json_roundtrip",
+    "sink_partitioned_roundtrip",
+    "text_conjunctive_search",
+    "text_posting_lists",
+    "text_vocabulary",
+    "udtf_sentence_split",
+    "window_rank_functions_showcase",
+    "ts_max_900",
+    "ts_rowkey_mode_3600",
+    "ts_max_28800_compat",
+    "decoder_registry_long_be",
+    "q1_pricing_summary",
+    "q9_profit_by_nation_year",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "dedup_ngram_jaccard_pairs",
 ]
 
 
