@@ -239,6 +239,7 @@ HEADLINE = [
     # regression where a blind spot catches nothing.
     # --- round-14 new gates ---
     "similarity_ivf_pq_residual_recall_at_5",
+    "similarity_ivf_pq_residual_indexed_recall_at_5",
     # --- round-13 new gates ---
     "similarity_ivf_pq_rerank_recall_at_5",
     "similarity_ivf_pq_recall_floor",

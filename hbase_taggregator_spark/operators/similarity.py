@@ -1476,6 +1476,7 @@ def write_ivf_index(
     pq_codes: int = 16,
     pq_refine_iters: int = 1,
     codebooks: list[tuple[int, int, list[float]]] | None = None,
+    pq_residual: bool = False,
 ) -> None:
     """Persist the STANDING IVF inverted index: the corpus with its
     nearest-centroid assignment — (id, vec, nrm, cent_id) — written as
@@ -1522,6 +1523,20 @@ def write_ivf_index(
     column-pruned to (id, cent_id, codes). ``binary`` and ``pq``
     compose — one index can carry both compressed representations.
 
+    ``pq_residual=True`` (requires ``pq=True``) stores RESIDUAL codes —
+    each row's PQ codes encode x − mean(cell(x)) against the assigned
+    cell's Lloyd mean (:func:`_cell_mean_centroids`; the r14 production
+    IVFADC form), with the cell means persisted under
+    ``<path>/_cell_means`` so query batches build their per-probed-cell
+    residual LUTs against the SAME reference points the codes used.
+    Codebooks (sampling-init + refined, or explicit) are then trained
+    on the residual corpus. :func:`ivf_pq_topk_indexed` serves the
+    residual stack by passing :func:`read_ivf_cell_means` as
+    ``residual_means``. Appends encode against the STORED means and
+    books (the standing-codebook contract — means are never recomputed
+    on a batch), and the ``_cell_means`` sidecar presence must match
+    the ``pq_residual`` flag.
+
     ``mode="append"`` enforces the ONE-CODEBOOK contract (r12 review):
     with ``thresholds``/``codebooks`` omitted, the batch quantizes and
     encodes against the STORED sidecars (never re-trained on the
@@ -1534,8 +1549,14 @@ def write_ivf_index(
     read back NULL words and silently vanish from Hamming candidates)
     runs BEFORE the first byte is written, so a rejected append leaves
     the standing index untouched (r12 review)."""
+    if pq_residual and not pq:
+        raise ValueError(
+            "write_ivf_index: pq_residual=True requires pq=True (residual "
+            "codes ARE pq codes, referenced to the stored cell means)"
+        )
     stored_thr: list[float] | None = None
     stored_books: list[tuple[int, int, list[float]]] | None = None
+    stored_means: DataFrame | None = None
     if mode == "append":
         # Validate the batch against the standing index BEFORE any
         # write — each sidecar is read exactly once and reused for the
@@ -1555,9 +1576,12 @@ def write_ivf_index(
             )
         stored_thr = _ivf_sidecar_or_none(read_ivf_thresholds, ss, path)
         stored_books = _ivf_sidecar_or_none(read_ivf_codebooks, ss, path)
+        stored_means = _ivf_sidecar_or_none(read_ivf_cell_means, ss, path)
         for flag, name, sidecar, present in (
             (binary, "binary", "_thresholds", stored_thr is not None),
             (pq, "pq", "_codebooks", stored_books is not None),
+            (pq_residual, "pq_residual", "_cell_means",
+             stored_means is not None),
         ):
             if flag != present:
                 raise ValueError(
@@ -1621,6 +1645,7 @@ def write_ivf_index(
             corpus, vec_col, id_col, dim=dim, thresholds=thr
         )
         lists = lists.join(words, id_col)
+    mean_df: DataFrame | None = None
     if pq:
         if mode == "append":
             # same stored-codebook contract as the thresholds above
@@ -1630,14 +1655,30 @@ def write_ivf_index(
             pq_m = max(s for s, _, _ in books) + 1
         else:
             books = codebooks
+        if pq_residual:
+            # residual reference points: the STORED means for appends
+            # (the standing-means contract — batch rows must encode in
+            # the same frame as the standing rows; means are never
+            # recomputed on a batch), freshly computed Lloyd means of
+            # this build's assignment otherwise
+            mean_df = (
+                stored_means
+                if mode == "append"
+                else _cell_mean_centroids(lists, vec_col)
+            )
+            enc_src = _ivf_residuals(lists, mean_df, vec_col).select(
+                id_col, F.col("__rvec").alias(vec_col)
+            )
+        else:
+            enc_src = corpus
         if books is None:
-            books = pq_codebooks(corpus, pq_m, pq_codes, id_col, vec_col, dim)
+            books = pq_codebooks(enc_src, pq_m, pq_codes, id_col, vec_col, dim)
             if pq_refine_iters:
                 books = pq_refine_codebooks(
-                    corpus, books, pq_m, id_col, vec_col, dim,
+                    enc_src, books, pq_m, id_col, vec_col, dim,
                     iters=pq_refine_iters,
                 )
-        codes = pq_encode(corpus, books, pq_m, id_col, vec_col, dim)
+        codes = pq_encode(enc_src, books, pq_m, id_col, vec_col, dim)
         lists = lists.join(codes, id_col)
     # cluster by inverted list before the partitioned write — one file
     # per cell instead of tasks × cells small files (the band-index
@@ -1665,6 +1706,15 @@ def write_ivf_index(
             "i int, threshold double",
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{path}/_thresholds"
+        )
+    if pq_residual and mode != "append":
+        # the residual reference points, exploded to (cent_id, i, v) —
+        # doubles are parquet-binary-stable, so read_ivf_cell_means
+        # rebuilds EXACTLY the vectors the codes were referenced to
+        mean_df.select(
+            "cent_id", F.posexplode("cvec").alias("i", "v")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/_cell_means"
         )
 
 
@@ -1698,6 +1748,24 @@ def read_ivf_codebooks(
     return [(s, code, vals) for (s, code), vals in sorted(books.items())]
 
 
+def read_ivf_cell_means(spark, path: str) -> DataFrame:
+    """Read back the residual reference points a ``pq_residual=True``
+    :func:`write_ivf_index` build stored under ``<path>/_cell_means``
+    — (cent_id, cvec), the Lloyd cell means every query batch's
+    residual LUTs must subtract (a LUT referenced to different points
+    would score codes in the wrong residual frame). Returned as a
+    DataFrame (never collected — it broadcasts into the residual
+    subtract like any centroid table); the parquet round-trip of
+    doubles is exact."""
+    rows = spark.read.parquet(f"{path}/_cell_means")
+    return rows.groupBy("cent_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "v"))),
+            lambda s: s["v"],
+        ).alias("cvec")
+    )
+
+
 def ivf_pq_topk_indexed(
     index: DataFrame,
     queries: DataFrame,
@@ -1714,6 +1782,7 @@ def ivf_pq_topk_indexed(
     dim: int = 64,
     pq_strategy: str = "auto",
     rerank_k: int | None = None,
+    residual_means: DataFrame | None = None,
 ) -> DataFrame:
     """The composed IVF + PQ stack (:func:`ivf_pq_topk`) served from a
     PERSISTED ``pq=True`` :func:`write_ivf_index` layout — the IVFADC
@@ -1738,7 +1807,19 @@ def ivf_pq_topk_indexed(
     squared-L2 second pass reads candidate vectors AND their stored
     norms from the index itself, partition-pruned to the probed cells
     by the (cent_id, id) broadcast join — row-identical to the
-    in-memory ``rerank_k`` path (output (query_id_col, id_col, d2))."""
+    in-memory ``rerank_k`` path (output (query_id_col, id_col, d2)).
+
+    ``residual_means`` serves a ``pq_residual=True`` layout (the r14
+    production form): pass :func:`read_ivf_cell_means` and each query
+    builds one LUT per probed cell from its residual against THAT
+    cell's stored mean — the (query, cell)-keyed LUT join subsumes the
+    probe restriction, exactly the in-memory ``residual=True`` shape.
+    Row-identical to in-memory :func:`ivf_pq_topk` with
+    ``residual=True`` over the same corpus/centroids (unit-pinned);
+    serving a residual layout WITHOUT passing the means (or vice
+    versa) would score codes in the wrong frame — keep the flag and
+    the sidecar together, as :func:`write_ivf_index` validates on
+    append."""
     missing = [c for c in (f"code_{s}" for s in range(m)) if c not in index.columns]
     if missing:
         raise ValueError(
@@ -1768,15 +1849,24 @@ def ivf_pq_topk_indexed(
     probes = ivf_assign(
         q, centroids, "__qvec", query_id_col, n_probe=n_probe,
         strategy=strategy,
-    ).select(query_id_col, "cent_id")
-    lut = _pq_lut(
-        q, codebooks, m, dim, query_id_col,
-        _resolve_pq_strategy(pq_strategy, codebooks),
     )
+    resolved = _resolve_pq_strategy(pq_strategy, codebooks)
+    if residual_means is not None:
+        qcells = _ivf_residuals(probes, residual_means, "__qvec").select(
+            query_id_col, "cent_id", F.col("__rvec").alias("__qvec")
+        )
+        lut = _pq_lut(
+            qcells, codebooks, m, dim, query_id_col, resolved,
+            extra_keys=["cent_id"],
+        )
+        matched = code_rows.join(F.broadcast(lut), ["cent_id", "s", "code"])
+    else:
+        lut = _pq_lut(q, codebooks, m, dim, query_id_col, resolved)
+        matched = code_rows.join(
+            F.broadcast(probes.select(query_id_col, "cent_id")), "cent_id"
+        ).join(F.broadcast(lut), [query_id_col, "s", "code"])
     scored = (
-        code_rows.join(F.broadcast(probes), "cent_id")
-        .join(F.broadcast(lut), [query_id_col, "s", "code"])
-        .filter(
+        matched.filter(
             F.col(query_id_col) != F.col(id_col) if exclude_self else F.lit(True)
         )
         .groupBy(

@@ -4415,10 +4415,13 @@ _register(
 )
 # ---------------------------------------------------------------------------
 # Driver gate window (rotated per round): the driver records CORRECTNESS
-# rows for the FIRST 50 catalog entries. r14 priority: the ONE new query
-# (similarity_ivf_pq_residual_recall_at_5 — the residual IVFADC row
-# algebra: cell-mean residual codes, per-(query, cell) LUTs, full SQL
-# restatement), then every query whose implementation or ORACLE TEXT
+# rows for the FIRST 50 catalog entries. r14 priority: the TWO new
+# queries (similarity_ivf_pq_residual_recall_at_5 — the residual IVFADC
+# row algebra: cell-mean residual codes, per-(query, cell) LUTs, full
+# SQL restatement — and similarity_ivf_pq_residual_indexed_recall_at_5
+# — the same stack served from the persisted pq_residual=True layout
+# with the _cell_means sidecar), then every query whose implementation
+# or ORACLE TEXT
 # changed this round: the floor gate (re-dialed to residual codes +
 # FIXED rerank_k=100, verdict row extended — oracle text changed), the
 # PQ family re-routed by the PQ_INLINE_MAX_LITERALS 1024→512 flip
@@ -4428,9 +4431,9 @@ _register(
 # gates over write_ivf_index, whose append validation hardened
 # (PATH_NOT_FOUND-only sidecar mapping + the bootstrap-append guard).
 # Then the R9 BLOCK per the standing rotation queue — the oldest
-# latest-gating entries (CORRECTNESS_r09 keys not re-gated since); 42
-# of its 45 fit this window, the final three
-# (dedup_duplicate_clusters, text_quality_features, text_bm25_retrieval)
+# latest-gating entries (CORRECTNESS_r09 keys not re-gated since); 41
+# of its 45 fit this window, the final four (dedup_ngram_jaccard_pairs,
+# dedup_duplicate_clusters, text_quality_features, text_bm25_retrieval)
 # head the r15 queue, after which the rotation queue moves to the r10
 # block. No retained filler this round — rotation consumed the window.
 # Every query pushed out is green in earlier CORRECTNESS rounds and
@@ -4439,6 +4442,7 @@ _register(
 _GATE_WINDOW = [
     # new this round (r14)
     "similarity_ivf_pq_residual_recall_at_5",
+    "similarity_ivf_pq_residual_indexed_recall_at_5",
     # implementation or oracle text changed this round — re-gate first
     "similarity_ivf_pq_recall_floor",
     "similarity_ivf_pq_rerank_recall_at_5",
@@ -4489,7 +4493,6 @@ _GATE_WINDOW = [
     "q9_profit_by_nation_year",
     "q18_large_orders",
     "q21_waiting_suppliers",
-    "dedup_ngram_jaccard_pairs",
 ]
 
 

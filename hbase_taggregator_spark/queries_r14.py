@@ -15,6 +15,12 @@ components are computed doubles, so the init products and refined-mean
 sums VARCHAR-route like every computed-value product), per-(query,
 cell) LUTs, the (cell, s, code) ADC join whose keying IS the probe
 restriction, and exact-Euclidean ground truth over the RAW vectors.
+
+``similarity_ivf_pq_residual_indexed_recall_at_5`` gates the same
+stack SERVED from the persisted ``pq_residual=True`` index layout
+(codes + ``_codebooks`` + ``_cell_means`` sidecars; partition-pruned
+probing) — sharing the residual oracle, with the indexed path
+row-pinned to the in-memory plan in tests/test_round14.py.
 """
 
 from __future__ import annotations
@@ -149,6 +155,58 @@ _IVFPQ_RESIDUAL_RECALL_SQL = f"""
 _register(
     "similarity_ivf_pq_residual_recall_at_5",
     _q_ivf_pq_residual_recall,
+    _IVFPQ_RESIDUAL_RECALL_SQL,
+)
+
+
+def _q_ivf_pq_residual_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual IVFADC stack served from a PERSISTED
+    ``pq_residual=True`` :func:`write_ivf_index` layout — assignment,
+    cell means, AND residual encoding all amortized to build time; the
+    query batch reads codes partition-pruned to probed cells and builds
+    its per-cell LUTs from the STORED means + codebooks. Shares the
+    residual oracle: the indexed path is row-pinned to the in-memory
+    plan (tests/test_round14.py), the r12 indexed-gate discipline."""
+    import tempfile
+
+    from hbase_taggregator_spark.operators.similarity import (
+        ivf_pq_topk_indexed,
+        l2_topk,
+        read_ivf_cell_means,
+        read_ivf_codebooks,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = emb.orderBy("vec_id").limit(16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_ivf_index(
+            emb, cents, f"{d}/ivfpqr", pq=True, pq_residual=True,
+            pq_m=IVFPQR_M, pq_codes=IVFPQR_NCODES, pq_refine_iters=1,
+        )
+        idx = read_ivf_index(spark, f"{d}/ivfpqr")
+        books = read_ivf_codebooks(spark, f"{d}/ivfpqr")
+        means = read_ivf_cell_means(spark, f"{d}/ivfpqr")
+        pq = ivf_pq_topk_indexed(
+            idx, queries, cents, books, k=RECALL_K, m=IVFPQR_M,
+            n_probe=IVFPQR_NPROBE, residual_means=means,
+        ).select("query_id", "vec_id")
+        exact = l2_topk(emb, queries, k=RECALL_K).select(
+            "query_id", "vec_id"
+        )
+        rec = _recall_frame(spark, queries, pq, exact)
+        # materialize before the index directory vanishes
+        out = spark.createDataFrame(rec.collect(), rec.schema)
+    return out
+
+
+_register(
+    "similarity_ivf_pq_residual_indexed_recall_at_5",
+    _q_ivf_pq_residual_indexed,
     _IVFPQ_RESIDUAL_RECALL_SQL,
 )
 

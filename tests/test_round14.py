@@ -123,3 +123,73 @@ def test_ivf_pq_residual_routes_and_schemas(spark):
     )
     want0 = float(comp0) / len(member_rows)
     assert abs(got[list(got)[0]][0] - want0) < 1e-9
+
+
+def test_residual_index_roundtrip_pins_in_memory(spark, tmp_path):
+    """The persisted pq_residual=True layout must serve row-identical
+    results to the in-memory residual stack (same corpus/centroids:
+    same assignment, same cell means, same residual books through the
+    parquet round-trip), with and without the +R rerank; appended rows
+    must encode against the STORED means + books (never re-trained on
+    the batch); representation-set mismatches raise."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "rix")
+    S.write_ivf_index(emb, _cents(emb), path, pq=True, pq_residual=True,
+                      pq_refine_iters=1)
+    idx = S.read_ivf_index(spark, path)
+    books = S.read_ivf_codebooks(spark, path)
+    means = S.read_ivf_cell_means(spark, path)
+
+    def _r(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    served = S.ivf_pq_topk_indexed(idx, q, _cents(emb), books, k=5,
+                                   n_probe=4, residual_means=means)
+    mem = S.ivf_pq_topk(emb, q, k=5, n_probe=4, refine_iters=1,
+                        residual=True)
+    assert _r(served) == _r(mem)
+    sr = S.ivf_pq_topk_indexed(idx, q, _cents(emb), books, k=5, n_probe=4,
+                               residual_means=means, rerank_k=20)
+    mr = S.ivf_pq_topk(emb, q, k=5, n_probe=4, refine_iters=1,
+                       residual=True, rerank_k=20)
+    assert _r(sr) == _r(mr)
+
+    # append: batch codes must be the stored-frame encode, byte-equal
+    # to encoding the batch residuals against the STORED means + books
+    batch = emb.filter(F.col("vec_id") >= 450)
+    S.write_ivf_index(batch, _cents(emb), path, pq=True, pq_residual=True,
+                      mode="append")
+    idx2 = S.read_ivf_index(spark, path).filter(F.col("vec_id") >= 450)
+    assigned = S.ivf_assign(batch, _cents(emb), n_probe=1)
+    want = S.pq_encode(
+        S._ivf_residuals(assigned, means, "embedding").select(
+            "vec_id", F.col("__rvec").alias("embedding")
+        ),
+        books, 4,
+    )
+    cols = ["vec_id"] + [f"code_{s}" for s in range(4)]
+    # the batch re-appends ids the build already holds: both copies
+    # must carry IDENTICAL codes (same stored frame), so compare sets
+    got_rows = _rows_of(idx2, *cols)
+    assert len(got_rows) == 100  # 50 originals + 50 appended
+    assert sorted(set(got_rows)) == _rows_of(want, *cols)
+    # sidecars untouched by the append
+    assert S.read_ivf_codebooks(spark, path) == books
+    assert _rows_of(S.read_ivf_cell_means(spark, path), "cent_id") == \
+        _rows_of(means, "cent_id")
+
+    # representation mismatches raise before any write
+    n0 = S.read_ivf_index(spark, path).count()
+    with pytest.raises(ValueError, match="does not match the standing"):
+        S.write_ivf_index(batch, _cents(emb), path, pq=True, mode="append")
+    with pytest.raises(ValueError, match="pq_residual=True requires"):
+        S.write_ivf_index(batch, _cents(emb), path, pq_residual=True,
+                          mode="append")
+    assert S.read_ivf_index(spark, path).count() == n0
+
+
+def _rows_of(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
