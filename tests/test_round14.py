@@ -10,6 +10,15 @@ append contract):
   raises the dedicated 'no standing index' error, not the misleading
   representation-mismatch message; a plain append to a fresh path keeps
   working as a first build (parquet append semantics).
+
+Plus the round's residual-IVFADC pins (VERDICT r13 #2): the residual
+flag routes a different encode with the same output contract; the
+cell-mean reference follows the decimal contract; the persisted
+pq_residual=True layout serves row-identical to in-memory (with and
+without rerank) and appends encode against the STORED means/books;
+and the clustered-fixture regime demonstration — residual codes must
+substantially outrank raw codes where the coarse quantizer explains
+the variance (tools/bench_pq_residual_clustered_r14.py at test size).
 """
 
 from __future__ import annotations
@@ -193,3 +202,45 @@ def test_residual_index_roundtrip_pins_in_memory(spark, tmp_path):
 
 def _rows_of(df, *cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_residual_beats_raw_on_clustered_fixture(spark):
+    """The regime demonstration behind residual coding (the flat
+    testdata corpus can't show it — its cells explain only ~6-9% of
+    variance): on a deterministic 16-cluster fixture (centers
+    sin((c+1)(i+1)), members + 0.05·sin-noise — the
+    tools/bench_pq_residual_clustered_r14.py construction at reduced
+    size) the coarse quantizer explains ~99% of energy, raw codes
+    waste their resolution re-describing the shared center, and
+    residual codes must SUBSTANTIALLY outrank them. Fully
+    deterministic (no RNG anywhere in fixture or pipeline), so the
+    pinned margin is stable."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    n, dim, nlist = 800, 64, 16
+    c = (F.col("id") % nlist + 1).cast("double")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.sin(c * (i + 1))
+            + 0.05 * F.sin((F.col("id") + 1) * (i + 1) * 7.13)
+        ).cast("double"),
+    )
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["vec_id"])
+             for r in S.l2_topk(emb, q, k=5).collect()}
+
+    def rec(df):
+        got = {(r["query_id"], r["vec_id"])
+               for r in df.select("query_id", "vec_id").collect()}
+        return len(got & exact) / len(exact)
+
+    kw = dict(k=5, m=4, n_codes=16, n_centroids=16, n_probe=4,
+              refine_iters=1)
+    raw = rec(S.ivf_pq_topk(emb, q, **kw))
+    res = rec(S.ivf_pq_topk(emb, q, residual=True, **kw))
+    assert raw == 0.08 and res == 0.56  # deterministic point values
+    assert res > raw + 0.3  # the regime separation itself
