@@ -1660,12 +1660,21 @@ def write_ivf_index(
             # (the standing-means contract — batch rows must encode in
             # the same frame as the standing rows; means are never
             # recomputed on a batch), freshly computed Lloyd means of
-            # this build's assignment otherwise
-            mean_df = (
-                stored_means
-                if mode == "append"
-                else _cell_mean_centroids(lists, vec_col)
-            )
+            # this build's assignment otherwise — materialized ONCE
+            # (nlist × dim doubles, exact through the Python-float
+            # round-trip) so the encode and the sidecar write below
+            # don't each re-run the corpus mean pass
+            if mode == "append":
+                mean_df = stored_means
+            else:
+                mean_rows = _cell_mean_centroids(lists, vec_col).collect()
+                mean_df = corpus.sparkSession.createDataFrame(
+                    [
+                        (int(r["cent_id"]), [float(v) for v in r["cvec"]])
+                        for r in mean_rows
+                    ],
+                    "cent_id bigint, cvec array<double>",
+                )
             enc_src = _ivf_residuals(lists, mean_df, vec_col).select(
                 id_col, F.col("__rvec").alias(vec_col)
             )
@@ -4006,8 +4015,25 @@ def ivf_pq_topk(
     if residual:
         # residual reference = Lloyd cell means, NOT the cosine seeds
         # (the r14 census: seed residuals carry 1.55× the centered
-        # energy on this corpus — see _cell_mean_centroids)
-        mean_cents = _cell_mean_centroids(assigned, vec_col)
+        # energy on this corpus — see _cell_mean_centroids).
+        # Materialize the means ONCE (nlist × dim doubles — the same
+        # pq_codebooks-size driver round-trip): they feed BOTH residual
+        # branches (corpus encode + per-probe query LUTs), and left as
+        # a live aggregation subtree each branch re-runs the full
+        # corpus mean pass — at 100 TB two extra scans for a table
+        # that fits in kilobytes. Python floats round-trip IEEE
+        # doubles exactly, so the collected values are bit-identical
+        # to the aggregation's output (the oracle contract holds).
+        # At beyond-broadcast nlist (cell-capped sizing) prefer the
+        # persisted path, whose means live in the _cell_means sidecar.
+        mean_rows = _cell_mean_centroids(assigned, vec_col).collect()
+        mean_cents = corpus.sparkSession.createDataFrame(
+            [
+                (int(r["cent_id"]), [float(v) for v in r["cvec"]])
+                for r in mean_rows
+            ],
+            "cent_id bigint, cvec array<double>",
+        )
         enc_corpus = _ivf_residuals(assigned, mean_cents, vec_col).select(
             id_col, F.col("__rvec").alias(vec_col), "cent_id"
         )
