@@ -1660,21 +1660,41 @@ def write_ivf_index(
             # (the standing-means contract — batch rows must encode in
             # the same frame as the standing rows; means are never
             # recomputed on a batch), freshly computed Lloyd means of
-            # this build's assignment otherwise — materialized ONCE
-            # (nlist × dim doubles, exact through the Python-float
-            # round-trip) so the encode and the sidecar write below
-            # don't each re-run the corpus mean pass
+            # this build's assignment otherwise — materialized once
+            # (_materialize_cell_means) so the encode and the sidecar
+            # write below don't each re-run the corpus mean pass
             if mode == "append":
                 mean_df = stored_means
+                # BEFORE-WRITE validation (r14 review): a batch row
+                # assigned to a cell the build never populated has no
+                # stored mean — the residual inner join below would
+                # silently DROP it from the written frame, the exact
+                # rows-vanish failure class this function's append
+                # validation exists to block. Raise instead.
+                orphans = [
+                    r[id_col]
+                    for r in lists.join(
+                        F.broadcast(mean_df.select("cent_id")),
+                        "cent_id",
+                        "left_anti",
+                    )
+                    .select(id_col)
+                    .limit(5)
+                    .collect()
+                ]
+                if orphans:
+                    raise ValueError(
+                        "write_ivf_index(mode='append', pq_residual="
+                        "True): batch rows assign to cells with no "
+                        "stored _cell_means entry (e.g. ids "
+                        f"{orphans}) — the build never populated "
+                        "those cells, so their residual reference "
+                        "points do not exist; rebuild the index "
+                        "including these rows (mode='overwrite') "
+                        "instead of appending them"
+                    )
             else:
-                mean_rows = _cell_mean_centroids(lists, vec_col).collect()
-                mean_df = corpus.sparkSession.createDataFrame(
-                    [
-                        (int(r["cent_id"]), [float(v) for v in r["cvec"]])
-                        for r in mean_rows
-                    ],
-                    "cent_id bigint, cvec array<double>",
-                )
+                mean_df = _materialize_cell_means(lists, vec_col)
             enc_src = _ivf_residuals(lists, mean_df, vec_col).select(
                 id_col, F.col("__rvec").alias(vec_col)
             )
@@ -3611,6 +3631,25 @@ def _cell_mean_centroids(assigned: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def _materialize_cell_means(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """:func:`_cell_mean_centroids` collected ONCE and rebuilt as a
+    small local frame (nlist × dim doubles — the same driver
+    round-trip :func:`pq_codebooks` performs). The means feed multiple
+    consumers (corpus residuals, query residuals, the ``_cell_means``
+    sidecar write); left as a live aggregation subtree each consumer
+    re-runs the full corpus mean pass — at 100 TB redundant full-table
+    scans for a table that fits in kilobytes. Python floats round-trip
+    IEEE doubles exactly, so the rebuilt values are bit-identical to
+    the aggregation's output (the oracle contract holds). At
+    beyond-broadcast nlist (cell-capped sizing) prefer the persisted
+    path, whose means live in the ``_cell_means`` sidecar."""
+    rows = _cell_mean_centroids(assigned, vec_col).collect()
+    return assigned.sparkSession.createDataFrame(
+        [(int(r["cent_id"]), [float(v) for v in r["cvec"]]) for r in rows],
+        "cent_id bigint, cvec array<double>",
+    )
+
+
 def _ivf_residuals(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -4016,24 +4055,11 @@ def ivf_pq_topk(
         # residual reference = Lloyd cell means, NOT the cosine seeds
         # (the r14 census: seed residuals carry 1.55× the centered
         # energy on this corpus — see _cell_mean_centroids).
-        # Materialize the means ONCE (nlist × dim doubles — the same
-        # pq_codebooks-size driver round-trip): they feed BOTH residual
-        # branches (corpus encode + per-probe query LUTs), and left as
-        # a live aggregation subtree each branch re-runs the full
-        # corpus mean pass — at 100 TB two extra scans for a table
-        # that fits in kilobytes. Python floats round-trip IEEE
-        # doubles exactly, so the collected values are bit-identical
-        # to the aggregation's output (the oracle contract holds).
-        # At beyond-broadcast nlist (cell-capped sizing) prefer the
-        # persisted path, whose means live in the _cell_means sidecar.
-        mean_rows = _cell_mean_centroids(assigned, vec_col).collect()
-        mean_cents = corpus.sparkSession.createDataFrame(
-            [
-                (int(r["cent_id"]), [float(v) for v in r["cvec"]])
-                for r in mean_rows
-            ],
-            "cent_id bigint, cvec array<double>",
-        )
+        # Materialized ONCE (_materialize_cell_means): the means feed
+        # BOTH residual branches (corpus encode + per-probe query
+        # LUTs); a live aggregation subtree would re-run the corpus
+        # mean pass per branch.
+        mean_cents = _materialize_cell_means(assigned, vec_col)
         enc_corpus = _ivf_residuals(assigned, mean_cents, vec_col).select(
             id_col, F.col("__rvec").alias(vec_col), "cent_id"
         )

@@ -242,5 +242,44 @@ def test_residual_beats_raw_on_clustered_fixture(spark):
               refine_iters=1)
     raw = rec(S.ivf_pq_topk(emb, q, **kw))
     res = rec(S.ivf_pq_topk(emb, q, residual=True, **kw))
-    assert raw == 0.08 and res == 0.56  # deterministic point values
-    assert res > raw + 0.3  # the regime separation itself
+    # measured 0.08 / 0.56 on this box; F.sin is java.lang.Math.sin,
+    # whose last ulp may differ across JVMs/architectures and flip a
+    # near-tie at the rank-5 boundary, so pin the SEPARATION (what the
+    # test exists for) plus loose bands, not exact point values
+    assert raw <= 0.3 and res >= 0.4
+    assert res > raw + 0.2  # the regime separation itself
+
+
+def test_residual_append_to_unpopulated_cell_raises(spark, tmp_path):
+    """(r14 review) A batch row assigned to a cell the build never
+    populated has no stored mean: the residual join used to silently
+    DROP it from the written frame (the rows-vanish failure class the
+    before-write validation exists to block). It must raise, and the
+    standing index must be untouched."""
+    from hbase_taggregator_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    # centroids include vec_id 0 and 1; the build corpus is chosen so
+    # every row assigns to SOME cell but at least one cell that the
+    # append batch hits is empty in the build: use 2 centroids and a
+    # build set of copies of centroid 0's region only
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    assigned = S.ivf_assign(emb, cents, n_probe=1)
+    cell0 = assigned.filter(F.col("cent_id") == 0).select(
+        "vec_id", "embedding"
+    )
+    cell1 = assigned.filter(F.col("cent_id") == 1).select(
+        "vec_id", "embedding"
+    )
+    assert cell0.count() > 16 and cell1.count() > 0
+    path = str(tmp_path / "orphan")
+    S.write_ivf_index(cell0, cents, path, pq=True, pq_residual=True,
+                      pq_refine_iters=0)
+    n0 = S.read_ivf_index(spark, path).count()
+    batch = cell1.limit(1)
+    with pytest.raises(ValueError, match="no stored _cell_means entry"):
+        S.write_ivf_index(batch, cents, path, pq=True, pq_residual=True,
+                          mode="append")
+    assert S.read_ivf_index(spark, path).count() == n0  # untouched
