@@ -6,8 +6,12 @@ The printed line is deliberately COMPACT (suite totals + the slowest five
 queries + a pointer): every prior round's driver artifact ended up with
 "parsed": null because the full 136-query line outgrew the driver's tail
 capture. The complete per-query dict (sf0.1 + sf1 + ratios + run counts)
-is written by this script itself to $SPARK_GRAFT_BENCH_OUT (default
-tools/bench_local_r14.json).
+is written by this script itself to $SPARK_GRAFT_BENCH_OUT. The DEFAULT
+is the gitignored tools/bench_local_r15_driver.json so a driver regen
+never overwrites the round's committed artifact (VERDICT r14 #2 — the
+r13 per-round-filename fix still collided when the driver re-ran the
+SAME round); the committed run sets SPARK_GRAFT_BENCH_OUT explicitly to
+tools/bench_local_r15.json.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect — the number measures the distributed plan, not result
@@ -570,7 +574,7 @@ def main() -> None:
     # capture — every earlier round recorded "parsed": null because the
     # full line outgrew it
     repo_rel = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", f"{repo}/tools/bench_local_r14.json"
+        "SPARK_GRAFT_BENCH_OUT", f"{repo}/tools/bench_local_r15_driver.json"
     )
     with open(repo_rel, "w") as f:
         json.dump(full, f, indent=1)

@@ -1477,6 +1477,7 @@ def write_ivf_index(
     pq_refine_iters: int = 1,
     codebooks: list[tuple[int, int, list[float]]] | None = None,
     pq_residual: bool = False,
+    residual_orphans: str = "raise",
 ) -> None:
     """Persist the STANDING IVF inverted index: the corpus with its
     nearest-centroid assignment — (id, vec, nrm, cent_id) — written as
@@ -1537,6 +1538,24 @@ def write_ivf_index(
     on a batch), and the ``_cell_means`` sidecar presence must match
     the ``pq_residual`` flag.
 
+    ``residual_orphans`` is the append policy for batch rows that
+    assign to a cell the build never populated — a cell with NO stored
+    mean, so no residual reference point exists for it (VERDICT r14
+    #3). ``"raise"`` (default) rejects the batch before any byte is
+    written — correct but operationally partial: a standing 100-TB
+    index would need a full rebuild because ONE batch row landed in a
+    fresh cell. ``"admit"`` makes appends TOTAL: the batch's own
+    decimal-contract Lloyd means of exactly the orphan cells are
+    computed, appended to the ``_cell_means`` sidecar FIRST (so a
+    failure between the two writes leaves only unused reference points
+    — benign: a mean for a cell holding no codes is never joined), and
+    the orphan rows encode against their new stored means; later
+    appends to those cells then see them as populated. The explicit
+    flag keeps the default conservative: silently minting reference
+    points from a batch changes what the sidecar means (build-time
+    corpus statistics vs first-arrival batch statistics), so the
+    caller must opt in.
+
     ``mode="append"`` enforces the ONE-CODEBOOK contract (r12 review):
     with ``thresholds``/``codebooks`` omitted, the batch quantizes and
     encodes against the STORED sidecars (never re-trained on the
@@ -1553,6 +1572,11 @@ def write_ivf_index(
         raise ValueError(
             "write_ivf_index: pq_residual=True requires pq=True (residual "
             "codes ARE pq codes, referenced to the stored cell means)"
+        )
+    if residual_orphans not in ("raise", "admit"):
+        raise ValueError(
+            f"unknown residual_orphans policy: {residual_orphans!r} "
+            "(expected 'raise' or 'admit')"
         )
     stored_thr: list[float] | None = None
     stored_books: list[tuple[int, int, list[float]]] | None = None
@@ -1665,34 +1689,65 @@ def write_ivf_index(
             # write below don't each re-run the corpus mean pass
             if mode == "append":
                 mean_df = stored_means
-                # BEFORE-WRITE validation (r14 review): a batch row
-                # assigned to a cell the build never populated has no
-                # stored mean — the residual inner join below would
-                # silently DROP it from the written frame, the exact
-                # rows-vanish failure class this function's append
-                # validation exists to block. Raise instead.
-                orphans = [
-                    r[id_col]
-                    for r in lists.join(
-                        F.broadcast(mean_df.select("cent_id")),
-                        "cent_id",
-                        "left_anti",
-                    )
-                    .select(id_col)
-                    .limit(5)
-                    .collect()
-                ]
-                if orphans:
-                    raise ValueError(
-                        "write_ivf_index(mode='append', pq_residual="
-                        "True): batch rows assign to cells with no "
-                        "stored _cell_means entry (e.g. ids "
-                        f"{orphans}) — the build never populated "
-                        "those cells, so their residual reference "
-                        "points do not exist; rebuild the index "
-                        "including these rows (mode='overwrite') "
-                        "instead of appending them"
-                    )
+                # BEFORE-WRITE check (r14 review): a batch row assigned
+                # to a cell the build never populated has no stored
+                # mean — the residual inner join below would silently
+                # DROP it from the written frame, the exact rows-vanish
+                # failure class this function's append validation
+                # exists to block. Policy (residual_orphans): raise, or
+                # admit by minting the orphan cells' reference points
+                # from the batch itself (VERDICT r14 #3 — total
+                # appends).
+                orphan_rows = lists.join(
+                    F.broadcast(mean_df.select("cent_id")),
+                    "cent_id",
+                    "left_anti",
+                )
+                if residual_orphans == "admit":
+                    new_means = _cell_mean_centroids(
+                        orphan_rows, vec_col
+                    ).collect()
+                    if new_means:
+                        fresh = ss.createDataFrame(
+                            [
+                                (int(r["cent_id"]),
+                                 [float(v) for v in r["cvec"]])
+                                for r in new_means
+                            ],
+                            "cent_id bigint, cvec array<double>",
+                        )
+                        # persist the new reference points BEFORE any
+                        # row write: if the row write then fails, the
+                        # sidecar holds means for cells with no codes —
+                        # unused but harmless; the reverse order would
+                        # leave codes with no frame to decode in
+                        fresh.select(
+                            "cent_id",
+                            F.posexplode("cvec").alias("i", "v"),
+                        ).coalesce(1).write.mode("append").parquet(
+                            f"{path}/_cell_means"
+                        )
+                        mean_df = mean_df.unionByName(fresh)
+                else:
+                    orphans = [
+                        r[id_col]
+                        for r in orphan_rows.select(id_col)
+                        .limit(5)
+                        .collect()
+                    ]
+                    if orphans:
+                        raise ValueError(
+                            "write_ivf_index(mode='append', pq_residual="
+                            "True): batch rows assign to cells with no "
+                            "stored _cell_means entry (e.g. ids "
+                            f"{orphans}) — the build never populated "
+                            "those cells, so their residual reference "
+                            "points do not exist; rebuild the index "
+                            "including these rows (mode='overwrite'), "
+                            "or opt in to minting their reference "
+                            "points from this batch with "
+                            "residual_orphans='admit'"
+                        )
             else:
                 mean_df = _materialize_cell_means(lists, vec_col)
             enc_src = _ivf_residuals(lists, mean_df, vec_col).select(

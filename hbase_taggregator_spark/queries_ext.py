@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from hbase_taggregator_spark.operators import dedup as D
 from hbase_taggregator_spark.operators import similarity as S
 from hbase_taggregator_spark.operators import text as X
-from hbase_taggregator_spark.queries import _register, load_table
+from hbase_taggregator_spark.queries import (
+    _register,
+    _register_plan_frame,
+    load_table,
+)
 
 # ---------------------------------------------------------------------------
 # text analysis
@@ -1870,6 +1874,26 @@ _register(
 )
 
 
+def _sink_roundtrip_frame(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """The LIVE serving frame behind ``sink_partitioned_roundtrip``:
+    write the partitioned layout under ``workdir``, return the
+    pre-materialization read-back aggregate (what the plan audit
+    records — VERDICT r14 #1)."""
+    from hbase_taggregator_spark.sources.sinks import write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"{workdir}/docs_by_lang"
+    write_partitioned(docs, path, ["lang"], files_per_partition=2)
+    back = spark.read.parquet(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 def _q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sink gate: write the corpus partitioned by language with small-file
     control (sources/sinks.py), read the directory layout back, aggregate.
@@ -1877,18 +1901,8 @@ def _q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle aggregates the source directly."""
     import tempfile
 
-    from hbase_taggregator_spark.sources.sinks import write_partitioned
-
-    docs = load_table(spark, sf_dir, "documents")
     with tempfile.TemporaryDirectory() as d:
-        path = f"{d}/docs_by_lang"
-        write_partitioned(docs, path, ["lang"], files_per_partition=2)
-        back = spark.read.parquet(path)
-        agg = back.groupBy("lang").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("min_doc_id"),
-            F.max("doc_id").alias("max_doc_id"),
-        )
+        agg = _sink_roundtrip_frame(spark, sf_dir, d)
         out = spark.createDataFrame(agg.collect(), agg.schema)
     return out
 
@@ -1902,6 +1916,7 @@ _register(
     FROM documents GROUP BY 1
     """,
 )
+_register_plan_frame("sink_partitioned_roundtrip", _sink_roundtrip_frame)
 
 
 def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,7 +48,11 @@ from hbase_taggregator_spark.oracle_fragments import (
     TWOLEVEL_SQL_CTES,
     binary_bits_ctes,
 )
-from hbase_taggregator_spark.queries import _register, load_table
+from hbase_taggregator_spark.queries import (
+    _register,
+    _register_plan_frame,
+    load_table,
+)
 
 #: radius for the banded-pairs gate: the largest distance the 16×4-bit
 #: banding can guarantee (n_bands − 1 = 15) — and, measured, exactly
@@ -277,16 +281,14 @@ _register(
 )
 
 
-def _q_ivf_indexed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@5 of IVF retrieval through a PERSISTED index: the corpus
-    assignment is written once as a cent_id-partitioned parquet layout
-    (`write_ivf_index`), read back, and probed through the
-    dynamic-partition-pruned join (`ivf_topk_indexed`) — row-identical
-    to the in-memory `ivf_topk`, so the gate hashes against the SAME
-    flat-IVF oracle as `similarity_ivf_recall_at_5`. The write/read
-    round-trip is exact (float32 vectors, float64 norms)."""
-    import tempfile
-
+def _ivf_indexed_frame(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """The LIVE serving frame behind ``similarity_ivf_indexed_recall_at_5``:
+    build the persisted index under ``workdir`` and return the
+    pre-materialization recall frame (the plan a production deployment
+    runs against the standing layout — what the plan audit records,
+    VERDICT r14 #1)."""
     from hbase_taggregator_spark.operators.similarity import (
         ivf_topk_indexed,
         read_ivf_index,
@@ -303,11 +305,24 @@ def _q_ivf_indexed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     queries = emb.filter(F.col("vec_id") < 10)
+    write_ivf_index(emb, cents, f"{workdir}/ivf")
+    idx = read_ivf_index(spark, f"{workdir}/ivf")
+    ivf = ivf_topk_indexed(idx, queries, cents, k=5, n_probe=4)
+    return _recall_vs_exact(emb, queries, ivf, k=5)
+
+
+def _q_ivf_indexed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of IVF retrieval through a PERSISTED index: the corpus
+    assignment is written once as a cent_id-partitioned parquet layout
+    (`write_ivf_index`), read back, and probed through the
+    dynamic-partition-pruned join (`ivf_topk_indexed`) — row-identical
+    to the in-memory `ivf_topk`, so the gate hashes against the SAME
+    flat-IVF oracle as `similarity_ivf_recall_at_5`. The write/read
+    round-trip is exact (float32 vectors, float64 norms)."""
+    import tempfile
+
     with tempfile.TemporaryDirectory() as d:
-        write_ivf_index(emb, cents, f"{d}/ivf")
-        idx = read_ivf_index(spark, f"{d}/ivf")
-        ivf = ivf_topk_indexed(idx, queries, cents, k=5, n_probe=4)
-        rec = _recall_vs_exact(emb, queries, ivf, k=5)
+        rec = _ivf_indexed_frame(spark, sf_dir, d)
         # materialize before the index directory vanishes (the standing
         # sink-gate pattern; the result is 10 tiny rows)
         out = spark.createDataFrame(rec.collect(), rec.schema)
@@ -322,6 +337,9 @@ _register(
     # duplication, or precision drift in the partitioned write/read
     # breaks the hash
     _ivf_recall_sql(n_centroids=16, n_probe=4, k=5),
+)
+_register_plan_frame(
+    "similarity_ivf_indexed_recall_at_5", _ivf_indexed_frame
 )
 
 

@@ -40,7 +40,11 @@ from hbase_taggregator_spark.oracle_fragments import (
     binary_bits_ctes,
     pq_refined_ctes,
 )
-from hbase_taggregator_spark.queries import _register, load_table
+from hbase_taggregator_spark.queries import (
+    _register,
+    _register_plan_frame,
+    load_table,
+)
 
 #: the indexed composed-stack gate's dials — the FLAT fixture
 #: convention (first-16 centroids, 4 probes) with the r11 shortlist
@@ -67,13 +71,13 @@ ADMIT_RADIUS = 15
 ADMIT_BAND_BITS = 4
 
 
-def _q_ivf_binary_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@5 of the composed IVF+binary stack served from the
-    persisted binary index (assignment + quantization amortized to
-    build; first pass partition- AND column-pruned; re-rank pruned to
-    the probed cells)."""
-    import tempfile
-
+def _ivf_binary_indexed_frame(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """The LIVE serving frame behind
+    ``similarity_ivf_binary_indexed_recall_at_5``: build the persisted
+    binary index under ``workdir``, return the pre-materialization
+    recall frame (what the plan audit records — VERDICT r14 #1)."""
     from hbase_taggregator_spark.operators.similarity import (
         ivf_binary_topk_indexed,
         read_ivf_index,
@@ -91,15 +95,25 @@ def _q_ivf_binary_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     queries = emb.filter(F.col("vec_id") < 10)
+    write_ivf_index(emb, cents, f"{workdir}/ivf", binary=True)
+    idx = read_ivf_index(spark, f"{workdir}/ivf")
+    thr = read_ivf_thresholds(spark, f"{workdir}/ivf")
+    approx = ivf_binary_topk_indexed(
+        idx, queries, cents, thr, k=RECALL_K,
+        rerank_k=IVFB_IDX_RERANK_K, n_probe=IVFB_IDX_NPROBE,
+    )
+    return _recall_vs_exact(emb, queries, approx, k=RECALL_K)
+
+
+def _q_ivf_binary_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the composed IVF+binary stack served from the
+    persisted binary index (assignment + quantization amortized to
+    build; first pass partition- AND column-pruned; re-rank pruned to
+    the probed cells)."""
+    import tempfile
+
     with tempfile.TemporaryDirectory() as d:
-        write_ivf_index(emb, cents, f"{d}/ivf", binary=True)
-        idx = read_ivf_index(spark, f"{d}/ivf")
-        thr = read_ivf_thresholds(spark, f"{d}/ivf")
-        approx = ivf_binary_topk_indexed(
-            idx, queries, cents, thr, k=RECALL_K,
-            rerank_k=IVFB_IDX_RERANK_K, n_probe=IVFB_IDX_NPROBE,
-        )
-        rec = _recall_vs_exact(emb, queries, approx, k=RECALL_K)
+        rec = _ivf_binary_indexed_frame(spark, sf_dir, d)
         # materialize before the index directory vanishes (the standing
         # sink-gate pattern; the result is 10 tiny rows)
         out = spark.createDataFrame(rec.collect(), rec.schema)
@@ -118,15 +132,18 @@ _register(
         rerank_k=IVFB_IDX_RERANK_K, k=RECALL_K,
     ),
 )
+_register_plan_frame(
+    "similarity_ivf_binary_indexed_recall_at_5", _ivf_binary_indexed_frame
+)
 
 
-def _q_binary_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Admit the vec_id >= 400 batch against the standing band index of
-    the vec_id < 400 corpus: batch codes (quantized against the STORED
-    thresholds) broadcast into the partition-pruned banded join; a
-    batch id survives iff no smaller id sits within Hamming radius 15."""
-    import tempfile
-
+def _binary_admitted_frame(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """The LIVE serving frame behind
+    ``embedding_binary_incremental_admitted``: build the standing band
+    index under ``workdir``, return the pre-materialization admission
+    frame (what the plan audit records — VERDICT r14 #1)."""
     from hbase_taggregator_spark.operators.similarity import (
         binary_incremental_admitted,
         read_binary_band_index,
@@ -136,14 +153,24 @@ def _q_binary_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") < ADMIT_SPLIT)
     batch = emb.filter(F.col("vec_id") >= ADMIT_SPLIT)
+    write_binary_band_index(
+        corpus, f"{workdir}/bands", band_bits=ADMIT_BAND_BITS
+    )
+    idx, thr, bb, dim = read_binary_band_index(spark, f"{workdir}/bands")
+    return binary_incremental_admitted(
+        idx, batch, thr, radius=ADMIT_RADIUS, dim=dim, band_bits=bb
+    ).orderBy("vec_id")
+
+
+def _q_binary_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit the vec_id >= 400 batch against the standing band index of
+    the vec_id < 400 corpus: batch codes (quantized against the STORED
+    thresholds) broadcast into the partition-pruned banded join; a
+    batch id survives iff no smaller id sits within Hamming radius 15."""
+    import tempfile
+
     with tempfile.TemporaryDirectory() as d:
-        write_binary_band_index(
-            corpus, f"{d}/bands", band_bits=ADMIT_BAND_BITS
-        )
-        idx, thr, bb, dim = read_binary_band_index(spark, f"{d}/bands")
-        adm = binary_incremental_admitted(
-            idx, batch, thr, radius=ADMIT_RADIUS, dim=dim, band_bits=bb
-        ).orderBy("vec_id")
+        adm = _binary_admitted_frame(spark, sf_dir, d)
         # materialize before the index directory vanishes
         out = spark.createDataFrame(adm.collect(), adm.schema)
     return out
@@ -171,6 +198,9 @@ _register(
       AND vec_id NOT IN (SELECT id_b FROM hd WHERE id_b >= {ADMIT_SPLIT})
     ORDER BY vec_id
     """,
+)
+_register_plan_frame(
+    "embedding_binary_incremental_admitted", _binary_admitted_frame
 )
 
 
@@ -248,15 +278,13 @@ IVFPQ_NCODES = 16
 IVFPQ_NPROBE = 4
 
 
-def _q_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@5 of the composed IVFADC stack served from the pq=True
-    persisted index (assignment + codebook training + encoding all
-    amortized to build; the ADC first pass partition- and
-    column-pruned to (id, cent_id, codes); LUT from the STORED
-    codebooks). Row-identical to the in-memory ivf_pq_topk, so it
-    hashes against the same composed oracle."""
-    import tempfile
-
+def _ivf_pq_indexed_frame(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """The LIVE serving frame behind
+    ``similarity_ivf_pq_indexed_recall_at_5``: build the persisted
+    pq=True index under ``workdir``, return the pre-materialization
+    recall frame (what the plan audit records — VERDICT r14 #1)."""
     from hbase_taggregator_spark.operators.similarity import (
         ivf_pq_topk_indexed,
         l2_topk,
@@ -274,33 +302,45 @@ def _q_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     queries = emb.filter(F.col("vec_id") < 10)
+    write_ivf_index(
+        emb, cents, f"{workdir}/ivfpq", pq=True, pq_m=IVFPQ_M,
+        pq_codes=IVFPQ_NCODES, pq_refine_iters=1,
+    )
+    idx = read_ivf_index(spark, f"{workdir}/ivfpq")
+    books = read_ivf_codebooks(spark, f"{workdir}/ivfpq")
+    pq = ivf_pq_topk_indexed(
+        idx, queries, cents, books, k=RECALL_K, m=IVFPQ_M,
+        n_probe=IVFPQ_NPROBE,
+    ).select("query_id", "vec_id")
+    exact = l2_topk(emb, queries, k=RECALL_K).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact.join(pq, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) / F.lit(float(RECALL_K))).alias(
+            "recall_at_5"
+        ),
+    )
+
+
+def _q_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the composed IVFADC stack served from the pq=True
+    persisted index (assignment + codebook training + encoding all
+    amortized to build; the ADC first pass partition- and
+    column-pruned to (id, cent_id, codes); LUT from the STORED
+    codebooks). Row-identical to the in-memory ivf_pq_topk, so it
+    hashes against the same composed oracle."""
+    import tempfile
+
     with tempfile.TemporaryDirectory() as d:
-        write_ivf_index(
-            emb, cents, f"{d}/ivfpq", pq=True, pq_m=IVFPQ_M,
-            pq_codes=IVFPQ_NCODES, pq_refine_iters=1,
-        )
-        idx = read_ivf_index(spark, f"{d}/ivfpq")
-        books = read_ivf_codebooks(spark, f"{d}/ivfpq")
-        pq = ivf_pq_topk_indexed(
-            idx, queries, cents, books, k=RECALL_K, m=IVFPQ_M,
-            n_probe=IVFPQ_NPROBE,
-        ).select("query_id", "vec_id")
-        exact = l2_topk(emb, queries, k=RECALL_K).select(
-            "query_id", "vec_id"
-        )
-        hits = (
-            exact.join(pq, ["query_id", "vec_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
-        )
-        qids = queries.select(F.col("vec_id").alias("query_id"))
-        rec = qids.join(hits, "query_id", "left").select(
-            "query_id",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) / F.lit(float(RECALL_K))).alias(
-                "recall_at_5"
-            ),
-        )
+        rec = _ivf_pq_indexed_frame(spark, sf_dir, d)
         # materialize before the index directory vanishes
         out = spark.createDataFrame(rec.collect(), rec.schema)
     return out
@@ -414,6 +454,9 @@ _register(
     "similarity_ivf_pq_indexed_recall_at_5",
     _q_ivf_pq_indexed,
     _IVFPQ_RECALL_SQL,
+)
+_register_plan_frame(
+    "similarity_ivf_pq_indexed_recall_at_5", _ivf_pq_indexed_frame
 )
 
 

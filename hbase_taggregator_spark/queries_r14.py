@@ -31,7 +31,11 @@ from hbase_taggregator_spark.oracle_fragments import (
     _SQL_E,
     pq_refined_ctes,
 )
-from hbase_taggregator_spark.queries import _register, load_table
+from hbase_taggregator_spark.queries import (
+    _register,
+    _register_plan_frame,
+    load_table,
+)
 from hbase_taggregator_spark.queries_r13 import (
     IVFPQR_M,
     IVFPQR_NCODES,
@@ -159,16 +163,14 @@ _register(
 )
 
 
-def _q_ivf_pq_residual_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The residual IVFADC stack served from a PERSISTED
-    ``pq_residual=True`` :func:`write_ivf_index` layout — assignment,
-    cell means, AND residual encoding all amortized to build time; the
-    query batch reads codes partition-pruned to probed cells and builds
-    its per-cell LUTs from the STORED means + codebooks. Shares the
-    residual oracle: the indexed path is row-pinned to the in-memory
-    plan (tests/test_round14.py), the r12 indexed-gate discipline."""
-    import tempfile
-
+def _ivf_pq_residual_indexed_frame(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """The LIVE serving frame behind
+    ``similarity_ivf_pq_residual_indexed_recall_at_5``: build the
+    persisted ``pq_residual=True`` layout under ``workdir``, return the
+    pre-materialization recall frame (what the plan audit records —
+    VERDICT r14 #1)."""
     from hbase_taggregator_spark.operators.similarity import (
         ivf_pq_topk_indexed,
         l2_topk,
@@ -183,22 +185,35 @@ def _q_ivf_pq_residual_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.orderBy("vec_id").limit(16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
     )
+    write_ivf_index(
+        emb, cents, f"{workdir}/ivfpqr", pq=True, pq_residual=True,
+        pq_m=IVFPQR_M, pq_codes=IVFPQR_NCODES, pq_refine_iters=1,
+    )
+    idx = read_ivf_index(spark, f"{workdir}/ivfpqr")
+    books = read_ivf_codebooks(spark, f"{workdir}/ivfpqr")
+    means = read_ivf_cell_means(spark, f"{workdir}/ivfpqr")
+    pq = ivf_pq_topk_indexed(
+        idx, queries, cents, books, k=RECALL_K, m=IVFPQR_M,
+        n_probe=IVFPQR_NPROBE, residual_means=means,
+    ).select("query_id", "vec_id")
+    exact = l2_topk(emb, queries, k=RECALL_K).select(
+        "query_id", "vec_id"
+    )
+    return _recall_frame(spark, queries, pq, exact)
+
+
+def _q_ivf_pq_residual_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual IVFADC stack served from a PERSISTED
+    ``pq_residual=True`` :func:`write_ivf_index` layout — assignment,
+    cell means, AND residual encoding all amortized to build time; the
+    query batch reads codes partition-pruned to probed cells and builds
+    its per-cell LUTs from the STORED means + codebooks. Shares the
+    residual oracle: the indexed path is row-pinned to the in-memory
+    plan (tests/test_round14.py), the r12 indexed-gate discipline."""
+    import tempfile
+
     with tempfile.TemporaryDirectory() as d:
-        write_ivf_index(
-            emb, cents, f"{d}/ivfpqr", pq=True, pq_residual=True,
-            pq_m=IVFPQR_M, pq_codes=IVFPQR_NCODES, pq_refine_iters=1,
-        )
-        idx = read_ivf_index(spark, f"{d}/ivfpqr")
-        books = read_ivf_codebooks(spark, f"{d}/ivfpqr")
-        means = read_ivf_cell_means(spark, f"{d}/ivfpqr")
-        pq = ivf_pq_topk_indexed(
-            idx, queries, cents, books, k=RECALL_K, m=IVFPQR_M,
-            n_probe=IVFPQR_NPROBE, residual_means=means,
-        ).select("query_id", "vec_id")
-        exact = l2_topk(emb, queries, k=RECALL_K).select(
-            "query_id", "vec_id"
-        )
-        rec = _recall_frame(spark, queries, pq, exact)
+        rec = _ivf_pq_residual_indexed_frame(spark, sf_dir, d)
         # materialize before the index directory vanishes
         out = spark.createDataFrame(rec.collect(), rec.schema)
     return out
@@ -208,6 +223,10 @@ _register(
     "similarity_ivf_pq_residual_indexed_recall_at_5",
     _q_ivf_pq_residual_indexed,
     _IVFPQ_RESIDUAL_RECALL_SQL,
+)
+_register_plan_frame(
+    "similarity_ivf_pq_residual_indexed_recall_at_5",
+    _ivf_pq_residual_indexed_frame,
 )
 
 
