@@ -241,6 +241,8 @@ HEADLINE = [
     # map-side and scan-bound at real scale) — both caveats were the
     # old exclusion rationale, but a floor-bound number still catches a
     # regression where a blind spot catches nothing.
+    # --- round-15 new gates ---
+    "similarity_opq_lowrank_gain",
     # --- round-14 new gates ---
     "similarity_ivf_pq_residual_recall_at_5",
     "similarity_ivf_pq_residual_indexed_recall_at_5",

@@ -3462,6 +3462,137 @@ def pq_codebooks(
     return books
 
 
+def opq_rotation(
+    corpus: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    sample: int = 2048,
+) -> list[list[float]]:
+    """Parametric OPQ rotation (Ge et al., *Optimized Product
+    Quantization*, CVPR 2014 — the OPQ-P closed form): an orthogonal
+    ``R`` that PQ applies BEFORE the contiguous subspace split, chosen
+    so the variance the codebooks must explain is BALANCED across
+    subspaces. Natural chunking hands subspace ``s`` whatever happens
+    to live in dims ``[s·dim/m, (s+1)·dim/m)``; on anisotropic data
+    (every real embedding model — and any residual distribution whose
+    energy concentrates in a few directions) one subspace then absorbs
+    most of the energy while the rest spend their ``log2(n_codes)``
+    bits describing noise. OPQ-P decorrelates first (PCA), then
+    assigns principal directions to subspaces by EIGENVALUE ALLOCATION
+    — greedily, each next-largest eigenvalue to the subspace with the
+    smallest log-eigenvalue product — equalizing per-subspace variance
+    products, the paper's minimizer of quantization distortion under
+    the independence assumption.
+
+    Training is a driver-bounded sample (first ``sample`` rows by id —
+    the :func:`pq_codebooks` sampling discipline; covariance needs
+    O(sample·dim²) flops and dim² doubles, both driver-trivial at any
+    corpus scale because ``sample`` is FIXED). Deterministic: the
+    sample is id-ordered, `numpy.linalg.eigh` is deterministic on a
+    host, and each eigenvector's sign is normalized (largest-|component|
+    positive) so near-tie orderings cannot flip signs between runs.
+
+    Returns ``R`` as dim rows × dim cols (row i = the direction whose
+    projection lands in output dim i, rows grouped by subspace) —
+    apply with :func:`apply_rotation`, train codebooks on the rotated
+    vectors, and because ``R`` is orthogonal every squared-L2 the ADC
+    chain approximates is preserved exactly: rotating corpus AND
+    queries changes no exact distance, only how the code bits are
+    spent. Composes with residual coding by rotating the residual
+    frame (R(x − μ) = Rx − Rμ): rotate everything once at ingest and
+    the whole IVFADC stack runs unchanged."""
+    import math
+
+    import numpy as np
+
+    rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+    x = np.array(
+        [[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64
+    )
+    if x.shape[0] < 2 or x.shape[1] != dim:
+        raise ValueError(
+            f"opq_rotation: need >= 2 sample vectors of dim {dim}, got "
+            f"shape {x.shape}"
+        )
+    x = x - x.mean(axis=0)
+    cov = x.T @ x / (x.shape[0] - 1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]  # eigenvalues descending
+    w, v = w[order], v[:, order]
+    for j in range(dim):  # sign convention: largest-|component| positive
+        p = int(np.argmax(np.abs(v[:, j])))
+        if v[p, j] < 0:
+            v[:, j] = -v[:, j]
+    # eigenvalue allocation: largest first, each to the open subspace
+    # with the smallest running log-product (the paper's balancing
+    # heuristic; log keeps the products comparable without overflow).
+    # The logs are SHIFTED positive first: every subspace ends with
+    # exactly dim/m eigenvalues, so a per-item constant cancels out of
+    # the final product comparison — but it is load-bearing for the
+    # greedy itself, because with raw logs an eigenvalue < 1 makes the
+    # bucket it joins MORE attractive (its log-product shrinks) and the
+    # whole spectrum collapses into one subspace, the exact imbalance
+    # the allocation exists to prevent.
+    sub = dim // m
+    tiny = 1e-12
+    logs_j = [math.log(max(float(lv), tiny)) for lv in w]
+    lo, hi = min(logs_j), max(logs_j)
+    delta = (hi - lo) / dim + tiny  # strictly positive per-item weight
+    weights = [lj - lo + delta for lj in logs_j]
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    totals = [0.0] * m
+    for j in range(dim):
+        open_b = [b for b in range(m) if len(buckets[b]) < sub]
+        b = min(open_b, key=lambda b: (totals[b], b))
+        buckets[b].append(j)
+        totals[b] += weights[j]
+    perm = [j for b in range(m) for j in buckets[b]]
+    r_mat = v[:, perm].T  # row i of R = allocated direction i
+    return [[float(c) for c in row] for row in r_mat]
+
+
+def apply_rotation(
+    df: DataFrame,
+    rotation: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """y = R·x per row, map-side: the dim×dim matrix rides a ONE-ROW
+    broadcast frame (never plan literals — dim² floats would blow past
+    ``PQ_INLINE_MAX_LITERALS`` at any real dim) and each output
+    component is one zip_with/aggregate dot product — no shuffle, no
+    Python, whole-stage-codegen-resident like every hot-path projection
+    in this module. Overwrites ``vec_col`` unless ``out_col`` names a
+    new column. Components widen to double before the multiply (the
+    residual-subtract precision discipline)."""
+    out_col = out_col or vec_col
+    mdf = df.sparkSession.createDataFrame(
+        [([[float(c) for c in row] for row in rotation],)],
+        "__rot array<array<double>>",
+    )
+    return (
+        df.crossJoin(F.broadcast(mdf))
+        .withColumn(
+            out_col,
+            F.transform(
+                F.col("__rot"),
+                lambda row: F.aggregate(
+                    F.zip_with(
+                        row,
+                        F.col(vec_col),
+                        lambda a, b: a * b.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ),
+            ),
+        )
+        .drop("__rot")
+    )
+
+
 def _pq_sqdist(seg: Column, code_vec: Column) -> Column:
     """Decimal-accumulated squared L2 between a subspace slice and a
     codeword vector — exact and order-free, so SQL SUM() over the same

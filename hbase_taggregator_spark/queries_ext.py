@@ -4430,84 +4430,84 @@ _register(
 )
 # ---------------------------------------------------------------------------
 # Driver gate window (rotated per round): the driver records CORRECTNESS
-# rows for the FIRST 50 catalog entries. r14 priority: the TWO new
-# queries (similarity_ivf_pq_residual_recall_at_5 — the residual IVFADC
-# row algebra: cell-mean residual codes, per-(query, cell) LUTs, full
-# SQL restatement — and similarity_ivf_pq_residual_indexed_recall_at_5
-# — the same stack served from the persisted pq_residual=True layout
-# with the _cell_means sidecar), then every query whose implementation
-# or ORACLE TEXT
-# changed this round: the floor gate (re-dialed to residual codes +
-# FIXED rerank_k=100, verdict row extended — oracle text changed), the
-# PQ family re-routed by the PQ_INLINE_MAX_LITERALS 1024→512 flip
-# (the default m=4/16-code dials now take the broadcast codebook) and
-# by the ivf_pq_topk restructure (assignment now precedes codebook
-# training; LUT gains the extra_keys seam), and the two persisted-index
-# gates over write_ivf_index, whose append validation hardened
-# (PATH_NOT_FOUND-only sidecar mapping + the bootstrap-append guard).
-# Then the R9 BLOCK per the standing rotation queue — the oldest
-# latest-gating entries (CORRECTNESS_r09 keys not re-gated since); 41
-# of its 45 fit this window, the final four (dedup_ngram_jaccard_pairs,
-# dedup_duplicate_clusters, text_quality_features, text_bm25_retrieval)
-# head the r15 queue, after which the rotation queue moves to the r10
-# block. No retained filler this round — rotation consumed the window.
-# Every query pushed out is green in earlier CORRECTNESS rounds and
-# this round's full-catalog oracle log (tools/oracle_full_r14.log).
+# rows for the FIRST 50 catalog entries. r15 priority: the ONE new
+# query (similarity_opq_lowrank_gain — the censused OPQ rotation
+# verdict gate on the rank-8 fixture at the tight 32-bit code budget),
+# then every query whose implementation changed this round: the five
+# persisted-index gates and the partitioned-sink gate, all refactored
+# into serving-plan factories + materializing wrappers for the
+# PLAN_FRAMES audit registry (row-identical — pinned in
+# tests/test_round15.py — but re-gated per the standing rule), with
+# similarity_ivf_pq_residual_indexed_recall_at_5 also covering the
+# write_ivf_index residual_orphans seam added this round. Then the
+# FOUR r9 leftovers that headed the rotation queue
+# (dedup_ngram_jaccard_pairs, dedup_duplicate_clusters,
+# text_quality_features, text_bm25_retrieval), then the R10 BLOCK
+# (CORRECTNESS_r10 keys not re-gated in r11-r14, in that file's
+# order); 39 of its 47 fit this window — the final eight
+# (semi_anti_customer_orders, distinct_counts_lineitem,
+# multiversion_latest_2_per_user, asof_purchase_to_click,
+# text_language_id, text_fingerprint_tokens, dedup_exact,
+# similarity_cosine_topk) head the r16 queue, after which rotation
+# moves to the r11 block. Every query pushed out is green in earlier
+# CORRECTNESS rounds and this round's full-catalog oracle log
+# (tools/oracle_full_r15.log).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # new this round (r14)
-    "similarity_ivf_pq_residual_recall_at_5",
-    "similarity_ivf_pq_residual_indexed_recall_at_5",
-    # implementation or oracle text changed this round — re-gate first
-    "similarity_ivf_pq_recall_floor",
-    "similarity_ivf_pq_rerank_recall_at_5",
-    "similarity_pq_recall_at_5",
-    "similarity_ivf_pq_recall_at_5",
-    "similarity_ivf_pq_indexed_recall_at_5",
-    "pq_code_collapse_census",
+    # new this round (r15)
+    "similarity_opq_lowrank_gain",
+    # implementation changed this round (serving-plan factory refactor)
+    "similarity_ivf_indexed_recall_at_5",
     "similarity_ivf_binary_indexed_recall_at_5",
-    # the r9 block (standing rotation queue): oldest latest-gating
-    "embedding_truncate_renorm_checksums",
-    "embedding_standardize_checksums",
-    "approx_distinct_lineitem",
-    "semdedup_survivors",
-    "semdedup_survivors_cellcap",
-    "similarity_ivf_recall_at_5",
-    "similarity_ivf_kmeans_recall_at_5",
-    "sql_entry_rollup_view",
-    "pit_feature_lookup_regimes",
-    "nullsafe_join_device_counts",
-    "setops_multiset_all_users",
-    "corpus_dedup_doc_segments",
-    "sink_orc_roundtrip",
-    "similarity_dup_clusters",
-    "text_rare_bigram_ratio",
-    "corpus_clean_boilerplate",
-    "dedup_simhash_signatures",
-    "dedup_simhash_pairs",
-    "bi_mom_growth_per_segment",
-    "bi_pareto_customers_80pct",
-    "decoder_registry_double_be",
-    "decoder_registry_decimal_be",
-    "feature_quantile_bins_decile",
-    "feature_winsorize_p05_p95",
-    "json_props_extract",
-    "reshape_pivot_unpivot_roundtrip",
-    "sink_csv_json_roundtrip",
+    "similarity_ivf_pq_indexed_recall_at_5",
+    "similarity_ivf_pq_residual_indexed_recall_at_5",
+    "embedding_binary_incremental_admitted",
     "sink_partitioned_roundtrip",
-    "text_conjunctive_search",
-    "text_posting_lists",
-    "text_vocabulary",
-    "udtf_sentence_split",
-    "window_rank_functions_showcase",
-    "ts_max_900",
-    "ts_rowkey_mode_3600",
-    "ts_max_28800_compat",
-    "decoder_registry_long_be",
-    "q1_pricing_summary",
-    "q9_profit_by_nation_year",
-    "q18_large_orders",
-    "q21_waiting_suppliers",
+    # the four r9 leftovers (head of the standing rotation queue)
+    "dedup_ngram_jaccard_pairs",
+    "dedup_duplicate_clusters",
+    "text_quality_features",
+    "text_bm25_retrieval",
+    # the r10 block (standing rotation queue): oldest latest-gating
+    "similarity_twolevel_recall_at_5",
+    "similarity_twolevel_topk",
+    "similarity_twolevel_assign",
+    "similarity_kmeans_twolevel_refine",
+    "text_bpe_token_count",
+    "corpus_stratified_mix",
+    "corpus_negative_pairs",
+    "ts_rolling_zscore_outliers",
+    "multimodal_binary_features",
+    "hbase_rowshape_bucketed_agg",
+    "profile_skew_report",
+    "corpus_source_mixing",
+    "graph_pagerank_suppliers",
+    "dedup_minhash_lsh_candidates",
+    "dedup_funnel_survivors",
+    "dedup_incremental_admitted",
+    "ts_min_900",
+    "ts_sum_900",
+    "ts_avg_900",
+    "ts_count_900",
+    "ts_avg_900_odd_start",
+    "ts_multi_verb_28800",
+    "ts_grouped_by_type_86400",
+    "ts_count_900_gapfilled",
+    "sliding_window_1h_15m",
+    "session_windows_6h_per_user",
+    "rowkey_range_scan",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "window_topk_parts_per_brand",
+    "window_running_order_total",
+    "window_lag_user_gaps",
+    "rollup_order_status_priority",
+    "cube_returnflag_linestatus",
+    "setops_purchase_error_users",
 ]
 
 
@@ -4543,5 +4543,6 @@ import hbase_taggregator_spark.queries_r11  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r12  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r13  # noqa: E402,F401
 import hbase_taggregator_spark.queries_r14  # noqa: E402,F401
+import hbase_taggregator_spark.queries_r15  # noqa: E402,F401
 
 _apply_gate_window(strict=False)
