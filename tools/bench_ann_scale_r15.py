@@ -17,11 +17,17 @@ Measured per point, all on the PERSISTED pq_residual=True layout
 
 - build_wall_s: full index build (assign + cell means + residual
   codebook train + encode + partitioned write + sidecars)
-- serve_wall_s: 10-query batch, FIXED rerank_k=100, k=5
+- serve_wall_s: 10-query batch, FIXED rerank_k=100, k=5 — min of two
+  runs (the first serve on a fresh JVM absorbs whole-stage-codegen
+  compilation for the entire plan family; the min is the standing
+  bench discipline)
 - recall_at_5 vs exact L2 over the raw corpus
-- probe fraction: rows AND file bytes under the probed cent_id
-  directories / whole index (the partition-pruning dividend — the
-  serving path reads only these)
+- probe fraction: PER-QUERY mean of rows / file bytes under that
+  query's probed cent_id directories over the whole index (the
+  partition-pruning dividend — each query's serving path reads only
+  its own n_probe cells; the 10-query batch union touches more
+  directories but every (query, cell) pair still scans only its
+  pruned slice)
 
 Note the 141-cell point also exercises ivf_assign's declared strategy
 switch (>= 128 centroids -> the Arrow/numpy ranking) at build time —
@@ -109,50 +115,68 @@ def main() -> int:
             idx = S.read_ivf_index(spark, path)
             books = S.read_ivf_codebooks(spark, path)
             means = S.read_ivf_cell_means(spark, path)
-            t0 = time.time()
-            served = S.ivf_pq_topk_indexed(
-                idx, queries, cents, books, k=K, m=FLOOR_M,
-                n_probe=n_probe, residual_means=means,
-                rerank_k=RERANK_K,
-            )
-            got = {
-                (r["query_id"], r["vec_id"])
-                for r in served.select("query_id", "vec_id").collect()
-            }
-            serve_s = time.time() - t0
+            serve_s, got = None, None
+            for _run in range(2):  # min-of-2: run 1 pays codegen
+                t0 = time.time()
+                served = S.ivf_pq_topk_indexed(
+                    idx, queries, cents, books, k=K, m=FLOOR_M,
+                    n_probe=n_probe, residual_means=means,
+                    rerank_k=RERANK_K,
+                )
+                got = {
+                    (r["query_id"], r["vec_id"])
+                    for r in served.select(
+                        "query_id", "vec_id"
+                    ).collect()
+                }
+                w = time.time() - t0
+                serve_s = w if serve_s is None else min(serve_s, w)
             recall = len(got & exact) / len(exact)
 
-            # probed cells for this query batch = n_probe nearest
-            # centroids per query (the same probe join the serving
-            # plan partition-prunes with)
-            probed = {
-                int(r["cent_id"])
-                for r in S.ivf_assign(
-                    queries, cents, n_probe=n_probe
-                ).select("cent_id").distinct().collect()
-            }
+            # per-query probed cells = n_probe nearest centroids (the
+            # same probe join the serving plan partition-prunes with)
+            per_q = {}
+            for r in S.ivf_assign(
+                queries, cents, n_probe=n_probe
+            ).select("vec_id", "cent_id").collect():
+                per_q.setdefault(int(r["vec_id"]), set()).add(
+                    int(r["cent_id"])
+                )
             cell_rows = {
                 int(r["cent_id"]): int(r["n"])
                 for r in idx.groupBy("cent_id").count()
                 .withColumnRenamed("count", "n").collect()
             }
-            probed_rows = sum(cell_rows.get(c, 0) for c in probed)
             cell_bytes = {
                 c: _dir_bytes(os.path.join(path, f"cent_id={c}"))
                 for c in cell_rows
             }
-            probed_bytes = sum(cell_bytes.get(c, 0) for c in probed)
             total_bytes = sum(cell_bytes.values())
+            q_row_fracs = [
+                sum(cell_rows.get(c, 0) for c in cells) / n
+                for cells in per_q.values()
+            ]
+            q_byte_fracs = [
+                sum(cell_bytes.get(c, 0) for c in cells) / total_bytes
+                for cells in per_q.values()
+            ]
+            batch_cells = set().union(*per_q.values())
 
             out["points"][f"n={n}"] = {
                 "nlist": nlist, "n_probe": n_probe,
                 "build_wall_s": round(build_s, 1),
                 "serve_wall_s": round(serve_s, 1),
                 "recall_at_5": round(recall, 3),
-                "probed_cells": len(probed),
-                "probe_row_fraction": round(probed_rows / n, 4),
-                "probe_byte_fraction": round(
-                    probed_bytes / total_bytes, 4
+                "per_query_row_fraction": round(
+                    sum(q_row_fracs) / len(q_row_fracs), 4
+                ),
+                "per_query_byte_fraction": round(
+                    sum(q_byte_fracs) / len(q_byte_fracs), 4
+                ),
+                "batch_union_cells": len(batch_cells),
+                "batch_union_row_fraction": round(
+                    sum(cell_rows.get(c, 0) for c in batch_cells) / n,
+                    4,
                 ),
                 "index_bytes": total_bytes,
             }
