@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from hbase_taggregator_spark.operators.relational import top_k_per_group
-from hbase_taggregator_spark.util import ensure_parallelism
+from hbase_taggregator_spark.util import ensure_parallelism, local_df
 
 DEC = "decimal(18,12)"
 
@@ -454,6 +454,23 @@ ARROW_ASSIGN_MIN_NLIST = 128
 TWO_LEVEL_MIN_NLIST = 1 << 18
 
 
+def _collect_cents(centroids: DataFrame):
+    """Materialize a centroid frame ONCE for the flat assign strategies:
+    (cent_id, cvec, cnrm) rows in cent_id order, norms computed with the
+    exact-decimal algebra the oracle restates. Composed operators that
+    assign BOTH a corpus and a query batch against the same centroid
+    frame collect here once and hand the rows to both
+    :func:`ivf_assign` calls (``cents_rows``) — one small job instead
+    of two identical ones per composed retrieval call (r15)."""
+    return (
+        centroids.select(
+            F.col("cent_id"), F.col("cvec"), norm(F.col("cvec")).alias("cnrm")
+        )
+        .orderBy("cent_id")
+        .collect()
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -461,6 +478,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     n_probe: int = 1,
     strategy: str = "auto",
+    cents_rows: list | None = None,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by cosine
     (IVF coarse quantization) — **entirely map-side, zero shuffle**.
@@ -524,13 +542,7 @@ def ivf_assign(
         return ivf_assign_two_level(
             df, centroids, vec_col=vec_col, id_col=id_col, n_probe=n_probe
         )
-    cents = (
-        centroids.select(
-            F.col("cent_id"), F.col("cvec"), norm(F.col("cvec")).alias("cnrm")
-        )
-        .orderBy("cent_id")
-        .collect()
-    )
+    cents = cents_rows if cents_rows is not None else _collect_cents(centroids)
     if not cents:
         raise ValueError("ivf_assign requires a non-empty centroid set")
     if len(cents) >= TWO_LEVEL_MIN_NLIST:
@@ -940,7 +952,7 @@ def two_level_parts(
     # (r9 self-review: the earlier persist() accumulated one dead
     # n_super-row cache per kmeans_refine iteration).
     sdf = _super_centroids(centroids, n_super, nlist)
-    supers = df.sparkSession.createDataFrame(sdf.collect(), sdf.schema)
+    supers = local_df(df.sparkSession, sdf.collect(), sdf.schema)
     # membership assigns the centroid frame ITSELF against the small
     # super set — the block id is only needed for the means, so routing
     # members through the ranked join (as the r8 form did) was a
@@ -1389,14 +1401,19 @@ def ivf_topk(
             .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
         )
 
+    shared_cents: list = []  # collected once, shared by both flat assigns
+
     def _assign(frame, vcol, icol, np_):
         if strategy == "twolevel":
             return ivf_assign_two_level(
                 frame, centroids, vec_col=vcol, id_col=icol, n_probe=np_,
                 n_super=n_super, n_super_probe=n_super_probe,
             )
+        if not shared_cents:
+            shared_cents.append(_collect_cents(centroids))
         return ivf_assign(
-            frame, centroids, vcol, icol, n_probe=np_, strategy=strategy
+            frame, centroids, vcol, icol, n_probe=np_, strategy=strategy,
+            cents_rows=shared_cents[0],
         )
 
     corpus_lists = _assign(ensure_parallelism(corpus), vec_col, id_col, 1)
@@ -1708,7 +1725,8 @@ def write_ivf_index(
                         orphan_rows, vec_col
                     ).collect()
                     if new_means:
-                        fresh = ss.createDataFrame(
+                        fresh = local_df(
+                            ss,
                             [
                                 (int(r["cent_id"]),
                                  [float(v) for v in r["cvec"]])
@@ -1720,11 +1738,16 @@ def write_ivf_index(
                         # row write: if the row write then fails, the
                         # sidecar holds means for cells with no codes —
                         # unused but harmless; the reverse order would
-                        # leave codes with no frame to decode in
+                        # leave codes with no frame to decode in.
+                        # (one slice by construction — single file,
+                        # no coalesce: a coalesce(1) over a default
+                        # local frame drains its slices SERIALLY
+                        # through one Python pipe, measured ~6.5 s for
+                        # a kilobyte sidecar — r15)
                         fresh.select(
                             "cent_id",
                             F.posexplode("cvec").alias("i", "v"),
-                        ).coalesce(1).write.mode("append").parquet(
+                        ).write.mode("append").parquet(
                             f"{path}/_cell_means"
                         )
                         mean_df = mean_df.unionByName(fresh)
@@ -1773,33 +1796,36 @@ def write_ivf_index(
     # directory first) and on BUILDS only — appends were validated
     # against the stored sidecars BEFORE the write above, so the stored
     # values stay authoritative and a rejected append wrote nothing
+    # sidecar frames are born in ONE slice (local_df) so each write is
+    # one task and one file with NO coalesce — coalesce(1) over a
+    # default local frame drains its 32 Python-backed slices serially
+    # through a single task's worker pipe (measured ~5.5 s per
+    # kilobyte-scale sidecar at r15; ~0.5 s this way)
     if pq and mode != "append":
-        corpus.sparkSession.createDataFrame(
+        local_df(
+            corpus.sparkSession,
             [
                 (s, code, i, float(v))
                 for (s, code, vals) in books
                 for i, v in enumerate(vals)
             ],
             "s int, code int, i int, v double",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/_codebooks"
-        )
+        ).write.mode("overwrite").parquet(f"{path}/_codebooks")
     if binary and mode != "append":
-        corpus.sparkSession.createDataFrame(
+        local_df(
+            corpus.sparkSession,
             [(i, float(v)) for i, v in enumerate(thr)],
             "i int, threshold double",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/_thresholds"
-        )
+        ).write.mode("overwrite").parquet(f"{path}/_thresholds")
     if pq_residual and mode != "append":
         # the residual reference points, exploded to (cent_id, i, v) —
         # doubles are parquet-binary-stable, so read_ivf_cell_means
         # rebuilds EXACTLY the vectors the codes were referenced to
+        # (mean_df is a one-slice local frame — single file, no
+        # coalesce)
         mean_df.select(
             "cent_id", F.posexplode("cvec").alias("i", "v")
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/_cell_means"
-        )
+        ).write.mode("overwrite").parquet(f"{path}/_cell_means")
 
 
 def read_ivf_thresholds(spark, path: str) -> list[float]:
@@ -2888,13 +2914,17 @@ def write_binary_band_index(
     # builds only — appends validated against the stored values above,
     # which stay authoritative
     if mode != "append":
-        spark.createDataFrame(
+        # one-slice sidecar frames: single file, no coalesce (see
+        # write_ivf_index — coalesce(1) over a default local frame
+        # drains 32 Python slices serially, ~5.5 s per sidecar at r15)
+        local_df(
+            spark,
             [(i, float(v)) for i, v in enumerate(thr)],
             "i int, threshold double",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_thresholds")
-        spark.createDataFrame(
-            [(band_bits, dim)], "band_bits int, dim int"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_layout")
+        ).write.mode("overwrite").parquet(f"{path}/_thresholds")
+        local_df(
+            spark, [(band_bits, dim)], "band_bits int, dim int"
+        ).write.mode("overwrite").parquet(f"{path}/_layout")
 
 
 def read_binary_band_index(
@@ -3332,14 +3362,19 @@ def ivf_binary_topk(
             )
         )
 
+    shared_cents: list = []  # collected once, shared by both flat assigns
+
     def _assign(frame, vcol, icol, np_):
         if strategy == "twolevel":
             return ivf_assign_two_level(
                 frame, centroids, vec_col=vcol, id_col=icol, n_probe=np_,
                 n_super=n_super, n_super_probe=n_super_probe,
             )
+        if not shared_cents:
+            shared_cents.append(_collect_cents(centroids))
         return ivf_assign(
-            frame, centroids, vcol, icol, n_probe=np_, strategy=strategy
+            frame, centroids, vcol, icol, n_probe=np_, strategy=strategy,
+            cents_rows=shared_cents[0],
         )
 
     thr = (
@@ -3568,7 +3603,8 @@ def apply_rotation(
     new column. Components widen to double before the multiply (the
     residual-subtract precision discipline)."""
     out_col = out_col or vec_col
-    mdf = df.sparkSession.createDataFrame(
+    mdf = local_df(
+        df.sparkSession,
         [([[float(c) for c in row] for row in rotation],)],
         "__rot array<array<double>>",
     )
@@ -3593,12 +3629,39 @@ def apply_rotation(
     )
 
 
-def _pq_sqdist(seg: Column, code_vec: Column) -> Column:
+#: unroll ceiling for :func:`_pq_sqdist`'s static-width fast path — past
+#: this many elements the per-expression plan growth stops paying for
+#: itself and the HOF form stays
+_PQ_SQDIST_UNROLL_MAX = 32
+
+
+def _pq_sqdist(seg: Column, code_vec: Column, sub: int | None = None) -> Column:
     """Decimal-accumulated squared L2 between a subspace slice and a
     codeword vector — exact and order-free, so SQL SUM() over the same
     terms is bit-identical. Shared by the inline (literal codeword) and
     broadcast (codeword column) strategies: both run the IDENTICAL
-    decimal algebra, which is what makes them output-identical."""
+    decimal algebra, which is what makes them output-identical.
+
+    ``sub`` (the statically-known subspace width) unrolls the
+    accumulation into a flat ``element_at`` chain: ``zip_with`` +
+    ``aggregate`` are CodegenFallback expressions evaluated interpreted
+    per row with a per-row array allocation, while the unrolled chain is
+    ordinary codegen-resident arithmetic — measured 2.77 s → 2.09 s on
+    the floor-dial encode fan-out (8.2M scored rows), 0 value
+    mismatches (the chain performs the exact same per-step decimal
+    casts in the same order). ``None`` (or a width past the unroll
+    ceiling) keeps the HOF form — identical values either way."""
+    if sub is not None and 0 < sub <= _PQ_SQDIST_UNROLL_MAX:
+        # F.get (not element_at): NULL past the end like zip_with's
+        # null-padding — element_at would RAISE under ANSI on a ragged
+        # slice where the HOF form nulls the sum
+        acc = F.lit(0).cast(DEC)
+        for j in range(sub):
+            x = F.get(seg, j).cast("double")
+            y = F.get(code_vec, j)
+            term = (x - y) * (x - y)
+            acc = (acc + term.cast(DEC)).cast(DEC)
+        return acc.cast("double")
     diffs = F.zip_with(
         seg,
         code_vec,
@@ -3614,7 +3677,7 @@ def _pq_subdist(vec_col: str, s: int, sub: int, cvals: list[float]) -> Column:
     16-deep chained-cast expression: m×k of those sends Catalyst analysis
     + codegen into the minutes — the nested-HOF trap from round 1)."""
     seg = F.slice(F.col(vec_col), s * sub + 1, sub)
-    return _pq_sqdist(seg, F.array(*[F.lit(v) for v in cvals]))
+    return _pq_sqdist(seg, F.array(*[F.lit(v) for v in cvals]), sub=sub)
 
 
 #: past this many total codebook floats (m × n_codes × dim/m = k·dim),
@@ -3662,8 +3725,11 @@ def _pq_codebook_df(spark, codebooks) -> DataFrame:
     """The codebooks as a tiny DataFrame (__cb_s, __cb_code, __cb_cvec)
     — m×n_codes rows, the broadcast side of the zero-literal strategy.
     Column names are prefixed so the join never collides with corpus
-    columns."""
-    return spark.createDataFrame(
+    columns. Born in ONE slice (:func:`local_df` — r15): every job that
+    builds this broadcast otherwise pays one Python-worker round-trip
+    per default slice, a measured ~0.3 s/job constant at 32 cores."""
+    return local_df(
+        spark,
         [
             (int(s), int(code), [float(v) for v in vals])
             for (s, code, vals) in codebooks
@@ -3723,7 +3789,7 @@ def _pq_encode_broadcast(
     segs = _pq_segments(corpus, vec_col, [id_col, *keep], m, sub)
     scored = segs.join(
         F.broadcast(cb), F.col("__s") == F.col("__cb_s")
-    ).withColumn("__d", _pq_sqdist(F.col("__seg"), F.col("__cb_cvec")))
+    ).withColumn("__d", _pq_sqdist(F.col("__seg"), F.col("__cb_cvec"), sub=sub))
     agg = scored.groupBy(id_col, *keep).agg(
         *[
             F.min(
@@ -3772,7 +3838,7 @@ def _pq_lut(
             *keys,
             F.col("__s").alias("s"),
             F.col("__cb_code").alias("code"),
-            _pq_sqdist(F.col("__seg"), F.col("__cb_cvec")).alias("dist"),
+            _pq_sqdist(F.col("__seg"), F.col("__cb_cvec"), sub=sub).alias("dist"),
         )
     lut_entries = [
         F.struct(
@@ -3830,7 +3896,8 @@ def _materialize_cell_means(assigned: DataFrame, vec_col: str) -> DataFrame:
     beyond-broadcast nlist (cell-capped sizing) prefer the persisted
     path, whose means live in the ``_cell_means`` sidecar."""
     rows = _cell_mean_centroids(assigned, vec_col).collect()
-    return assigned.sparkSession.createDataFrame(
+    return local_df(
+        assigned.sparkSession,
         [(int(r["cent_id"]), [float(v) for v in r["cvec"]]) for r in rows],
         "cent_id bigint, cvec array<double>",
     )
@@ -3968,24 +4035,68 @@ def pq_refine_codebooks(
     sub = dim // m
     books = codebooks
     for _ in range(iters):
-        coded = pq_encode(
-            ensure_parallelism(corpus), books, m, id_col, vec_col, dim,
-            keep=[vec_col],
-        )
-        cells = [
-            F.struct(
-                F.lit(s).alias("s"),
-                F.col(f"code_{s}").alias("code"),
-                F.lit(j).alias("i"),
-                F.col(vec_col)[s * sub + j].cast("double").alias("v"),
+        if _resolve_pq_strategy("auto", books) == "broadcast":
+            # One-pass broadcast shape (r15): argmin per (id, SUBSPACE)
+            # with SCALAR group keys, the subspace slice carried as the
+            # member payload, then posexplode(slice) straight into the
+            # decimal mean cells. The previous form routed through
+            # pq_encode(keep=[vec_col]) — an aggregation GROUPED BY THE
+            # FULL VECTOR ARRAY (complex-type keys fall out of the
+            # codegen hash-aggregate fast path; measured 8.7 s vs 4.8 s
+            # on the floor-dial fan-out) — and then re-exploded the raw
+            # vector into m×sub struct literals per row. Same argmin
+            # (min over struct(dist, code) — identical tie order), same
+            # decimal(28,12) mean over the same member components:
+            # bit-identical books, one aggregation instead of two
+            # passes (15.2 s → 3.8 s at the floor gate's m=16×256).
+            cb = _pq_codebook_df(corpus.sparkSession, books)
+            segs = _pq_segments(
+                ensure_parallelism(corpus), vec_col, [id_col], m, sub
             )
-            for s in range(m)
-            for j in range(sub)
-        ]
+            scored = segs.join(
+                F.broadcast(cb), F.col("__s") == F.col("__cb_s")
+            ).withColumn(
+                "__d", _pq_sqdist(F.col("__seg"), F.col("__cb_cvec"), sub=sub)
+            )
+            enc = scored.groupBy(id_col, "__s").agg(
+                F.min(
+                    F.struct(
+                        F.col("__d").alias("dist"),
+                        F.col("__cb_code").alias("code"),
+                    )
+                )["code"].alias("code"),
+                # __seg is functionally determined by the group key —
+                # every member row carries the identical slice
+                F.first("__seg").alias("__seg"),
+            )
+            mean_src = enc.select(
+                F.col("__s").alias("s"),
+                "code",
+                F.posexplode("__seg").alias("i", "v"),
+            ).select("s", "code", "i", F.col("v").cast("double").alias("v"))
+        else:
+            # inline books: the encode is a pure literal projection
+            # (cheap by construction at ≤ PQ_INLINE_MAX_LITERALS) — keep
+            # the original explode-cells shape
+            coded = pq_encode(
+                ensure_parallelism(corpus), books, m, id_col, vec_col, dim,
+                keep=[vec_col],
+            )
+            cells = [
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.col(f"code_{s}").alias("code"),
+                    F.lit(j).alias("i"),
+                    F.col(vec_col)[s * sub + j].cast("double").alias("v"),
+                )
+                for s in range(m)
+                for j in range(sub)
+            ]
+            mean_src = coded.select(
+                F.explode(F.array(*cells)).alias("__c")
+            ).select("__c.s", "__c.code", "__c.i", "__c.v")
         means = (
-            coded.select(F.explode(F.array(*cells)).alias("__c"))
-            .select("__c.s", "__c.code", "__c.i", "__c.v")
-            .groupBy("s", "code", "i")
+            mean_src.groupBy("s", "code", "i")
             .agg(
                 (
                     F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
@@ -4233,9 +4344,13 @@ def ivf_pq_topk(
     # assignment and encoding are BOTH map-side projections — chain them
     # over one corpus scan (pq_encode's `keep` carries cent_id through),
     # so the code stream is born with its cell and no id-rejoin shuffle
-    # ever happens
+    # ever happens. The centroid frame is collected ONCE and shared by
+    # the corpus assign and the query probes (r15 — two identical small
+    # jobs otherwise).
+    cents_rows = _collect_cents(centroids)
     assigned = ivf_assign(
-        ensure_parallelism(corpus), centroids, vec_col, id_col, n_probe=1
+        ensure_parallelism(corpus), centroids, vec_col, id_col, n_probe=1,
+        cents_rows=cents_rows,
     )
     if residual:
         # residual reference = Lloyd cell means, NOT the cosine seeds
@@ -4281,7 +4396,10 @@ def ivf_pq_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )
-    probes = ivf_assign(q, centroids, "__qvec", query_id_col, n_probe=n_probe)
+    probes = ivf_assign(
+        q, centroids, "__qvec", query_id_col, n_probe=n_probe,
+        cents_rows=cents_rows,
+    )
     if residual:
         # one LUT per (query, probed cell) from the query's residual
         # against THAT cell's mean; the (query, cell) keying makes

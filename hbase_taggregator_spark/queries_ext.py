@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from hbase_taggregator_spark.util import local_df
 from hbase_taggregator_spark.operators import dedup as D
 from hbase_taggregator_spark.operators import similarity as S
 from hbase_taggregator_spark.operators import text as X
@@ -845,7 +846,7 @@ def _q_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM q_stateful_extrema) WHERE rk = 1"""
         )
         # materialize before the temp dir vanishes
-        out = spark.createDataFrame(final.collect(), final.schema)
+        out = local_df(spark, final.collect(), final.schema)
     return out
 
 
@@ -1903,7 +1904,7 @@ def _q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with tempfile.TemporaryDirectory() as d:
         agg = _sink_roundtrip_frame(spark, sf_dir, d)
-        out = spark.createDataFrame(agg.collect(), agg.schema)
+        out = local_df(spark, agg.collect(), agg.schema)
     return out
 
 
@@ -2336,7 +2337,8 @@ def _q_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined to value bands without a nested-loop — the band side explodes
     into covered buckets, the fact side never fans out."""
     ev = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [(0, 100, "low"), (100, 250, "mid"), (250, 500, "high")],
         "lo INT, hi INT, band STRING",
     )
@@ -2465,7 +2467,7 @@ def _q_streaming_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.col("sum_value").cast(DEC).cast("double").alias("sum_value"),
         )
-        out = spark.createDataFrame(back.collect(), back.schema)
+        out = local_df(spark, back.collect(), back.schema)
     return out
 
 
@@ -3240,7 +3242,7 @@ def _q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = spark.table("stream_dedup_wm").agg(
             F.count(F.lit(1)).alias("n_distinct_keys")
         )
-        out = spark.createDataFrame(final.collect(), final.schema)
+        out = local_df(spark, final.collect(), final.schema)
     return out
 
 
@@ -3823,7 +3825,7 @@ def _q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("count_value").cast("long").alias("count_value"),
             )
         )
-        out = spark.createDataFrame(coarse.collect(), coarse.schema)
+        out = local_df(spark, coarse.collect(), coarse.schema)
     return out
 
 
@@ -3929,7 +3931,7 @@ def _q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(X.tokens("text")).alias("term"))
     sk = count_min_sketch(toks, "term", m=64, d=4)
-    keys = spark.createDataFrame([(t,) for t in _CMS_TERMS], "term string")
+    keys = local_df(spark, [(t,) for t in _CMS_TERMS], "term string")
     return count_min_lookup(sk, keys, "term", m=64, d=4)
 
 

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from hbase_taggregator_spark.util import local_df
 from hbase_taggregator_spark.oracle_fragments import (
     _SQL_E,
     _ivf_recall_sql,
@@ -325,7 +326,7 @@ def _q_ivf_indexed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec = _ivf_indexed_frame(spark, sf_dir, d)
         # materialize before the index directory vanishes (the standing
         # sink-gate pattern; the result is 10 tiny rows)
-        out = spark.createDataFrame(rec.collect(), rec.schema)
+        out = local_df(spark, rec.collect(), rec.schema)
     return out
 
 

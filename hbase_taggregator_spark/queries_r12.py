@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from hbase_taggregator_spark.util import local_df
 from hbase_taggregator_spark.oracle_fragments import (
     _SQL_E,
     _ivf_binary_recall_sql,
@@ -116,7 +117,7 @@ def _q_ivf_binary_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec = _ivf_binary_indexed_frame(spark, sf_dir, d)
         # materialize before the index directory vanishes (the standing
         # sink-gate pattern; the result is 10 tiny rows)
-        out = spark.createDataFrame(rec.collect(), rec.schema)
+        out = local_df(spark, rec.collect(), rec.schema)
     return out
 
 
@@ -172,7 +173,7 @@ def _q_binary_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory() as d:
         adm = _binary_admitted_frame(spark, sf_dir, d)
         # materialize before the index directory vanishes
-        out = spark.createDataFrame(adm.collect(), adm.schema)
+        out = local_df(spark, adm.collect(), adm.schema)
     return out
 
 
@@ -342,7 +343,7 @@ def _q_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory() as d:
         rec = _ivf_pq_indexed_frame(spark, sf_dir, d)
         # materialize before the index directory vanishes
-        out = spark.createDataFrame(rec.collect(), rec.schema)
+        out = local_df(spark, rec.collect(), rec.schema)
     return out
 
 

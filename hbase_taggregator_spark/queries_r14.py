@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from hbase_taggregator_spark.util import local_df
 from hbase_taggregator_spark.oracle_fragments import (
     _SQL_E,
     pq_refined_ctes,
@@ -215,7 +216,7 @@ def _q_ivf_pq_residual_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory() as d:
         rec = _ivf_pq_residual_indexed_frame(spark, sf_dir, d)
         # materialize before the index directory vanishes
-        out = spark.createDataFrame(rec.collect(), rec.schema)
+        out = local_df(spark, rec.collect(), rec.schema)
     return out
 
 

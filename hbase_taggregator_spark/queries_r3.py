@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from hbase_taggregator_spark.util import local_df
 from hbase_taggregator_spark.queries import T0, T_WEEK, US, _register, load_table
 
 # ---------------------------------------------------------------------------
@@ -437,7 +438,7 @@ def _q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         back_json = spark.read.schema(docs.schema).json(f"{d}/json")
         out = agg(back_csv, "csv").unionByName(agg(back_json, "json"))
-        res = spark.createDataFrame(out.collect(), out.schema)
+        res = local_df(spark, out.collect(), out.schema)
     return res.select(
         "lang", "fmt", "n_docs", "sum_chars", "text_checksum"
     ).orderBy("lang", "fmt")

@@ -14,6 +14,7 @@ from hbase_taggregator_spark.oracle_fragments import (
     _SQL_TOKENS,
     _minhash_band_ctes,
 )
+from hbase_taggregator_spark.util import local_df
 from hbase_taggregator_spark.queries import _register, load_table
 
 
@@ -333,7 +334,7 @@ def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
             F.sum(ck).alias("text_checksum"),
         )
-        res = spark.createDataFrame(out.collect(), out.schema)
+        res = local_df(spark, out.collect(), out.schema)
     return res.orderBy("lang")
 
 

@@ -7,6 +7,24 @@ import os
 from pyspark.sql import DataFrame
 
 
+def local_df(spark, rows, schema) -> DataFrame:
+    """A driver-local DataFrame in ONE partition.
+
+    ``createDataFrame(list)`` parallelizes the rows across
+    ``defaultParallelism`` Python-backed RDD slices, so EVERY job that
+    evaluates the frame — a broadcast build, a sidecar write, a scan of
+    a materialized gate result — round-trips one Python worker per
+    slice (32 on the bench box) for a table of a few hundred rows.
+    Measured r15: a 1,024-row sidecar write read 6.9 s through
+    ``coalesce(1)`` (the slices drain SEQUENTIALLY through one task's
+    Python pipe) and ~0.5 s through the default 32-slice scan; the same
+    frame born in one slice evaluates in ~0.2 s and writes ONE file
+    with no coalesce. Values are identical — only the slice count
+    changes."""
+    sc = spark.sparkContext
+    return spark.createDataFrame(sc.parallelize(rows, numSlices=1), schema)
+
+
 def _file_len(spark, path: str) -> int | None:
     """Size in bytes of one scan input file; None when the scheme can't be
     stat'ed cheaply. Local paths avoid the JVM round-trip entirely."""
