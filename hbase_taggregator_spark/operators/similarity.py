@@ -906,6 +906,7 @@ def two_level_parts(
     id_col: str = "vec_id",
     n_super: int | None = None,
     n_super_probe: int = 4,
+    shared: tuple | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The two halves of the two-level assignment's super-cell equi-join
     (:func:`ivf_assign_two_level` steps 1-3), exposed so a standing
@@ -927,6 +928,41 @@ def two_level_parts(
     That is the 100 TB amortization the module docstring promises: pay
     the corpus shuffle once at layout time, not per Lloyd iteration or
     per re-assignment."""
+    if shared is None:
+        shared = two_level_shared(centroids, n_super, n_super_probe)
+    supers, members, supers_rows, n_super_probe = shared
+    probes = ivf_assign(
+        df, supers, vec_col=vec_col, id_col=id_col,
+        n_probe=n_super_probe, cents_rows=supers_rows,
+    ).select(id_col, vec_col, "nrm", F.col("cent_id").alias("__sid"))
+    return members, probes
+
+
+def two_level_shared(
+    centroids: DataFrame,
+    n_super: int | None = None,
+    n_super_probe: int = 4,
+) -> tuple:
+    """The df-INDEPENDENT half of :func:`two_level_parts` — super
+    centroids (collected once), member assignment, and the effective
+    ``n_super_probe`` — computed once and reusable across every frame
+    assigned against the same centroid set in one operator call.
+    Composed operators (``ivf_topk`` / ``ivf_binary_topk`` under
+    ``strategy="twolevel"``) assign a corpus AND a query batch: without
+    sharing, each call re-runs the centroid count job, the block-mean
+    job, and the member assignment (r15 profile: ~2 s of identical
+    driver jobs per composed gate).
+
+    supers feeds both the member assignment here and every probe
+    assignment downstream; flat assignment against a centroid frame
+    collects it anyway (its contract — the super set is ≈ √nlist rows,
+    always driver-cheap, and the module docstring declares it as the
+    one allowed driver materialization besides the scalar count).
+    Collect it ONCE (``supers_rows``) and hand every call the rows: the
+    block-mean job runs exactly once and there is no executor cache to
+    leak across Lloyd iterations (r9 self-review: the earlier persist()
+    accumulated one dead n_super-row cache per kmeans_refine
+    iteration)."""
     nlist = centroids.count()
     if nlist == 0:
         # name the two-level entry points, not the flat ivf_assign the
@@ -941,18 +977,9 @@ def two_level_parts(
         n_super = max(4, math.isqrt(nlist))
     n_super = min(n_super, nlist)
     n_super_probe = min(n_super_probe, n_super)
-
-    # supers feeds BOTH ivf_assign calls below, and flat assignment
-    # against a centroid frame COLLECTS it anyway (that is its contract
-    # — the super set is ≈ √nlist rows, always driver-cheap, and the
-    # docstring declares it as the one allowed driver materialization
-    # besides the scalar count). Collect it ONCE here and hand both
-    # calls a local rebuild: the block-mean job runs exactly once and
-    # there is no executor cache to leak across Lloyd iterations
-    # (r9 self-review: the earlier persist() accumulated one dead
-    # n_super-row cache per kmeans_refine iteration).
     sdf = _super_centroids(centroids, n_super, nlist)
-    supers = local_df(df.sparkSession, sdf.collect(), sdf.schema)
+    supers = local_df(centroids.sparkSession, sdf.collect(), sdf.schema)
+    supers_rows = _collect_cents(supers)
     # membership assigns the centroid frame ITSELF against the small
     # super set — the block id is only needed for the means, so routing
     # members through the ranked join (as the r8 form did) was a
@@ -965,15 +992,13 @@ def two_level_parts(
         vec_col="__cv",
         id_col="__cid",
         n_probe=1,
+        cents_rows=supers_rows,
     ).select(
         "__cid", "__cv",
         F.col("nrm").alias("__cnrm"),
         F.col("cent_id").alias("__sid"),
     )
-    probes = ivf_assign(
-        df, supers, vec_col=vec_col, id_col=id_col, n_probe=n_super_probe
-    ).select(id_col, vec_col, "nrm", F.col("cent_id").alias("__sid"))
-    return members, probes
+    return supers, members, supers_rows, n_super_probe
 
 
 def _super_centroids(
@@ -1055,6 +1080,7 @@ def ivf_assign_two_level(
     n_probe: int = 1,
     topk_salt: int = 16,
     return_candidates: bool = False,
+    shared: tuple | None = None,
 ) -> DataFrame:
     """Two-level coarse-quantized nearest-centroid assignment — the
     beyond-broadcast escape hatch for :func:`ivf_assign` (VERDICT r7
@@ -1177,7 +1203,7 @@ def ivf_assign_two_level(
         raise ValueError("topk_salt must be >= 1")
     members, probes = two_level_parts(
         df, centroids, vec_col=vec_col, id_col=id_col, n_super=n_super,
-        n_super_probe=n_super_probe,
+        n_super_probe=n_super_probe, shared=shared,
     )
     if return_candidates:
         # diagnostics/census hook: the pre-argmin candidate stream —
@@ -1401,13 +1427,18 @@ def ivf_topk(
             .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
         )
 
-    shared_cents: list = []  # collected once, shared by both flat assigns
+    shared_cents: list = []  # df-independent halves, computed once
 
     def _assign(frame, vcol, icol, np_):
         if strategy == "twolevel":
+            if not shared_cents:
+                shared_cents.append(
+                    two_level_shared(centroids, n_super, n_super_probe)
+                )
             return ivf_assign_two_level(
                 frame, centroids, vec_col=vcol, id_col=icol, n_probe=np_,
                 n_super=n_super, n_super_probe=n_super_probe,
+                shared=shared_cents[0],
             )
         if not shared_cents:
             shared_cents.append(_collect_cents(centroids))
@@ -1696,6 +1727,9 @@ def write_ivf_index(
             pq_m = max(s for s, _, _ in books) + 1
         else:
             books = codebooks
+        # refinement applies exactly when THIS build trained the init
+        # books (explicit/stored codebooks are final by contract)
+        needs_refine = False
         if pq_residual:
             # residual reference points: the STORED means for appends
             # (the standing-means contract — batch rows must encode in
@@ -1771,6 +1805,15 @@ def write_ivf_index(
                             "points from this batch with "
                             "residual_orphans='admit'"
                         )
+            elif books is None:
+                # fused means + sampling-init books: one collect, one
+                # corpus pass (r15 — see
+                # _materialize_means_and_residual_books); the init
+                # books still go through the Lloyd refinement below
+                mean_df, books = _materialize_means_and_residual_books(
+                    lists, vec_col, id_col, pq_m, pq_codes, dim
+                )
+                needs_refine = True
             else:
                 mean_df = _materialize_cell_means(lists, vec_col)
             enc_src = _ivf_residuals(lists, mean_df, vec_col).select(
@@ -1780,11 +1823,12 @@ def write_ivf_index(
             enc_src = corpus
         if books is None:
             books = pq_codebooks(enc_src, pq_m, pq_codes, id_col, vec_col, dim)
-            if pq_refine_iters:
-                books = pq_refine_codebooks(
-                    enc_src, books, pq_m, id_col, vec_col, dim,
-                    iters=pq_refine_iters,
-                )
+            needs_refine = True
+        if needs_refine and pq_refine_iters:
+            books = pq_refine_codebooks(
+                enc_src, books, pq_m, id_col, vec_col, dim,
+                iters=pq_refine_iters,
+            )
         codes = pq_encode(enc_src, books, pq_m, id_col, vec_col, dim)
         lists = lists.join(codes, id_col)
     # cluster by inverted list before the partitioned write — one file
@@ -3362,13 +3406,18 @@ def ivf_binary_topk(
             )
         )
 
-    shared_cents: list = []  # collected once, shared by both flat assigns
+    shared_cents: list = []  # df-independent halves, computed once
 
     def _assign(frame, vcol, icol, np_):
         if strategy == "twolevel":
+            if not shared_cents:
+                shared_cents.append(
+                    two_level_shared(centroids, n_super, n_super_probe)
+                )
             return ivf_assign_two_level(
                 frame, centroids, vec_col=vcol, id_col=icol, n_probe=np_,
                 n_super=n_super, n_super_probe=n_super_probe,
+                shared=shared_cents[0],
             )
         if not shared_cents:
             shared_cents.append(_collect_cents(centroids))
@@ -3903,6 +3952,77 @@ def _materialize_cell_means(assigned: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def _materialize_means_and_residual_books(
+    assigned: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    n_codes: int,
+    dim: int,
+) -> tuple[DataFrame, list[tuple[int, int, list[float]]]]:
+    """Cell means AND residual codebook init in ONE collect job (r15).
+
+    The residual IVFADC build needs two driver materializations that
+    each cost a full corpus pass: the Lloyd cell means
+    (:func:`_cell_mean_centroids`) and the sampling-init codebooks over
+    the RESIDUAL corpus (:func:`pq_codebooks` on x − mean(cell(x)) —
+    whose ``orderBy(id).limit(k)`` scans the corpus through the
+    residual join again). Fused: one job collects the means UNION the
+    first ``n_codes`` assigned rows (id, vec, cent_id), and the sample
+    residuals are computed DRIVER-SIDE — Python float subtraction IS
+    the IEEE double subtract ``_ivf_residuals`` performs (both operands
+    widen float32→double first), so the init codewords are
+    bit-identical to the distributed form. One corpus pass and one job
+    instead of two of each.
+
+    Returns ``(mean_df, books)`` — the :func:`_materialize_cell_means`
+    frame and the :func:`pq_codebooks`-format init list."""
+    spark = assigned.sparkSession
+    tagged_means = _cell_mean_centroids(assigned, vec_col).select(
+        F.lit(0).alias("__tag"),
+        F.col("cent_id").cast("long").alias("__key"),
+        F.col("cvec").alias("__vec"),
+    )
+    tagged_sample = (
+        assigned.orderBy(id_col)
+        .limit(n_codes)
+        .select(
+            F.lit(1).alias("__tag"),
+            F.col(id_col).cast("long").alias("__key"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double")
+            ).alias("__vec"),
+            F.col("cent_id").cast("long").alias("__cell"),
+        )
+    )
+    rows = tagged_means.select(
+        "__tag", "__key", "__vec", F.lit(None).cast("long").alias("__cell")
+    ).unionByName(tagged_sample).collect()
+    means = {
+        int(r["__key"]): [float(v) for v in r["__vec"]]
+        for r in rows
+        if r["__tag"] == 0
+    }
+    mean_df = local_df(
+        spark,
+        [(k, v) for k, v in sorted(means.items())],
+        "cent_id bigint, cvec array<double>",
+    )
+    sample = sorted(
+        (r for r in rows if r["__tag"] == 1), key=lambda r: r["__key"]
+    )
+    sub = dim // m
+    books: list[tuple[int, int, list[float]]] = []
+    for s in range(m):
+        for r in sample:
+            mean = means[int(r["__cell"])]
+            resid = [
+                float(x) - mean[i] for i, x in enumerate(r["__vec"])
+            ]
+            books.append((s, int(r["__key"]), resid[s * sub : (s + 1) * sub]))
+    return mean_df, books
+
+
 def _ivf_residuals(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -4360,13 +4480,18 @@ def ivf_pq_topk(
         # BOTH residual branches (corpus encode + per-probe query
         # LUTs); a live aggregation subtree would re-run the corpus
         # mean pass per branch.
-        mean_cents = _materialize_cell_means(assigned, vec_col)
+        # means + sampling-init books in ONE collect (r15): the
+        # separate pq_codebooks collect re-scanned the corpus through
+        # the residual join for its orderBy(id).limit(n_codes) sample
+        mean_cents, books = _materialize_means_and_residual_books(
+            assigned, vec_col, id_col, m, n_codes, dim
+        )
         enc_corpus = _ivf_residuals(assigned, mean_cents, vec_col).select(
             id_col, F.col("__rvec").alias(vec_col), "cent_id"
         )
     else:
         enc_corpus = assigned
-    books = pq_codebooks(enc_corpus, m, n_codes, id_col, vec_col, dim)
+        books = pq_codebooks(enc_corpus, m, n_codes, id_col, vec_col, dim)
     if refine_iters:
         books = pq_refine_codebooks(
             enc_corpus, books, m, id_col, vec_col, dim, iters=refine_iters

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hbase_taggregator_spark.queries import _register, load_table
 from hbase_taggregator_spark.queries_r13 import RECALL_K, _recall_frame
+from hbase_taggregator_spark.util import local_df
 
 #: the censused tight-budget dials where rotation has bits to win back
 OPQ_M = 8
@@ -108,7 +109,17 @@ def _opq_rotated_corpus(emb: DataFrame) -> DataFrame:
     resid = _ivf_residuals(assigned, means, "embedding").select(
         "vec_id", F.col("__rvec").alias("embedding")
     )
-    return apply_rotation(emb, opq_rotation(resid, m=OPQ_M, dim=64))
+    rot = apply_rotation(emb, opq_rotation(resid, m=OPQ_M, dim=64))
+    # Materialize the rotated fixture ONCE (500 × 64 doubles — smaller
+    # than the codebooks ivf_pq_topk collects anyway): left live, every
+    # construction job downstream (centroid collect, cell means,
+    # codebook init, Lloyd refinement, the final plan, and the rotated
+    # query filter) re-evaluates the dim² rotation as an interpreted
+    # higher-order projection over the whole fixture — ~5 redundant
+    # passes per gate run (r15 profile: 13.7 s construction, most of it
+    # this). collect() round-trips IEEE doubles exactly, so the rebuilt
+    # frame is bit-identical and the oracle contract is untouched.
+    return local_df(emb.sparkSession, rot.collect(), rot.schema)
 
 
 def _q_opq_lowrank_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
