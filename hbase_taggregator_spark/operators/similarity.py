@@ -54,16 +54,38 @@ def norm(a: Column) -> Column:
     return F.sqrt(_dec_sum(sq))
 
 
-def _ddot(a: Column, b: Column) -> Column:
+def _ddot(a: Column, b: Column, width: int | None = None) -> Column:
     """Plain-double dot product — 2 interpreted FP ops per element vs the
     exact path's ~5 Decimal ops. NOT oracle-exact on its own; used only
     where a proven error bound lets it decide for the exact algebra
-    (:func:`ivf_assign`'s argmax prune, :func:`cos_ge`)."""
-    return F.aggregate(
+    (:func:`ivf_assign`'s argmax prune, :func:`cos_ge`, the two-level
+    candidate prune).
+
+    ``width`` (r16): the statically-known array length unrolls the fold
+    into a flat chain of double multiply-adds — ``zip_with`` +
+    ``aggregate`` are CodegenFallback expressions evaluated interpreted
+    per row with a per-row array allocation, while the unrolled chain is
+    codegen-resident arithmetic (the `_pq_sqdist` discipline; decimal
+    unrolling regresses at dim 64, plain doubles don't — measured
+    0.87 s HOF vs 0.64 s unrolled on the 64k-row two-level candidate
+    join, 0 value mismatches). BIT-IDENTICAL by construction: the chain
+    adds the same products in the same left-to-right order as the fold,
+    and rows where either side's length differs from ``width`` fall
+    back to the HOF form, preserving the zip_with null-padding
+    semantics on ragged/odd-length rows."""
+    hof = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if width is None or not 0 < width <= 256:
+        return hof
+    acc = F.lit(0.0)
+    for j in range(width):
+        acc = acc + F.get(a, j).cast("double") * F.get(b, j).cast("double")
+    return F.when(
+        (F.size(a) == width) & (F.size(b) == width), acc
+    ).otherwise(hof)
 
 
 def _nz(den: Column) -> Column:
@@ -1115,12 +1137,16 @@ def ivf_assign_two_level(
        the SMALL super set (≈ √nlist rows: collecting/broadcasting THAT
        is always cheap).
     4. Vectors meet candidate centroids through an equi-join on the
-       super-cell key, scored with the exact-decimal cosine (the oracle
-       algebra — no two-phase pruning here, the candidate count per
-       vector is already ``n_super_probe · nlist / n_super``), argmin
-       per vector by (negcos, cent_id) as a partial-aggregating
-       ``MIN(struct)`` — combines map-side, so the final shuffle
-       carries ≤ one row per vector.
+       super-cell key and rank TWO-PHASE (r16 — the :func:`ivf_assign`
+       fast-ranking discipline applied to the join topology): a
+       plain-double cosine ranks the candidates through the salted
+       key-only top-k, and the exact-decimal algebra (the oracle
+       contract) re-scores only rows whose double ranking is ambiguous
+       — the full soundness argument (per-salt keep width, untrusted
+       norm guard, boundary gap check) is at the implementation site.
+       Output membership is identical to the pure exact ranking;
+       ``topk_salt=1`` keeps the legacy all-exact single-aggregate
+       shapes (``MIN(struct)`` at n_probe=1) for A/B.
 
     APPROXIMATE by construction: a vector's true nearest centroid can
     live in an unprobed super-cell (recall improves with
@@ -1162,14 +1188,15 @@ def ivf_assign_two_level(
     vector resident in the hash aggregate at the path's own regime —
     nlist = 2¹⁸, n_super = √nlist, n_super_probe = 4). Instead, stage 1
     groups by ``(vec_id, pmod(hash(cent_id), topk_salt))`` and keeps each
-    salt's local top-``n_probe`` (every candidate lands in exactly one
-    salt group, and any member of the global top-k is a member of its own
-    salt's top-k, so the merge is EXACT — same results, order-insensitive
-    algebra, same oracle); stage 2 merges the ≤ ``topk_salt · n_probe``
-    per-salt survivors per vector. No partial buffer ever holds the full
-    candidate list: stage 1's buffers hold ~candidates/topk_salt entries
-    (sliced to ``n_probe`` before the exchange), stage 2's exactly
-    ``≤ topk_salt`` n_probe-arrays. Both stages run KEY-ONLY — (id, salt,
+    salt's local top-``n_probe + 1`` plus the two-phase boundary window
+    (every candidate lands in exactly one salt group, and any member of
+    the global top-k is a member of its own salt's top-k, so the merge is
+    EXACT — same results, order-insensitive algebra, same oracle; the +1
+    entry and the 2·EPS window feed the r16 gap check); stage 2 merges
+    the per-salt survivors per vector. No partial buffer ever holds the
+    full candidate list past stage 1's local sort: stage 1's buffers hold
+    ~candidates/topk_salt entries (filtered to ~``n_probe + 1`` before
+    the exchange), stage 2's the per-salt slices. Both stages run KEY-ONLY — (id, salt,
     struct) rows, never the vector payload — and the payload (vec, nrm)
     rejoins by ``id_col`` afterwards (the :func:`_super_centroids`
     key-only discipline), so the extra exchange carries exactly the one
@@ -1201,44 +1228,47 @@ def ivf_assign_two_level(
         raise ValueError("n_probe must be >= 1")
     if topk_salt < 1:
         raise ValueError("topk_salt must be >= 1")
+    if shared is None:
+        shared = two_level_shared(centroids, n_super, n_super_probe)
     members, probes = two_level_parts(
         df, centroids, vec_col=vec_col, id_col=id_col, n_super=n_super,
         n_super_probe=n_super_probe, shared=shared,
     )
+    cand = probes.join(members, "__sid")
     if return_candidates:
         # diagnostics/census hook: the pre-argmin candidate stream —
         # the BOUND QUANTITY of this path's cost model
         # (N · n_super_probe · cell size); decade benches pair wall
         # ratios with its measured count (r6 census discipline)
-        return probes.join(members, "__sid").select(
-            id_col, F.col("__cid").alias("cent_id")
-        )
-    scored = probes.join(members, "__sid").select(
-        id_col,
-        vec_col,
-        "nrm",
-        F.struct(
-            (
-                -(
-                    dot(F.col(vec_col), F.col("__cv"))
-                    / _nz(F.col("nrm") * F.col("__cnrm"))
-                )
-            ).alias("n"),
-            F.col("__cid").alias("c"),
-        ).alias("__e"),
-    )
-    if n_probe == 1:
-        best = scored.groupBy(id_col).agg(
-            F.min("__e").alias("__b"),
-            F.first(vec_col).alias(vec_col),
-            F.first("nrm").alias("nrm"),
-        )
-        return best.select(
-            id_col, vec_col, "nrm", F.col("__b")["c"].alias("cent_id")
-        )
+        return cand.select(id_col, F.col("__cid").alias("cent_id"))
     if topk_salt == 1:
-        # legacy single-aggregate shape: one shuffle, but the partial
-        # collect_list buffer holds the full per-vector candidate list
+        # legacy single-aggregate shapes (exact decimal scoring end to
+        # end, payload carried through the aggregate) — kept for A/B
+        # and for tiny candidate sets where the two-phase path's extra
+        # key-only exchanges cost more than the fast scoring saves
+        scored = cand.select(
+            id_col,
+            vec_col,
+            "nrm",
+            F.struct(
+                (
+                    -(
+                        dot(F.col(vec_col), F.col("__cv"))
+                        / _nz(F.col("nrm") * F.col("__cnrm"))
+                    )
+                ).alias("n"),
+                F.col("__cid").alias("c"),
+            ).alias("__e"),
+        )
+        if n_probe == 1:
+            best = scored.groupBy(id_col).agg(
+                F.min("__e").alias("__b"),
+                F.first(vec_col).alias(vec_col),
+                F.first("nrm").alias("nrm"),
+            )
+            return best.select(
+                id_col, vec_col, "nrm", F.col("__b")["c"].alias("cent_id")
+            )
         topk = scored.groupBy(id_col).agg(
             F.slice(F.array_sort(F.collect_list("__e")), 1, n_probe).alias("__bs"),
             F.first(vec_col).alias(vec_col),
@@ -1247,27 +1277,161 @@ def ivf_assign_two_level(
         return topk.select(
             id_col, vec_col, "nrm", F.explode("__bs").alias("__b")
         ).select(id_col, vec_col, "nrm", F.col("__b")["c"].alias("cent_id"))
-    # salted two-stage top-k, KEY-ONLY (see docstring): stage 1 keeps each
-    # salt group's local top-n_probe, stage 2 merges the ≤ salt·n_probe
-    # survivors per vector; the payload rejoins by id afterwards
-    keyed = scored.select(
+    # ---- salted two-stage top-k, KEY-ONLY, TWO-PHASE (r16) --------------
+    # Phase 1 scores every candidate with the PLAIN-DOUBLE cosine (the
+    # decimal algebra is ~5 Decimal ops/element, interpreted — measured
+    # 3.69 s vs 0.64 s on the 64k-row gate-dial candidate join) and runs
+    # the salted key-only top-k on that ranking; the exact-decimal
+    # algebra (the oracle contract) re-scores ONLY rows whose double
+    # ranking is ambiguous. Soundness — the :func:`ivf_assign` two-phase
+    # discipline applied to the join topology (the r15 deferred design,
+    # with the per-salt keep width it called for):
+    #
+    # - any correctly-rounded float64 dot differs from the exact decimal
+    #   dot by < dim·ulp ≈ 1e-13 relative, so with |nrm·cnrm| > 1e-3 the
+    #   fast-vs-exact cosine gap is < 1e-7 ≪ EPS for every TRUSTED
+    #   candidate (finite fast score, non-degenerate norms);
+    # - per salt, sorted ascending by (fast negcos, cent_id), we keep
+    #   the first n_probe+1 entries (so the global fast top-(n_probe+1)
+    #   — the gap check's operands — always survives the merge), plus
+    #   every entry within 2·EPS of the salt's n_probe-th fast score
+    #   (any member of the EXACT top-n_probe must land there: its exact
+    #   score ≤ the global exact kth ≤ salt kth fast + ε′, since the
+    #   salt's own top-n_probe fast entries bound the global kth), plus
+    #   ALL entries of any salt containing an UNTRUSTED candidate (no
+    #   bound holds there, so nothing may be dropped);
+    # - a row is DECISIVE when its total candidate count ≤ n_probe
+    #   (membership = everything, any algebra) or when it has zero
+    #   untrusted candidates and the merged fast gap between positions
+    #   n_probe and n_probe+1 exceeds EPS — then the fast top-n_probe
+    #   SET equals the exact top-n_probe SET (membership is what
+    #   callers consume; true exact ties have fast gap < 2·1e-7 ≪ EPS
+    #   and stay ambiguous, so cent_id tie-breaks happen in the exact
+    #   tree only);
+    # - ambiguous rows (≈ 0-probability on real embeddings) re-score
+    #   their KEPT candidates — provably a superset of the exact
+    #   top-n_probe — with the exact decimal tree: the kept (id,
+    #   cent_id) pairs rejoin the centroid payload off the centroid
+    #   frame and the vector payload by id, never re-running the
+    #   corpus probe pass (AQE's empty-relation propagation collapses
+    #   the fallback join when no row is ambiguous — the common case).
+    #
+    # Both aggregation stages stay KEY-ONLY ((id, salt, struct) rows,
+    # never the vector payload — the `_super_centroids` discipline);
+    # the payload rejoins by ``id_col`` afterwards exactly as the r10
+    # salted merge did.
+    EPS = 1e-6
+    den = F.col("nrm") * F.col("__cnrm")
+    staged = cand.select(
         id_col,
-        F.pmod(F.hash(F.col("__e")["c"]), F.lit(topk_salt)).alias("__salt"),
-        "__e",
+        "__cid",
+        (-(_ddot(F.col(vec_col), F.col("__cv")) / _nz(den))).alias("__fn"),
+        den.alias("__den"),
+    )
+    trusted = (
+        (F.col("__den") > F.lit(1e-3))
+        & F.col("__fn").isNotNull()
+        & ~F.isnan("__fn")
+    )
+    keyed = staged.select(
+        id_col,
+        F.pmod(F.hash("__cid"), F.lit(topk_salt)).alias("__salt"),
+        F.struct(
+            F.col("__fn").alias("n"),
+            F.col("__cid").alias("c"),
+            (~F.coalesce(trusted, F.lit(False))).alias("u"),
+        ).alias("__e"),
     )
     per_salt = keyed.groupBy(id_col, "__salt").agg(
-        F.slice(F.array_sort(F.collect_list("__e")), 1, n_probe).alias("__bs")
+        F.array_sort(F.collect_list("__e")).alias("__ss"),
+        F.sum(F.when(F.col("__e")["u"], 1).otherwise(0)).alias("__ucnt"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    kth_n = F.element_at(
+        F.col("__ss"), F.least(F.lit(n_probe), F.size("__ss"))
+    )["n"]
+    kept = F.when(F.col("__ucnt") > 0, F.col("__ss")).otherwise(
+        F.filter(
+            F.col("__ss"),
+            lambda e, i: (i < F.lit(n_probe + 1))
+            | (e["n"] <= kth_n + F.lit(2 * EPS)),
+        )
     )
     merged = per_salt.groupBy(id_col).agg(
-        F.slice(
-            F.array_sort(F.flatten(F.collect_list("__bs"))), 1, n_probe
-        ).alias("__bs")
+        F.array_sort(F.flatten(F.collect_list(kept))).alias("__ms"),
+        F.sum("__cnt").alias("__n"),
+        F.sum("__ucnt").alias("__u"),
     )
-    picks = merged.select(id_col, F.explode("__bs").alias("__b")).select(
-        id_col, F.col("__b")["c"].alias("cent_id")
+    gap_ok = F.when(
+        F.size("__ms") > F.lit(n_probe),
+        F.element_at("__ms", n_probe + 1)["n"]
+        - F.element_at("__ms", n_probe)["n"]
+        > F.lit(EPS),
+    ).otherwise(F.lit(False))
+    ok = (F.col("__n") <= F.lit(n_probe)) | ((F.col("__u") == 0) & gap_ok)
+    # ONE linear chain for both outcomes (no fork/union — a forked plan
+    # doubled the analyzed tree and every downstream re-analysis):
+    # decisive rows explode exactly their final n_probe picks, ambiguous
+    # rows explode their full kept set; the centroid payload left-joins
+    # ONLY onto ambiguous rows (join condition carries ¬ok), the vector
+    # payload joins by id for everyone (the output needs it anyway), and
+    # one aggregation resolves both cases — decisive rows' entries score
+    # NULL and are ≤ n_probe by construction (the slice keeps them all),
+    # ambiguous rows re-rank by the exact-decimal (negcos, cent_id)
+    # struct order, NULL-negcos-first, exactly the legacy aggregate's.
+    # The centroid payload comes straight off the centroid frame (+ the
+    # same decimal norm every assign path computes) — NOT off `members`,
+    # whose subtree would re-plan the whole supers assignment here.
+    exploded = merged.select(
+        id_col,
+        ok.alias("__ok"),
+        F.explode(
+            F.transform(
+                F.when(ok, F.slice("__ms", 1, n_probe)).otherwise(
+                    F.col("__ms")
+                ),
+                lambda e: e["c"],
+            )
+        ).alias("__cid"),
+    )
+    cent_payload = centroids.select(
+        F.col("cent_id").alias("__ccid"),
+        F.col("cvec").alias("__cv"),
+        norm(F.col("cvec")).alias("__cnrm"),
     )
     payload = with_norm(df.select(id_col, vec_col), vec_col=vec_col)
-    return picks.join(payload, id_col).select(id_col, vec_col, "nrm", "cent_id")
+    rescored = (
+        exploded.join(
+            cent_payload,
+            (F.col("__cid") == F.col("__ccid")) & ~F.col("__ok"),
+            "left",
+        )
+        .join(payload, id_col)
+        .select(
+            id_col,
+            vec_col,
+            "nrm",
+            F.struct(
+                F.when(
+                    ~F.col("__ok"),
+                    -(
+                        dot(F.col(vec_col), F.col("__cv"))
+                        / _nz(F.col("nrm") * F.col("__cnrm"))
+                    ),
+                ).alias("n"),
+                F.col("__cid").alias("c"),
+            ).alias("__e"),
+        )
+    )
+    out = rescored.groupBy(id_col).agg(
+        F.slice(F.array_sort(F.collect_list("__e")), 1, n_probe).alias("__bs"),
+        F.first(vec_col).alias(vec_col),
+        F.first("nrm").alias("nrm"),
+    )
+    return out.select(
+        id_col, vec_col, "nrm",
+        F.explode(F.transform("__bs", lambda e: e["c"])).alias("cent_id"),
+    )
 
 
 def kmeans_refine(
