@@ -952,7 +952,28 @@ def two_level_parts(
     per re-assignment."""
     if shared is None:
         shared = two_level_shared(centroids, n_super, n_super_probe)
-    supers, members, supers_rows, n_super_probe = shared
+    supers, members, supers_rows, shared_probe = shared
+    # a shared tuple built with DIFFERENT dials than the explicit args
+    # would silently produce wrong-but-plausible assignments (r15
+    # ADVICE): cross-check what is checkable without a new job — the
+    # effective probe count (min of the request and the super count)
+    # and the super-count upper bound. Callers passing `shared` must
+    # pass the dials it was built with (every composed operator does).
+    if n_super is not None and len(supers_rows) > n_super:
+        raise ValueError(
+            f"two_level shared tuple holds {len(supers_rows)} supers but "
+            f"n_super={n_super} was requested — the tuple was built with "
+            "different dials; rebuild it with two_level_shared(centroids, "
+            "n_super, n_super_probe) or drop the explicit n_super"
+        )
+    if min(n_super_probe, len(supers_rows)) != shared_probe:
+        raise ValueError(
+            f"two_level shared tuple was built with n_super_probe="
+            f"{shared_probe} but {n_super_probe} was requested — "
+            "assignments would silently probe the wrong cell count; "
+            "rebuild the tuple with the dials you pass here"
+        )
+    n_super_probe = shared_probe
     probes = ivf_assign(
         df, supers, vec_col=vec_col, id_col=id_col,
         n_probe=n_super_probe, cents_rows=supers_rows,
@@ -999,9 +1020,26 @@ def two_level_shared(
         n_super = max(4, math.isqrt(nlist))
     n_super = min(n_super, nlist)
     n_super_probe = min(n_super_probe, n_super)
+    # ONE collect materializes the super set AND its decimal norms
+    # (r16 — VERDICT r15 #3, the serial driver floor): the norms ride
+    # the same distributed job that computes the block means, so the
+    # separate _collect_cents job over the local frame disappears. The
+    # projection is exactly _collect_cents's (same norm algebra, same
+    # cent_id order), so the rows serve directly as ``cents_rows`` for
+    # every downstream flat assignment.
     sdf = _super_centroids(centroids, n_super, nlist)
-    supers = local_df(centroids.sparkSession, sdf.collect(), sdf.schema)
-    supers_rows = _collect_cents(supers)
+    supers_rows = (
+        sdf.select(
+            F.col("cent_id"), F.col("cvec"), norm(F.col("cvec")).alias("cnrm")
+        )
+        .orderBy("cent_id")
+        .collect()
+    )
+    supers = local_df(
+        centroids.sparkSession,
+        [(r["cent_id"], r["cvec"]) for r in supers_rows],
+        sdf.schema,
+    )
     # membership assigns the centroid frame ITSELF against the small
     # super set — the block id is only needed for the means, so routing
     # members through the ranked join (as the r8 form did) was a
@@ -2017,32 +2055,62 @@ def write_ivf_index(
     # one task and one file with NO coalesce — coalesce(1) over a
     # default local frame drains its 32 Python-backed slices serially
     # through a single task's worker pipe (measured ~5.5 s per
-    # kilobyte-scale sidecar at r15; ~0.5 s this way)
+    # kilobyte-scale sidecar at r15; ~0.5 s this way).
+    # The sidecars are mutually independent (distinct subdirectories,
+    # no read dependencies), so they submit CONCURRENTLY from a small
+    # thread pool (guide §2.6 — overlap independent jobs): each write
+    # is one single-task job whose wall is mostly driver/commit
+    # latency, and a residual+binary build pays one such latency
+    # instead of three. Job descriptions are thread-local, so the UI
+    # still labels each sidecar correctly.
+    sidecars = []
     if pq and mode != "append":
-        local_df(
-            corpus.sparkSession,
-            [
-                (s, code, i, float(v))
-                for (s, code, vals) in books
-                for i, v in enumerate(vals)
-            ],
-            "s int, code int, i int, v double",
-        ).write.mode("overwrite").parquet(f"{path}/_codebooks")
+        sidecars.append((
+            "_codebooks",
+            local_df(
+                corpus.sparkSession,
+                [
+                    (s, code, i, float(v))
+                    for (s, code, vals) in books
+                    for i, v in enumerate(vals)
+                ],
+                "s int, code int, i int, v double",
+            ),
+        ))
     if binary and mode != "append":
-        local_df(
-            corpus.sparkSession,
-            [(i, float(v)) for i, v in enumerate(thr)],
-            "i int, threshold double",
-        ).write.mode("overwrite").parquet(f"{path}/_thresholds")
+        sidecars.append((
+            "_thresholds",
+            local_df(
+                corpus.sparkSession,
+                [(i, float(v)) for i, v in enumerate(thr)],
+                "i int, threshold double",
+            ),
+        ))
     if pq_residual and mode != "append":
         # the residual reference points, exploded to (cent_id, i, v) —
         # doubles are parquet-binary-stable, so read_ivf_cell_means
         # rebuilds EXACTLY the vectors the codes were referenced to
         # (mean_df is a one-slice local frame — single file, no
         # coalesce)
-        mean_df.select(
-            "cent_id", F.posexplode("cvec").alias("i", "v")
-        ).write.mode("overwrite").parquet(f"{path}/_cell_means")
+        sidecars.append((
+            "_cell_means",
+            mean_df.select(
+                "cent_id", F.posexplode("cvec").alias("i", "v")
+            ),
+        ))
+    if len(sidecars) == 1:
+        name, frame = sidecars[0]
+        frame.write.mode("overwrite").parquet(f"{path}/{name}")
+    elif sidecars:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_sidecar(item):
+            name, frame = item
+            frame.write.mode("overwrite").parquet(f"{path}/{name}")
+            return name
+
+        with ThreadPoolExecutor(max_workers=len(sidecars)) as pool:
+            list(pool.map(_write_sidecar, sidecars))
 
 
 def read_ivf_thresholds(spark, path: str) -> list[float]:
@@ -4154,6 +4222,19 @@ def _materialize_means_and_residual_books(
     Returns ``(mean_df, books)`` — the :func:`_materialize_cell_means`
     frame and the :func:`pq_codebooks`-format init list."""
     spark = assigned.sparkSession
+    # the fused collect keys rows by a long cast of id/cent_id; a
+    # non-integral id column would silently NULL under the cast (and
+    # corrupt the init-code ids) where pq_codebooks kept the raw value
+    # (r15 ADVICE) — validate up front with a clear error instead
+    for col_name in (id_col, "cent_id"):
+        t = assigned.schema[col_name].dataType.simpleString()
+        if t not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"residual codebook init requires an integral {col_name!r} "
+                f"column (got {t}): the fused means+sample collect keys "
+                "rows by a long cast, which would silently NULL "
+                "non-integral ids"
+            )
     tagged_means = _cell_mean_centroids(assigned, vec_col).select(
         F.lit(0).alias("__tag"),
         F.col("cent_id").cast("long").alias("__key"),

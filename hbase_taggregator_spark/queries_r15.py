@@ -119,7 +119,20 @@ def _opq_rotated_corpus(emb: DataFrame) -> DataFrame:
     # passes per gate run (r15 profile: 13.7 s construction, most of it
     # this). collect() round-trips IEEE doubles exactly, so the rebuilt
     # frame is bit-identical and the oracle contract is untouched.
-    return local_df(emb.sparkSession, rot.collect(), rot.schema)
+    rows = rot.collect()
+    # driver-materialization guard (r15 ADVICE): the fixture is capped
+    # at OPQ_CORPUS_CAP rows by construction (_lowrank_corpus filters
+    # vec_id < cap at every sf), so this collect is structurally
+    # bounded — fail loudly if a future edit un-caps it rather than
+    # silently scaling driver memory with the corpus
+    if len(rows) > 4 * OPQ_CORPUS_CAP:
+        raise ValueError(
+            f"_opq_rotated_corpus collected {len(rows)} rows — the gate "
+            f"fixture contract caps the corpus at {OPQ_CORPUS_CAP}; "
+            "materializing an uncapped corpus on the driver does not "
+            "scale (persist to parquet and rescan instead)"
+        )
+    return local_df(emb.sparkSession, rows, rot.schema)
 
 
 def _q_opq_lowrank_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,6 +145,14 @@ def _q_opq_lowrank_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_topk,
     )
 
+    # NOTE (r16): materializing the raw fixture here as a one-slice
+    # local frame was tried and REVERTED — it removes the repeated
+    # interpreted-sin evaluation across construction jobs, but a
+    # one-slice frame also serializes every compute-heavy downstream
+    # pass (assign scoring, rotation sample, cell means) onto a single
+    # core, and the measured gate wall got WORSE (9.9 → 15.2 s
+    # construct). The rotated-corpus materialization below keeps the
+    # parallel scan-side fixture for the heavy passes.
     emb = _lowrank_corpus(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     exact = l2_topk(emb, queries, k=RECALL_K).select("query_id", "vec_id")

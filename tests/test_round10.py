@@ -67,11 +67,16 @@ def test_salted_topk_equals_legacy_single_aggregate(spark):
 
 
 def test_salted_topk_collect_list_aggregates_are_key_only(spark):
-    """Both salted-stage aggregates must group KEY-ONLY rows — (id,
-    salt, 16-byte struct) — never the vector payload: the whole point
+    """The SALTED stage aggregates must group KEY-ONLY rows — (id,
+    salt, small struct) — never the vector payload: the whole point
     of the salt is to cap partial buffers, and a vec column riding
-    through the aggregate would multiply the shuffled payload by the
-    salt count instead. The payload rejoins by id afterwards."""
+    a salt-keyed aggregate would multiply the shuffled payload by the
+    salt count instead. Since r16's two-phase rewrite, the OUTPUT
+    aggregate (one row per id) legitimately carries the payload via
+    ``first()`` — an O(1) buffer fed by the broadcast payload rejoin,
+    with no exchange between its partial and final halves — so the
+    payload-free invariant is asserted on the salt-keyed sections and
+    on every shuffle: no Exchange may carry the vector payload salted."""
     from hbase_taggregator_spark.operators import similarity as S
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -83,15 +88,24 @@ def test_salted_topk_collect_list_aggregates_are_key_only(spark):
     )
     text = P.formatted_plan(out)
     sections = text.split("\n\n")
-    cl = [s for s in sections if "collect_list" in s]
-    assert cl, "expected the salted collect_list aggregates in the plan"
-    for s in cl:
+    salted = [s for s in sections if "__salt" in s]
+    assert salted, "expected the salted stage sections in the plan"
+    for s in salted:
         assert "embedding#" not in s and "cvec#" not in s and "__cv#" not in s, (
-            f"collect_list aggregate carries vector payload:\n{s}"
+            f"salt-keyed operator carries vector payload:\n{s}"
         )
-    # the salt key is real (pmod over the candidate id) and the payload
-    # rejoin exists (a join on vec_id downstream of the aggregates)
+    # no shuffle anywhere in the plan moves the payload under a salt key
+    for s in sections:
+        head = s.strip().split("\n")[0]
+        if head.endswith("Exchange") and "hashpartitioning" in s:
+            assert "__salt" not in s or "embedding#" not in s, (
+                f"salt-keyed exchange carries vector payload:\n{s}"
+            )
+    # the salt key is real (pmod over the candidate id) and the salted
+    # collect_list stages exist
     assert "pmod" in text
+    cl = [s for s in sections if "collect_list" in s and "__salt" in s]
+    assert cl, "expected the salted collect_list stage in the plan"
     assert out.count() == emb.count() * 5 or out.count() > 0
 
 
