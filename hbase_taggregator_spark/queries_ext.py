@@ -4432,84 +4432,88 @@ _register(
 )
 # ---------------------------------------------------------------------------
 # Driver gate window (rotated per round): the driver records CORRECTNESS
-# rows for the FIRST 50 catalog entries. r15 priority: the ONE new
-# query (similarity_opq_lowrank_gain — the censused OPQ rotation
-# verdict gate on the rank-8 fixture at the tight 32-bit code budget),
-# then every query whose implementation changed this round: the five
-# persisted-index gates and the partitioned-sink gate, all refactored
-# into serving-plan factories + materializing wrappers for the
-# PLAN_FRAMES audit registry (row-identical — pinned in
-# tests/test_round15.py — but re-gated per the standing rule), with
-# similarity_ivf_pq_residual_indexed_recall_at_5 also covering the
-# write_ivf_index residual_orphans seam added this round. Then the
-# FOUR r9 leftovers that headed the rotation queue
-# (dedup_ngram_jaccard_pairs, dedup_duplicate_clusters,
-# text_quality_features, text_bm25_retrieval), then the R10 BLOCK
-# (CORRECTNESS_r10 keys not re-gated in r11-r14, in that file's
-# order); 39 of its 47 fit this window — the final eight
-# (semi_anti_customer_orders, distinct_counts_lineitem,
-# multiversion_latest_2_per_user, asof_purchase_to_click,
-# text_language_id, text_fingerprint_tokens, dedup_exact,
-# similarity_cosine_topk) head the r16 queue, after which rotation
-# moves to the r11 block. Every query pushed out is green in earlier
-# CORRECTNESS rounds and this round's full-catalog oracle log
-# (tools/oracle_full_r15.log).
+# rows for the FIRST 50 catalog entries. r16 priority (an optimization
+# round — no new queries): every query whose implementation changed
+# this round — the two-level family + the binary recall gate riding the
+# two-phase double/decimal top-k (ivf_assign_two_level), the five
+# persisted-index gates covering the write_ivf_index sidecar-overlap
+# and two_level_shared single-collect seams, and the residual/OPQ gates
+# covering the _materialize_means_and_residual_books validation seam —
+# all output-identical by construction and oracle-verified in this
+# round's full-catalog log, but re-gated per the standing rule. Then
+# the EIGHT r10 leftovers that headed the rotation queue
+# (semi_anti_customer_orders … similarity_cosine_topk), then the R11
+# BLOCK (CORRECTNESS_r11 keys not re-gated since, in that file's
+# order, minus the two already in the changed set); 29 of its 48 fit
+# this window — the remaining nineteen (streaming_static_join_segments,
+# streaming_stream_join_pairs, q8_market_share, q11_important_stock,
+# q12_shipmode_priority, q15_top_supplier, q20_potential_promotions,
+# multimodal_decode_headers, dedup_exact_survivor_rows,
+# dedup_jaccard_df_capped, ts_rollup_hourly_to_daily,
+# streaming_dedup_within_watermark, ts_time_weighted_avg_21600,
+# ts_counter_rate_21600, merge_upsert_customers,
+# text_top_terms_per_lang, layout_zorder_values,
+# streaming_continuous_rollup, multimodal_frame_sample) head the r17
+# queue, after which rotation moves to the r12 block. Every query
+# pushed out is green in earlier CORRECTNESS rounds and this round's
+# full-catalog oracle log (tools/oracle_full_r16.log).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # new this round (r15)
-    "similarity_opq_lowrank_gain",
-    # implementation changed this round (serving-plan factory refactor)
+    # implementation changed this round (two-phase two-level top-k)
+    "similarity_twolevel_assign",
+    "similarity_twolevel_topk",
+    "similarity_twolevel_recall_at_5",
+    "similarity_kmeans_twolevel_refine",
+    "similarity_ivf_binary_recall_at_5",
+    # implementation changed this round (index build sidecar overlap +
+    # shared-collect fold + residual-init validation)
     "similarity_ivf_indexed_recall_at_5",
     "similarity_ivf_binary_indexed_recall_at_5",
     "similarity_ivf_pq_indexed_recall_at_5",
     "similarity_ivf_pq_residual_indexed_recall_at_5",
     "embedding_binary_incremental_admitted",
-    "sink_partitioned_roundtrip",
-    # the four r9 leftovers (head of the standing rotation queue)
-    "dedup_ngram_jaccard_pairs",
-    "dedup_duplicate_clusters",
-    "text_quality_features",
-    "text_bm25_retrieval",
-    # the r10 block (standing rotation queue): oldest latest-gating
-    "similarity_twolevel_recall_at_5",
-    "similarity_twolevel_topk",
-    "similarity_twolevel_assign",
-    "similarity_kmeans_twolevel_refine",
-    "text_bpe_token_count",
-    "corpus_stratified_mix",
-    "corpus_negative_pairs",
-    "ts_rolling_zscore_outliers",
-    "multimodal_binary_features",
-    "hbase_rowshape_bucketed_agg",
-    "profile_skew_report",
-    "corpus_source_mixing",
-    "graph_pagerank_suppliers",
-    "dedup_minhash_lsh_candidates",
-    "dedup_funnel_survivors",
-    "dedup_incremental_admitted",
-    "ts_min_900",
-    "ts_sum_900",
-    "ts_avg_900",
-    "ts_count_900",
-    "ts_avg_900_odd_start",
-    "ts_multi_verb_28800",
-    "ts_grouped_by_type_86400",
-    "ts_count_900_gapfilled",
-    "sliding_window_1h_15m",
-    "session_windows_6h_per_user",
-    "rowkey_range_scan",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "window_topk_parts_per_brand",
-    "window_running_order_total",
-    "window_lag_user_gaps",
-    "rollup_order_status_priority",
-    "cube_returnflag_linestatus",
-    "setops_purchase_error_users",
+    "similarity_ivf_pq_recall_floor",
+    "similarity_ivf_pq_residual_recall_at_5",
+    "similarity_opq_lowrank_gain",
+    # the eight r10 leftovers (head of the standing rotation queue)
+    "semi_anti_customer_orders",
+    "distinct_counts_lineitem",
+    "multiversion_latest_2_per_user",
+    "asof_purchase_to_click",
+    "text_language_id",
+    "text_fingerprint_tokens",
+    "dedup_exact",
+    "similarity_cosine_topk",
+    # the r11 block (standing rotation queue): oldest latest-gating
+    "similarity_binary_banded_radius15",
+    "similarity_binary_banded_dup_top1",
+    "embedding_binary_dedup_survivors",
+    "similarity_binary_hamming_recall_at_5",
+    "embedding_binary_quantize_words",
+    "embedding_random_projection_checksums",
+    "similarity_neardup_pairs",
+    "similarity_ann_lsh_topk",
+    "streaming_ts_count_max_3600",
+    "streaming_stateful_running_extrema",
+    "pivot_event_type_daily",
+    "scalar_functions_showcase",
+    "date_functions_orders",
+    "correlated_above_avg_balance",
+    "argmax_event_per_type",
+    "asof_nearest_click",
+    "corpus_dedup_repeated_substrings",
+    "ts_resample_interpolate_7200",
+    "corpus_pipeline_stats",
+    "percentiles_per_event_type",
+    "stats_moments_per_type",
+    "ts_ewma_smoothed_3600",
+    "streaming_dedup_exact",
+    "q2_min_cost_supplier",
+    "funnel_click_to_purchase_1h",
+    "interval_overlap_regimes_sessions",
+    "histogram_value_25",
+    "q4_order_priority",
+    "q13_customer_distribution",
 ]
 
 
